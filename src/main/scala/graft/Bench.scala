@@ -1,24 +1,172 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Components:
+  *  1. headline queries from SparkEntry at SPARK_GRAFT_SF_DIR — per-query
+  *     wall seconds;
+  *  2. the extraction pipeline (the BASELINE.json metric: documents
+  *     extracted per second) over a pre-materialized parquet `pages` table
+  *     of Common-Crawl-sized documents, run at TWO parallelism levels on
+  *     identical input — local[N] and local[4N] — reporting throughput at
+  *     both plus scaling efficiency (no real cluster in this sandbox; see
+  *     BENCH/BASELINE.md).
+  *
+  * Methodology: each parallelism level runs in its OWN child JVM with GC
+  * threads matched to its core count. A shared JVM would let the machine's
+  * full GC thread pool subsidize the small configuration and would leak
+  * JIT warmth from one level into the next — both bias the efficiency
+  * number. Best-of-reps inside each child absorbs JIT warm-up.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Materialize the deterministic pages corpus once (excluded from the
+    * timed runs — the metric is extraction, not generation). */
+  private def ensurePages(dir: String, nDocs: Long, sizeBoost: Int): Unit = {
+    val countFile = new java.io.File(s"$dir/_graft_count")
+    val ok = new java.io.File(s"$dir/_SUCCESS").exists() && countFile.exists() &&
+      scala.util.Try(java.nio.file.Files.readString(countFile.toPath).trim == s"$nDocs-$sizeBoost")
+        .getOrElse(false)
+    if (ok) return
+    val spark = session(Runtime.getRuntime.availableProcessors())
+    try {
+      graft.gen.PagesTable.pagesDF(spark, nDocs,
+        Runtime.getRuntime.availableProcessors() * 4, sizeBoost)
+        .write.mode("overwrite").parquet(dir)
+      java.nio.file.Files.writeString(countFile.toPath, s"$nDocs-$sizeBoost")
+    } finally spark.stop()
+  }
+
+  /** Child-JVM phase: measure extraction throughput, print a marker line. */
+  private def extractPhase(cores: Int, pagesDir: String, reps: Int): Unit = {
+    val spark = session(cores)
+    try {
+      var best = 0.0
+      var r = 0
+      while (r < reps) {
+        val t0 = System.nanoTime()
+        val n = graft.spark.ExtractJob
+          .extractTexts(spark, spark.read.parquet(pagesDir))
+          .count()
+        val thr = n / ((System.nanoTime() - t0) / 1e9)
+        if (thr > best) best = thr
+        r += 1
+      }
+      println(f"GRAFT_THR $best%.1f")
+    } finally spark.stop()
+  }
+
+  /** Spawn a child JVM for one parallelism level; returns docs/s. */
+  private def spawnPhase(cores: Int, pagesDir: String, reps: Int): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("java.base/") ||
+        a.startsWith("-Dspark.") || a.startsWith("--enable-native-access"))
+    val cmd = Seq(javaBin) ++ inherited ++ Seq(
+      "-Xms4g", s"-Xmx24g",
+      "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=${math.max(cores / 2, 2)}",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "--extract-phase", cores.toString, pagesDir, reps.toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    proc.waitFor()
+    out.linesIterator.collectFirst {
+      case l if l.startsWith("GRAFT_THR ") => l.stripPrefix("GRAFT_THR ").toDouble
+    }.getOrElse(0.0)
+  }
+
+  /** Pure-ALU control: how well does THIS BOX scale threads at all?
+    * Register-only splitmix64 loop — no memory traffic, no allocation, no
+    * Spark. On a throttled/shared VM this caps the achievable efficiency
+    * of any workload; the extraction number is judged against it. */
+  private def cpuControl(threads: Int): Double = {
+    val itersTotal = 6000000000L
+    val per = itersTotal / threads
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { id =>
+      val t = new Thread(() => {
+        var z = id.toLong; var seed = 0L
+        var i = 0L
+        while (i < per) {
+          z += 0x9E3779B97F4A7C15L
+          var x = z
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+          seed ^= x ^ (x >>> 31)
+          i += 1
+        }
+        if (seed == 42) println("") // defeat dead-code elimination
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    itersTotal / ((System.nanoTime() - t0) / 1e9) / 1e9 // Gop/s
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 4 && args(0) == "--extract-phase") {
+      extractPhase(args(1).toInt, args(2), args(3).toInt)
+      return
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    val sizeBoost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "8").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val pagesDir = sys.env.getOrElse("SPARK_GRAFT_PAGES_DIR", "/tmp/graft_bench_pages")
+    val lowCores = math.max(cpus / 4, 2)
+
+    // 1. headline queries
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // 2. extraction scaling: same parquet input, N vs 4N cores, one JVM each
+    ensurePages(pagesDir, benchDocs, sizeBoost)
+    val thrLow = spawnPhase(lowCores, pagesDir, reps)
+    val thrHigh = spawnPhase(lowCores * 4, pagesDir, reps)
+    val efficiency = if (thrLow > 0) thrHigh / thrLow / 4.0 else 0.0
+
+    // 3. hardware control: best-of-2 per level (thermal/share noise)
+    val ctlLow = math.max(cpuControl(lowCores), cpuControl(lowCores))
+    val ctlHigh = math.max(cpuControl(lowCores * 4), cpuControl(lowCores * 4))
+    val ctlEff = if (ctlLow > 0) ctlHigh / ctlLow / 4.0 else 0.0
+    val normalized = if (ctlEff > 0) efficiency / ctlEff else 0.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""extract_docs_per_sec_n$lowCores":${f"$thrLow%.1f"},""" +
+      s""""extract_docs_per_sec_n${lowCores * 4}":${f"$thrHigh%.1f"},""" +
+      s""""extract_bench_docs":$benchDocs,"extract_size_boost":$sizeBoost,""" +
+      s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
+      s""""cpu_control_gops_n$lowCores":${f"$ctlLow%.2f"},""" +
+      s""""cpu_control_gops_n${lowCores * 4}":${f"$ctlHigh%.2f"},""" +
+      s""""cpu_control_efficiency":${f"$ctlEff%.3f"},""" +
+      s""""efficiency_vs_hw_control":${f"$normalized%.3f"}}""")
   }
 }

@@ -175,7 +175,166 @@ object SparkEntry {
           / size(col("tokens")), 4).as("stopword_ratio"))
   }
 
+  // ---------------------------------------------------------------------
+  // Extraction pipeline surface (SURVEY §3 E1-E3). These run the real
+  // HTML/PDF parsers over the deterministic synthetic `pages` table
+  // (FixtureGen — no external data; the sfDir scales the row count). No
+  // SQL oracle can express a PDF parser, so these are rows-only checks
+  // here; byte-identity is asserted in ScalaTest (CoreExtractionSpec /
+  // SparkPipelineSpec).
+  // ---------------------------------------------------------------------
+
+  private def xDocCount(dir: String): Long =
+    if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 2000L else 500L
+
+  /** E1: pages → salted repartition → parse/classify → text surface. */
+  private def xExtractText(s: SparkSession, dir: String): DataFrame =
+    graft.spark.ExtractJob.extractTexts(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir)))
+      .select(col("url"), col("text"), col("extractor"), col("usedFallback"),
+        col("nBlocks").cast("long").as("n_blocks"))
+
+  /** W1: provenance with running-section carry-forward. */
+  private def xProvenance(s: SparkSession, dir: String): DataFrame =
+    graft.spark.ExtractJob.provenance(
+      graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4)))
+
+  /** A2: best table per page (argmax over dual-engine candidates). */
+  private def xBestTables(s: SparkSession, dir: String): DataFrame =
+    graft.spark.ExtractJob.bestTables(
+      graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4)))
+      .drop("cells")
+
+  /** E2: WER/CER metrics of the pipeline against its goldens (all exact). */
+  private def xMetrics(s: SparkSession, dir: String): DataFrame = {
+    val n = xDocCount(dir) / 4
+    val pred = graft.spark.ExtractJob.extractTexts(s, graft.gen.PagesTable.pagesDF(s, n))
+      .select(col("url"), col("text"))
+    graft.spark.MetricsJob.textMetrics(s, graft.gen.PagesTable.golden(s, n).toDF(), pred)
+  }
+
+  // ---------------------------------------------------------------------
+  // Dedup / similarity / text-analysis / multimodal ops (graft.ops).
+  // ---------------------------------------------------------------------
+
+  /** The driver corpus is all-distinct, so near-dup queries plant
+    * deterministic near-duplicates (id + 10^6, one token appended) — the
+    * op must then recover exactly those pairs. */
+  private def withNearDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" near dup copy")).as("text")))
+
+  /** MinHash+LSH near-dup pairs (shingle→minhash→band→bucket→verify).
+    * No SQL oracle (hash pipeline); q_jaccard_pairs is the oracle-able
+    * exact-verify sibling, and planted pairs make recall checkable. */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashLsh(withNearDups(t(s, dir, "documents")), threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs via 4×16-bit chunk pigeonhole join. */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.simhashPairs(withNearDups(t(s, dir, "documents")), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding near-dup pairs blocked by random-hyperplane LSH buckets;
+    * planted perturbed vectors (index-dependent additive noise — cosine
+    * stays ≈0.99 but not 1.0). */
+  private def qCosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + lit(0.02) * sin(i.cast("double"))).cast("float")).as("embedding"))
+    graft.ops.Similarity.cosineNearDupPairs(
+      e.select(col("vec_id"), col("embedding")).unionByName(planted),
+      threshold = 0.95, dim = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-k ANN (oracle-able: deterministic rank on
+    * rounded cosine + neighbor id). */
+  private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate ANN (the scale path; recall<1 → rows-only). */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5, dim = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Stopword-profile language ID with deterministic argmax. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.langId(t(s, dir, "documents"))
+      .select(col("doc_id"), col("pred_lang"), col("lang_hits"))
+
+  /** Token counting: whitespace words + BPE-ish subword runs. */
+  private def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.tokenCounts(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("n_subtokens"))
+
+  /** Gopher/C4-style quality features + composite score. */
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.qualityScore(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("stopword_ratio"), col("alpha_ratio"), col("quality_score"))
+
+  /** Rolling-hash document fingerprints (order-sensitive, 64-bit). */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.fingerprints(t(s, dir, "documents"))
+      .select(col("doc_id"), col("fingerprint"))
+
+  /** Gap-based sessionization over the events stream (30-min timeout). */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"))
+  }
+
+  /** Multimodal plumbing: deterministic fake assets → batch decode →
+    * typed metadata + frame-sample plan (decode codec is a marked stub). */
+  private def xMultimodal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val mk = udf((id: Long) => graft.ops.Multimodal.fakeAsset(
+      id, Seq("img", "aud", "vid")((id % 3).toInt), 64 + (id % 64).toInt * 8,
+      64 + (id % 48).toInt * 8, if (id % 3 == 2) 120 else 1))
+    val assets = t(s, dir, "documents").select(col("doc_id").as("assetId"))
+      .withColumn("payload", mk(col("assetId")))
+    val meta = graft.ops.Multimodal.decodeBatches(s, assets).toDF()
+    graft.ops.Multimodal.resizePlan(meta, maxSide = 256)
+      .select(col("assetId").as("asset_id"), col("format"), col("width"),
+        col("height"), col("nFrames").as("n_frames"), col("out_w"), col("out_h"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_extract_text"  -> xExtractText _,
+    "x_provenance"    -> xProvenance _,
+    "x_best_tables"   -> xBestTables _,
+    "x_metrics_wer"   -> xMetrics _,
+    "x_multimodal"    -> xMultimodal _,
+    "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_simhash_pairs" -> qSimhashPairs _,
+    "q_cosine_neardup" -> qCosineNearDup _,
+    "q_ann_topk"      -> qAnnTopK _,
+    "q_ann_lsh"       -> qAnnLsh _,
+    "q_langid"        -> qLangId _,
+    "q_token_counts"  -> qTokenCounts _,
+    "q_quality"       -> qQuality _,
+    "q_fingerprint"   -> qFingerprint _,
+    "q_sessionize"    -> qSessionize _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue"     -> q3TopRevenue _,
     "q_window_running"   -> qWindowRunning _,
@@ -190,6 +349,74 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |d AS (SELECT query_id, neighbor_id,
+        |    sum(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS qq,
+        |    sum(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)) AS cc
+        |  FROM q, c, generate_series(1, 64) t(i)
+        |  WHERE query_id <> neighbor_id
+        |  GROUP BY query_id, neighbor_id),
+        |s AS (SELECT query_id, neighbor_id, round(dot / (sqrt(qq) * sqrt(cc)), 4) AS cos FROM d),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_langid" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) AS de,
+        |  len(list_intersect(toks, ['the','a','of','and','to','in','is','that','for','it'])) AS en,
+        |  len(list_intersect(toks, ['el','la','los','y','es','un','una','para','en','que'])) AS es,
+        |  len(list_intersect(toks, ['le','la','les','et','est','un','une','pour','dans','que'])) AS fr
+        | FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+        |       WHEN en >= es AND en >= fr THEN 'en'
+        |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang,
+        |  CAST(greatest(de, en, es, fr) AS BIGINT) AS lang_hits
+        |FROM s""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_subtokens
+        |FROM documents""".stripMargin,
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |   CAST(len(toks) AS DOUBLE) AS ntok,
+        |   CAST(length(text) AS DOUBLE) / len(toks) AS meanlen,
+        |   CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','that','for','it'))) AS DOUBLE)
+        |     / len(toks) AS stopr,
+        |   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alphar
+        | FROM t)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  round(meanlen, 4) AS mean_word_len,
+        |  round(stopr, 4) AS stopword_ratio,
+        |  round(alphar, 4) AS alpha_ratio,
+        |  round(CAST((CASE WHEN ntok BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN meanlen BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stopr > 0.0 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN alphar > 0.5 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
+        |FROM f""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, value,
+        |    sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,86 @@
+package graft.core
+
+/** Top-level per-row extraction: payload sniff → parser → fallback chain.
+  *
+  * Mirrors the reference's extraction decision tree
+  * (/root/reference/src/text_extractor_all.py:173-188): native extraction
+  * first; when it yields no text and a secondary source exists, fall back —
+  * the reference's OCR (pytesseract) becomes our `text` column (the
+  * Common-Crawl WET-style pre-extracted text), since real OCR is out of
+  * scope per SURVEY §2.1 S4. Every branch records which extractor ran
+  * (`extractor` + `usedFallback`) — the reference's ocr_log analogue
+  * (text_extractor_all.py:262-267).
+  *
+  * This is a pure function Row → ExtractedDoc, designed to run inside a
+  * typed `Dataset.map` on executors: no shared state, no I/O, allocation
+  * kept proportional to the document.
+  */
+object Extractor {
+
+  def extract(row: PageRow): ExtractedDoc = {
+    val bytes = if (row.html == null) Array.emptyByteArray else row.html
+    if (PdfParser.isPdf(bytes)) extractPdf(row, bytes)
+    else if (bytes.nonEmpty) extractHtml(row, bytes)
+    else if (row.text != null && row.text.nonEmpty) providedText(row, usedFallback = false)
+    else ExtractedDoc(row.url, "", 0, "empty", usedFallback = false, Nil, Nil, Nil)
+  }
+
+  private def extractHtml(row: PageRow, bytes: Array[Byte]): ExtractedDoc = {
+    val r = HtmlExtractor.extract(bytes)
+    val text = TextAssembly.assemble(r.blocks)
+    if (text.isEmpty && row.text != null && row.text.nonEmpty)
+      providedText(row, usedFallback = true)
+    else
+      ExtractedDoc(row.url, text, 1, "html", usedFallback = false, r.blocks, r.tables, r.images)
+  }
+
+  private def extractPdf(row: PageRow, bytes: Array[Byte]): ExtractedDoc = {
+    val pages =
+      try PdfParser.parse(bytes)
+      catch { case _: Exception => Vector.empty }
+    val r = PdfLayout.layout(pages)
+    val text = TextAssembly.assemble(r.blocks)
+    if (text.isEmpty && row.text != null && row.text.nonEmpty) {
+      val d = providedText(row, usedFallback = true)
+      d.copy(nPages = math.max(pages.length, 1), extractor = "pdf+fallback")
+    } else
+      ExtractedDoc(row.url, text, pages.length, "pdf", usedFallback = false,
+        r.blocks, r.tables, r.images)
+  }
+
+  /** Secondary decoder: the row's pre-extracted `text` column. Each
+    * non-empty line becomes one paragraph block (normalized), so the
+    * reassembled surface is stable under re-extraction. */
+  private def providedText(row: PageRow, usedFallback: Boolean): ExtractedDoc = {
+    val blocks = row.text.split('\n').iterator
+      .map(HtmlExtractor.normText)
+      .filter(_.nonEmpty)
+      .zipWithIndex
+      .map { case (t, i) =>
+        Block(1, i, BlockKind.Paragraph, t, 0.0, i.toDouble, 1.0, i + 1.0,
+          0.0, 0.0, t.length, 0, t.split(' ').count(_.nonEmpty))
+      }
+      .toVector
+    ExtractedDoc(row.url, TextAssembly.assemble(blocks), 1, "provided_text",
+      usedFallback, blocks, Nil, Nil)
+  }
+}
+
+/** The byte-identity surface (reference P8/O4): content blocks
+  * ({title, heading, paragraph}; text_extractor_all.py:353-362) in document
+  * order, joined with a single '\n'. Golden fixtures assert UTF-8 byte
+  * equality of this string per url. */
+object TextAssembly {
+  def assemble(blocks: Seq[Block]): String = {
+    val sb = new java.lang.StringBuilder(512)
+    var first = true
+    blocks.foreach { b =>
+      if (BlockKind.ContentKinds.contains(b.kind)) {
+        if (!first) sb.append('\n')
+        sb.append(b.text)
+        first = false
+      }
+    }
+    sb.toString
+  }
+}

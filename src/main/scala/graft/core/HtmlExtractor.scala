@@ -1,0 +1,290 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** HTML → classified blocks + table candidates + image refs.
+  *
+  * A Boilerpipe/trafilatura-style main-content extractor (Kohlschütter et
+  * al., WSDM 2010; Barbaresi, ACL 2021) over the token stream from
+  * [[HtmlTokenizer]] — no DOM is materialized. Block segmentation happens at
+  * block-level tag boundaries; each block carries text-density features
+  * (chars, words, link chars) and structural context (nav/header/footer/
+  * aside/heading). Classification mirrors the shape of the reference's
+  * block classifier (/root/reference/src/text_extractor_all.py:65-83):
+  * per-block features → threshold rules → kind label; the byte-identity
+  * text surface keeps {title, heading, paragraph} only
+  * (text_extractor_all.py:353-362).
+  *
+  * HTML has no page geometry, so bbox is synthesized in "block units":
+  * (0, idx, 1, idx+1) — stable, and keeps the Provenance schema uniform
+  * with the PDF path.
+  */
+object HtmlExtractor {
+
+  /** Whitespace normalization: collapse runs of ASCII whitespace + NBSP to a
+    * single space, trim. Defined ONCE here; FixtureGen and tests reuse it —
+    * this is the byte-identity contract for HTML text. */
+  def normText(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00A0') {
+        if (sb.length() > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val blockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "tr", "td", "th", "thead", "tbody", "tfoot", "caption",
+    "section", "article", "header", "footer", "nav", "aside", "main",
+    "title", "blockquote", "pre", "figure", "figcaption", "dl", "dt", "dd",
+    "hr", "form", "fieldset", "address", "body", "html", "head")
+
+  /** Link-density threshold above which a non-heading block is boilerplate
+    * (Boilerpipe's link-density feature; Kohlschütter 2010 §4.2). */
+  val LinkDensityMax = 0.33
+  /** Minimum words for an unlinked block to count as content when it sits in
+    * plain flow — very short link-bearing fragments are chrome. */
+  val MinWordsLinked = 5
+
+  final case class Result(blocks: Vector[Block], tables: Vector[TableCand], images: Vector[ImageRef])
+
+  def extract(bytes: Array[Byte]): Result = {
+    val sink = new BlockSink
+    HtmlTokenizer.tokenize(bytes, sink)
+    sink.finish()
+  }
+
+  def extract(html: String): Result = {
+    val sink = new BlockSink
+    HtmlTokenizer.tokenize(html, sink)
+    sink.finish()
+  }
+
+  private final class BlockSink extends HtmlTokenizer.Sink {
+    private val blocks = Vector.newBuilder[Block]
+    private val tables = Vector.newBuilder[TableCand]
+    private val images = Vector.newBuilder[ImageRef]
+    private var blockIdx = 0
+    private var imageIdx = 0
+    private var tableIdx = 0
+
+    // structural context depths
+    private var inHead, inNav, inHeader, inFooter, inAside, inLink = 0
+    private var headingDepth = 0   // depth inside h1..h6
+    private var headingLevel = 0   // level of innermost open heading
+    private var tableDepth = 0
+
+    // current text block accumulator
+    private val buf = new java.lang.StringBuilder(256)
+    private var bufLink = 0 // raw link chars in buf
+    private var ctxNav, ctxHeader, ctxFooter, ctxAside = false
+    private var ctxHeading = 0
+
+    // current table accumulator (top-level table only)
+    private var rows: mutable.ArrayBuffer[mutable.ArrayBuffer[String]] = null
+    private var cell: java.lang.StringBuilder = null
+
+    /** Flushes fire at block-tag boundaries, always BEFORE the enclosing
+      * structural context changes — so the context at flush time is the
+      * context the buffered text was written in. */
+    private def captureCtx(): Unit = {
+      ctxNav = inNav > 0; ctxHeader = inHeader > 0; ctxFooter = inFooter > 0
+      ctxAside = inAside > 0; ctxHeading = if (headingDepth > 0) headingLevel else 0
+    }
+
+    private def flushBlock(): Unit = {
+      if (buf.length() == 0) { bufLink = 0; return }
+      captureCtx()
+      val text = normText(buf.toString)
+      val rawLen = buf.length()
+      buf.setLength(0)
+      val link = bufLink; bufLink = 0
+      if (text.isEmpty) return // P1 empty-text filter
+      val nChars = text.length
+      val nWords = countWords(text)
+      val linkDensity = if (rawLen > 0) link.toDouble / rawLen else 0.0
+      val kind =
+        if (ctxHeading == 1) BlockKind.Title
+        else if (ctxHeading >= 2) BlockKind.Heading
+        else if (ctxHeader || ctxNav) BlockKind.Header
+        else if (ctxFooter) BlockKind.Footer
+        else if (ctxAside) BlockKind.Boilerplate
+        else if (linkDensity > LinkDensityMax) BlockKind.Boilerplate
+        else if (link > 0 && nWords < MinWordsLinked) BlockKind.Boilerplate
+        else BlockKind.Paragraph
+      val linkChars = math.min(link, nChars)
+      blocks += Block(1, blockIdx, kind, text,
+        0.0, blockIdx.toDouble, 1.0, blockIdx + 1.0,
+        0.0, 0.0, nChars, linkChars, nWords)
+      blockIdx += 1
+    }
+
+    private def countWords(s: String): Int = {
+      var n = 0; var i = 0; var inW = false
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') inW = false
+        else if (!inW) { n += 1; inW = true }
+        i += 1
+      }
+      n
+    }
+
+    override def startTag(name: String, selfClosing: Boolean): Unit = {
+      name match {
+        case "img" =>
+          if (inHead == 0) {
+            images += ImageRef(1, imageIdx, 0.0, blockIdx.toDouble, 1.0, blockIdx + 1.0, Array.emptyByteArray)
+            imageIdx += 1
+          }
+          return
+        case "br" =>
+          if (tableDepth > 0 && cell != null) cell.append(' ') else flushBlock()
+          return
+        case _ =>
+      }
+      if (selfClosing && !blockTags.contains(name)) return
+      name match {
+        case "head"   => flushBlock(); inHead += 1
+        case "nav"    => flushBlock(); inNav += 1
+        case "header" => flushBlock(); inHeader += 1
+        case "footer" => flushBlock(); inFooter += 1
+        case "aside"  => flushBlock(); inAside += 1
+        case "a"      => inLink += 1
+        case "table"  =>
+          flushBlock()
+          tableDepth += 1
+          if (tableDepth == 1) { rows = mutable.ArrayBuffer.empty; cell = null }
+        case "tr" if tableDepth == 1 =>
+          rows += mutable.ArrayBuffer.empty; cell = null
+        case "td" | "th" if tableDepth == 1 =>
+          if (rows.isEmpty) rows += mutable.ArrayBuffer.empty
+          cell = new java.lang.StringBuilder(32)
+          rows.last += "" // placeholder, replaced at close
+        case h if h.length == 2 && h.charAt(0) == 'h' && h.charAt(1) >= '1' && h.charAt(1) <= '6' =>
+          flushBlock(); headingDepth += 1; headingLevel = h.charAt(1) - '0'
+        case t if blockTags.contains(t) && tableDepth == 0 => flushBlock()
+        case _ =>
+      }
+      if (selfClosing) endTag(name)
+    }
+
+    override def endTag(name: String): Unit = name match {
+      case "head"   => flushBlock(); if (inHead > 0) inHead -= 1
+      case "nav"    => flushBlock(); if (inNav > 0) inNav -= 1
+      case "header" => flushBlock(); if (inHeader > 0) inHeader -= 1
+      case "footer" => flushBlock(); if (inFooter > 0) inFooter -= 1
+      case "aside"  => flushBlock(); if (inAside > 0) inAside -= 1
+      case "a"      => if (inLink > 0) inLink -= 1
+      case "td" | "th" =>
+        if (tableDepth == 1 && cell != null && rows.nonEmpty) {
+          rows.last(rows.last.length - 1) = normText(cell.toString)
+          cell = null
+        }
+      case "table" =>
+        if (tableDepth == 1) { emitTable(); rows = null; cell = null }
+        if (tableDepth > 0) tableDepth -= 1
+      case h if h.length == 2 && h.charAt(0) == 'h' && h.charAt(1) >= '1' && h.charAt(1) <= '6' =>
+        flushBlock(); if (headingDepth > 0) headingDepth -= 1
+        if (headingDepth == 0) headingLevel = 0
+      case t if blockTags.contains(t) && tableDepth == 0 => flushBlock()
+      case _ =>
+    }
+
+    override def textChunk(s: String, start: Int, end: Int): Unit = {
+      if (inHead > 0 || end <= start) return
+      if (tableDepth > 0) {
+        if (cell != null) cell.append(s, start, end)
+        return
+      }
+      buf.append(s, start, end)
+      if (inLink > 0) bufLink += end - start
+    }
+
+    override def textStr(s: String): Unit = {
+      if (inHead > 0) return
+      if (tableDepth > 0) {
+        if (cell != null) cell.append(s)
+        return
+      }
+      buf.append(s)
+      if (inLink > 0) bufLink += s.length
+    }
+
+    /** Emit both table-candidate "engines" over the accumulated grid
+      * (reference runs camelot-stream then pdfplumber per page and scores
+      * both; text_extractor_all.py:190-216). Engine 1 "grid" = the DOM
+      * cells; engine 2 "stream" = whitespace re-segmentation of the row
+      * text, mimicking a stream-mode detector. */
+    private def emitTable(): Unit = {
+      val grid = rows.map(_.toVector).filter(_.nonEmpty).toVector
+      if (grid.isEmpty) return
+      val y = blockIdx.toDouble
+      // candidate 1: stream (methodRank 0, mirrors camelot-first order)
+      val streamGrid = grid.map { r =>
+        val line = r.mkString("  ")
+        line.split("\\s{2,}").toVector.filter(_.nonEmpty) match {
+          case v if v.nonEmpty => v
+          case _               => Vector("")
+        }
+      }
+      emitCand("stream", 0, streamGrid, y)
+      // candidate 2: grid (methodRank 1)
+      emitCand("grid", 1, grid, y)
+      // table block for the inventory / provenance (not the text surface)
+      val blockText = normText(grid.map(_.mkString(" ")).mkString(" "))
+      if (blockText.nonEmpty) {
+        blocks += Block(1, blockIdx, BlockKind.Table, blockText,
+          0.0, y, 1.0, y + 1.0, 0.0, 0.0, blockText.length, 0, countWords(blockText))
+        blockIdx += 1
+      }
+    }
+
+    private def emitCand(method: String, rank: Int, grid: Vector[Vector[String]], y: Double): Unit = {
+      val nRows = grid.length
+      val nCols = if (grid.isEmpty) 0 else grid.map(_.length).max
+      val cells = for {
+        (row, r) <- grid.zipWithIndex
+        (v, c)   <- row.zipWithIndex
+      } yield TableCell(1, tableIdx, r, c, v)
+      tables += TableCand(1, tableIdx, method, rank, nRows, nCols,
+        TableScore.score(grid), 0.0, y, 1.0, y + 1.0, cells)
+      tableIdx += 1
+    }
+
+    def finish(): Result = {
+      flushBlock()
+      Result(blocks.result(), tables.result(), images.result())
+    }
+  }
+}
+
+/** Port of the reference's table scorer
+  * (/root/reference/src/text_extractor_all.py:86-96): score = rows·0.1 +
+  * cols·0.2 + 2·numeric_ratio; −1 sentinel when rows<3 or cols<2. A cell is
+  * numeric when, after stripping ',' and '.', Python str.isdigit() holds. */
+object TableScore {
+  def isNumericCell(s: String): Boolean = {
+    val t = s.replace(",", "").replace(".", "")
+    t.nonEmpty && t.forall(_.isDigit)
+  }
+
+  def score(grid: Seq[Seq[String]]): Double = {
+    val rows = grid.length
+    val cols = if (grid.isEmpty) 0 else grid.map(_.length).max
+    if (rows < 3 || cols < 2) return -1.0
+    val total = rows * cols
+    var numeric = 0
+    grid.foreach(_.foreach(c => if (isNumericCell(c)) numeric += 1))
+    val ratio = if (total > 0) numeric.toDouble / total else 0.0
+    rows * 0.1 + cols * 0.2 + 2.0 * ratio
+  }
+}

@@ -6,19 +6,24 @@ import java.nio.charset.{Charset, StandardCharsets}
   *
   * Brand-new implementation (no reference analogue — the reference parses
   * PDFs only; the HTML payload family is our Common-Crawl-shaped input per
-  * BASELINE.json input_hint). Single pass, no regex, no DOM allocation:
-  * emits start-tag / end-tag / text events to a sink. Handles charset
-  * sniffing (BOM + <meta charset>), comments, doctype, CDATA, raw-text
-  * elements (script/style/noscript/textarea), attribute quoting, and the
-  * HTML named/numeric entities that occur in web text.
+  * BASELINE.json input_hint). Single pass, no regex, allocation-light:
+  * plain text is emitted as (string, start, end) chunks into the sink's own
+  * buffer — no intermediate Strings on the hot path — and attributes are
+  * scanned (for correct tag-end detection) but never materialized, since no
+  * downstream consumer reads them. Handles charset sniffing (BOM + <meta
+  * charset>), comments, doctype, CDATA, raw-text elements
+  * (script/style/noscript/textarea), attribute quoting, and HTML
+  * named/numeric entities.
   */
 object HtmlTokenizer {
 
   trait Sink {
-    def startTag(name: String, attrs: collection.Map[String, String], selfClosing: Boolean): Unit
+    def startTag(name: String, selfClosing: Boolean): Unit
     def endTag(name: String): Unit
-    /** Decoded text (entities resolved), raw whitespace preserved. */
-    def text(s: String): Unit
+    /** Raw text chunk [start, end) of `s` — no entities inside. */
+    def textChunk(s: String, start: Int, end: Int): Unit
+    /** Decoded entity replacement (1-2 chars). */
+    def textStr(s: String): Unit
   }
 
   private val rawTextTags = Set("script", "style", "noscript", "textarea")
@@ -33,24 +38,41 @@ object HtmlTokenizer {
       return (StandardCharsets.UTF_16BE, 2)
     // ASCII scan of the prologue for charset=...
     val n = math.min(bytes.length, 2048)
-    val head = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
-    val i = head.indexOf("charset=")
-    if (i >= 0) {
-      var j = i + 8
-      while (j < head.length && (head(j) == '"' || head(j) == '\'' || head(j) == ' ')) j += 1
-      val k0 = j
-      while (j < head.length && (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_')) j += 1
-      val name = head.substring(k0, j)
-      val cs = name match {
-        case "utf-8" | "utf8"                      => StandardCharsets.UTF_8
-        case "iso-8859-1" | "latin-1" | "latin1"   => StandardCharsets.ISO_8859_1
-        case "windows-1252" | "cp1252"             => Charset.forName("windows-1252")
-        case "us-ascii" | "ascii"                  => StandardCharsets.US_ASCII
-        case _                                     => StandardCharsets.UTF_8
+    var i = 0
+    while (i + 8 < n) {
+      if ((bytes(i) | 0x20) == 'c' && regionEqLower(bytes, i, "charset=")) {
+        var j = i + 8
+        while (j < n && (bytes(j) == '"' || bytes(j) == '\'' || bytes(j) == ' ')) j += 1
+        val k0 = j
+        while (j < n && (isAlnum(bytes(j)) || bytes(j) == '-' || bytes(j) == '_')) j += 1
+        val name = new String(bytes, k0, j - k0, StandardCharsets.US_ASCII).toLowerCase
+        val cs = name match {
+          case "utf-8" | "utf8"                    => StandardCharsets.UTF_8
+          case "iso-8859-1" | "latin-1" | "latin1" => StandardCharsets.ISO_8859_1
+          case "windows-1252" | "cp1252"           => Charset.forName("windows-1252")
+          case "us-ascii" | "ascii"                => StandardCharsets.US_ASCII
+          case _                                   => StandardCharsets.UTF_8
+        }
+        return (cs, 0)
       }
-      return (cs, 0)
+      i += 1
     }
     (StandardCharsets.UTF_8, 0)
+  }
+
+  @inline private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  private def regionEqLower(b: Array[Byte], off: Int, pat: String): Boolean = {
+    if (off + pat.length > b.length) return false
+    var i = 0
+    while (i < pat.length) {
+      val c = b(off + i)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c.toChar
+      if (lc != pat.charAt(i)) return false
+      i += 1
+    }
+    true
   }
 
   def tokenize(bytes: Array[Byte], sink: Sink): Unit = {
@@ -62,57 +84,63 @@ object HtmlTokenizer {
     val s = html
     val n = s.length
     var i = 0
-    val textBuf = new java.lang.StringBuilder(256)
+    var runStart = 0
 
-    def flushText(): Unit =
-      if (textBuf.length() > 0) { sink.text(textBuf.toString); textBuf.setLength(0) }
+    @inline def flushRun(end: Int): Unit =
+      if (end > runStart) sink.textChunk(s, runStart, end)
 
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<' && i + 1 < n) {
         val c1 = s.charAt(i + 1)
         if (c1 == '!') {
-          flushText()
+          flushRun(i)
           if (s.startsWith("<!--", i)) {
             val e = s.indexOf("-->", i + 4)
             i = if (e < 0) n else e + 3
           } else if (s.regionMatches(true, i, "<![CDATA[", 0, 9)) {
             val e = s.indexOf("]]>", i + 9)
             val end = if (e < 0) n else e
-            textBuf.append(s, i + 9, end)
+            sink.textChunk(s, i + 9, end)
             i = if (e < 0) n else e + 3
           } else { // doctype or bogus declaration
             val e = s.indexOf('>', i + 2)
             i = if (e < 0) n else e + 1
           }
+          runStart = i
         } else if (c1 == '?') { // processing instruction
-          flushText()
+          flushRun(i)
           val e = s.indexOf('>', i + 2)
           i = if (e < 0) n else e + 1
+          runStart = i
         } else if (c1 == '/') {
-          flushText()
+          flushRun(i)
           var j = i + 2
           val k0 = j
           while (j < n && s.charAt(j) != '>' && !isSpace(s.charAt(j))) j += 1
-          val name = s.substring(k0, j).toLowerCase
+          val name = lowerName(s, k0, j)
           while (j < n && s.charAt(j) != '>') j += 1
           if (name.nonEmpty) sink.endTag(name)
           i = if (j < n) j + 1 else n
+          runStart = i
         } else if (isNameStart(c1)) {
-          flushText()
+          flushRun(i)
           i = parseStartTag(s, i, sink)
+          runStart = i
         } else {
-          textBuf.append(c); i += 1 // lone '<' — literal
+          i += 1 // lone '<' — stays in the run
         }
       } else if (c == '&') {
+        flushRun(i)
         val (decoded, adv) = decodeEntity(s, i)
-        textBuf.append(decoded)
+        sink.textStr(decoded)
         i += adv
+        runStart = i
       } else {
-        textBuf.append(c); i += 1
+        i += 1
       }
     }
-    flushText()
+    flushRun(n)
   }
 
   @inline private def isSpace(c: Char): Boolean =
@@ -120,15 +148,33 @@ object HtmlTokenizer {
   @inline private def isNameStart(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
-  /** Parse a start tag at s(i)=='<'; returns index after '>'. Emits the
-    * start-tag event and, for raw-text elements, the raw content + end tag. */
+  /** Lowercase tag name without a full toLowerCase allocation when already
+    * lowercase (the common case in real HTML). */
+  private def lowerName(s: String, from: Int, to: Int): String = {
+    var i = from
+    var needs = false
+    while (i < to && !needs) { val c = s.charAt(i); if (c >= 'A' && c <= 'Z') needs = true; i += 1 }
+    if (!needs) s.substring(from, to)
+    else {
+      val sb = new java.lang.StringBuilder(to - from)
+      var j = from
+      while (j < to) {
+        val c = s.charAt(j)
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Parse a start tag at s(i)=='<'; returns index after '>'. Attributes
+    * are scanned for correct boundaries but not materialized. */
   private def parseStartTag(s: String, start: Int, sink: Sink): Int = {
     val n = s.length
     var j = start + 1
     val k0 = j
     while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '-' || s.charAt(j) == ':')) j += 1
-    val name = s.substring(k0, j).toLowerCase
-    var attrs: collection.mutable.Map[String, String] = null
+    val name = lowerName(s, k0, j)
     var selfClosing = false
     var done = false
     while (!done && j < n) {
@@ -140,11 +186,8 @@ object HtmlTokenizer {
           if (j + 1 < n && s.charAt(j + 1) == '>') { selfClosing = true; j += 2; done = true }
           else j += 1
         case _ =>
-          val a0 = j
+          // attr name
           while (j < n && s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/' && !isSpace(s.charAt(j))) j += 1
-          val aname = s.substring(a0, j).toLowerCase
-          var avalue = ""
-          // optional = value
           var k = j
           while (k < n && isSpace(s.charAt(k))) k += 1
           if (k < n && s.charAt(k) == '=') {
@@ -152,24 +195,16 @@ object HtmlTokenizer {
             while (k < n && isSpace(s.charAt(k))) k += 1
             if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
               val q = s.charAt(k); k += 1
-              val v0 = k
               while (k < n && s.charAt(k) != q) k += 1
-              avalue = s.substring(v0, k)
               if (k < n) k += 1
             } else {
-              val v0 = k
               while (k < n && s.charAt(k) != '>' && !isSpace(s.charAt(k))) k += 1
-              avalue = s.substring(v0, k)
             }
             j = k
           }
-          if (aname.nonEmpty) {
-            if (attrs == null) attrs = collection.mutable.Map.empty
-            attrs.put(aname, decodeEntities(avalue))
-          }
       }
     }
-    sink.startTag(name, if (attrs == null) Map.empty[String, String] else attrs, selfClosing)
+    sink.startTag(name, selfClosing)
     if (!selfClosing && rawTextTags.contains(name)) {
       // consume raw content up to the matching close tag (case-insensitive)
       val close = "</" + name
@@ -191,7 +226,7 @@ object HtmlTokenizer {
 
   private val named: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "shy" -> "­",
+    "nbsp" -> " ", "shy" -> "­",
     "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
     "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“", "rdquo" -> "”",
     "laquo" -> "«", "raquo" -> "»", "bull" -> "•", "middot" -> "·",
@@ -232,18 +267,5 @@ object HtmlTokenizer {
         }
       } else ("&", 1)
     }
-  }
-
-  /** Decode all entities in a string (used for attribute values). */
-  def decodeEntities(s: String): String = {
-    if (s.indexOf('&') < 0) return s
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '&') {
-        val (d, adv) = decodeEntity(s, i); sb.append(d); i += adv
-      } else { sb.append(s.charAt(i)); i += 1 }
-    }
-    sb.toString
   }
 }

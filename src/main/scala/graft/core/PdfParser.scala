@@ -1,0 +1,491 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+import scala.collection.mutable
+
+/** Minimal-but-real PDF parser: object scanner + content-stream interpreter.
+  *
+  * Brand-new implementation from the public PDF 1.7 spec (ISO 32000-1) —
+  * the reference delegates to PyMuPDF/pdfplumber
+  * (/root/reference/src/text_extractor_all.py:124, 174-188); we parse the
+  * subset needed for layout recovery ourselves: object graph (Catalog →
+  * Pages → Page), /FlateDecode streams (JDK Inflater only), and the text
+  * operators BT/ET, Tf, Td, TD, Tm, T*, TL, Tj, TJ, '.
+  *
+  * Glyph metrics: a fixed 0.5·size per-char advance (monospaced model).
+  * This is the deterministic geometry contract shared with FixtureGen —
+  * positions, not widths, drive XY-cut and band classification.
+  *
+  * Output coordinates are converted to TOP-LEFT origin (y down), matching
+  * the reference's fitz coordinate space so the 0.1/0.9 header/footer
+  * band thresholds (text_extractor_all.py:76-79) port unchanged.
+  */
+object PdfParser {
+
+  /** One shown string: x,y = top-left of the run box (page units);
+    * `base` = baseline y in top-left coords (same for every run of a line
+    * regardless of font size — line grouping keys on it). */
+  final case class TextRun(x: Double, y: Double, w: Double, h: Double,
+      size: Double, font: String, text: String, base: Double)
+  final case class PdfPage(num: Int, width: Double, height: Double,
+      runs: Vector[TextRun], imageCount: Int)
+
+  val CharWidthFactor = 0.5
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  // ----- object model ---------------------------------------------------
+  sealed trait PV
+  final case class PNum(v: Double) extends PV
+  final case class PName(v: String) extends PV
+  final case class PStr(v: Array[Byte]) extends PV
+  final case class PArr(v: Vector[PV]) extends PV
+  final case class PDict(v: Map[String, PV]) extends PV
+  final case class PRef(n: Int) extends PV
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends PV
+  case object PNull extends PV
+
+  final class Doc(val objs: Map[Int, PV]) {
+    def resolve(v: PV): PV = v match {
+      case PRef(n) => objs.get(n).map(resolve).getOrElse(PNull)
+      case x       => x
+    }
+    def dictGet(d: PDict, k: String): PV = resolve(d.v.getOrElse(k, PNull))
+  }
+
+  /** Parse a whole PDF byte array into ordered pages with text runs. */
+  def parse(bytes: Array[Byte]): Vector[PdfPage] = {
+    val doc = scanObjects(bytes)
+    val pages = collectPages(doc)
+    pages.zipWithIndex.map { case (pd, i) =>
+      val (w, h) = mediaBox(doc, pd)
+      val content = contentBytes(doc, pd)
+      val runs = new ContentInterp(w, h).run(content)
+      val nImg = countImages(doc, pd)
+      PdfPage(i + 1, w, h, runs, nImg)
+    }
+  }
+
+  // ----- object scanning (robust: linear scan for "N G obj") -------------
+  private def scanObjects(b: Array[Byte]): Doc = {
+    val objs = mutable.Map.empty[Int, PV]
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      // match: int ws int ws "obj"
+      if (isDigit(b(i)) && (i == 0 || isDelim(b(i - 1)))) {
+        var j = i
+        while (j < n && isDigit(b(j))) j += 1
+        val numEnd = j
+        var k = j
+        while (k < n && isWs(b(k))) k += 1
+        val genStart = k
+        while (k < n && isDigit(b(k))) k += 1
+        if (k > genStart) {
+          var m = k
+          while (m < n && isWs(b(m))) m += 1
+          if (m + 3 <= n && b(m) == 'o' && b(m + 1) == 'b' && b(m + 2) == 'j') {
+            val objNum = new String(b, i, numEnd - i, StandardCharsets.US_ASCII).toInt
+            val lex = new Lexer(b, m + 3)
+            val v = lex.parseValue()
+            val v2 = lex.maybeStream(v)
+            objs.put(objNum, v2)
+            i = lex.pos
+          } else i = numEnd
+        } else i = numEnd
+      } else i += 1
+    }
+    new Doc(objs.toMap)
+  }
+
+  @inline private def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+  @inline private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  @inline private def isDelim(c: Byte): Boolean =
+    isWs(c) || c == '>' || c == ']' || c == '/' || c == '(' || c == ')' || c == '<' || c == '['
+
+  /** Token-level lexer/parser for PDF object syntax. */
+  private final class Lexer(b: Array[Byte], var pos: Int) {
+    private val n = b.length
+
+    private def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (pos < n && isWs(b(pos))) pos += 1
+        if (pos < n && b(pos) == '%') { // comment
+          while (pos < n && b(pos) != '\n' && b(pos) != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    def parseValue(): PV = {
+      skipWs()
+      if (pos >= n) return PNull
+      b(pos) match {
+        case '<' if pos + 1 < n && b(pos + 1) == '<' => parseDict()
+        case '<' => parseHexString()
+        case '(' => parseLitString()
+        case '/' => parseName()
+        case '[' => parseArray()
+        case c if isDigit(c) || c == '+' || c == '-' || c == '.' => parseNumberOrRef()
+        case 't' => expectKw("true"); PNum(1)
+        case 'f' => expectKw("false"); PNum(0)
+        case 'n' => expectKw("null"); PNull
+        case _   => pos += 1; PNull
+      }
+    }
+
+    private def expectKw(kw: String): Unit = {
+      if (pos + kw.length <= n &&
+        new String(b, pos, kw.length, StandardCharsets.US_ASCII) == kw) pos += kw.length
+      else pos += 1
+    }
+
+    private def parseDict(): PV = {
+      pos += 2
+      val m = Map.newBuilder[String, PV]
+      var done = false
+      while (!done) {
+        skipWs()
+        if (pos + 1 < n && b(pos) == '>' && b(pos + 1) == '>') { pos += 2; done = true }
+        else if (pos >= n) done = true
+        else {
+          parseValue() match {
+            case PName(k) => m += k -> parseValue()
+            case _        => // skip malformed key
+          }
+        }
+      }
+      PDict(m.result())
+    }
+
+    private def parseArray(): PV = {
+      pos += 1
+      val out = Vector.newBuilder[PV]
+      var done = false
+      while (!done) {
+        skipWs()
+        if (pos < n && b(pos) == ']') { pos += 1; done = true }
+        else if (pos >= n) done = true
+        else out += parseValue()
+      }
+      PArr(out.result())
+    }
+
+    private def parseName(): PV = {
+      pos += 1
+      val sb = new java.lang.StringBuilder(16)
+      while (pos < n && !isDelim(b(pos))) {
+        if (b(pos) == '#' && pos + 2 < n) {
+          sb.append(Integer.parseInt(new String(b, pos + 1, 2, StandardCharsets.US_ASCII), 16).toChar)
+          pos += 3
+        } else { sb.append(b(pos).toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def parseNumberOrRef(): PV = {
+      val start = pos
+      if (b(pos) == '+' || b(pos) == '-') pos += 1
+      var isInt = true
+      while (pos < n && (isDigit(b(pos)) || b(pos) == '.')) {
+        if (b(pos) == '.') isInt = false
+        pos += 1
+      }
+      val numStr = new String(b, start, pos - start, StandardCharsets.US_ASCII)
+      val v = numStr.toDouble
+      if (isInt && v >= 0) {
+        // lookahead for "G R" (indirect reference)
+        val save = pos
+        skipWs()
+        val gStart = pos
+        while (pos < n && isDigit(b(pos))) pos += 1
+        if (pos > gStart) {
+          val save2 = pos
+          skipWs()
+          if (pos < n && b(pos) == 'R' && (pos + 1 >= n || isDelim(b(pos + 1)))) {
+            pos += 1
+            return PRef(v.toInt)
+          }
+          pos = save2
+        }
+        pos = save
+      }
+      PNum(v)
+    }
+
+    private def parseLitString(): PV = {
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream(64)
+      var depth = 1
+      while (pos < n && depth > 0) {
+        val c = b(pos)
+        if (c == '\\' && pos + 1 < n) {
+          val e = b(pos + 1)
+          e match {
+            case 'n' => out.write('\n'); pos += 2
+            case 'r' => out.write('\r'); pos += 2
+            case 't' => out.write('\t'); pos += 2
+            case 'b' => out.write('\b'); pos += 2
+            case 'f' => out.write('\f'); pos += 2
+            case '(' => out.write('('); pos += 2
+            case ')' => out.write(')'); pos += 2
+            case '\\' => out.write('\\'); pos += 2
+            case '\n' => pos += 2 // line continuation
+            case '\r' => pos += 2; if (pos < n && b(pos) == '\n') pos += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0; pos += 1
+              while (k < 3 && pos < n && b(pos) >= '0' && b(pos) <= '7') {
+                v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+              }
+              out.write(v & 0xFF)
+            case _ => out.write(e.toInt); pos += 2
+          }
+        } else if (c == '(') { depth += 1; out.write(c.toInt); pos += 1 }
+        else if (c == ')') {
+          depth -= 1
+          if (depth > 0) out.write(c.toInt)
+          pos += 1
+        } else { out.write(c.toInt); pos += 1 }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def parseHexString(): PV = {
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream(64)
+      var hi = -1
+      var done = false
+      while (!done && pos < n) {
+        val c = b(pos)
+        if (c == '>') { pos += 1; done = true }
+        else {
+          val d = Character.digit(c.toChar, 16)
+          if (d >= 0) {
+            if (hi < 0) hi = d
+            else { out.write(hi * 16 + d); hi = -1 }
+          }
+          pos += 1
+        }
+      }
+      if (hi >= 0) out.write(hi * 16)
+      PStr(out.toByteArray)
+    }
+
+    /** After a dict, consume an optional `stream ... endstream` body. */
+    def maybeStream(v: PV): PV = v match {
+      case d: PDict =>
+        val save = pos
+        skipWs()
+        if (pos + 6 <= n && new String(b, pos, 6, StandardCharsets.US_ASCII) == "stream") {
+          pos += 6
+          if (pos < n && b(pos) == '\r') pos += 1
+          if (pos < n && b(pos) == '\n') pos += 1
+          val start = pos
+          // find "endstream"
+          var e = pos
+          var found = -1
+          while (found < 0 && e + 9 <= n) {
+            if (b(e) == 'e' && new String(b, e, 9, StandardCharsets.US_ASCII) == "endstream") found = e
+            else e += 1
+          }
+          val end = if (found < 0) n else found
+          // trim trailing EOL before endstream
+          var end2 = end
+          if (end2 > start && b(end2 - 1) == '\n') end2 -= 1
+          if (end2 > start && b(end2 - 1) == '\r') end2 -= 1
+          pos = if (found < 0) n else found + 9
+          PStream(d, java.util.Arrays.copyOfRange(b, start, end2))
+        } else { pos = save; v }
+      case _ => v
+    }
+  }
+
+  // ----- page tree --------------------------------------------------------
+  private def collectPages(doc: Doc): Vector[PDict] = {
+    val catalog = doc.objs.values.map(doc.resolve).collectFirst {
+      case d @ PDict(m) if m.get("Type").contains(PName("Catalog")) => d
+    }
+    val rootPages = catalog.map(c => doc.dictGet(c, "Pages"))
+    val out = Vector.newBuilder[PDict]
+    def walk(v: PV): Unit = doc.resolve(v) match {
+      case d @ PDict(m) =>
+        m.get("Type").map(doc.resolve) match {
+          case Some(PName("Pages")) =>
+            doc.dictGet(d, "Kids") match {
+              case PArr(kids) => kids.foreach(walk)
+              case _          =>
+            }
+          case Some(PName("Page")) => out += d
+          case _                   =>
+        }
+      case _ =>
+    }
+    rootPages match {
+      case Some(p: PDict) => walk(p)
+      case Some(r: PRef)  => walk(r)
+      case _ =>
+        // fallback: any /Type /Page objects in numeric object order
+        doc.objs.toVector.sortBy(_._1).foreach { case (_, v) =>
+          doc.resolve(v) match {
+            case d @ PDict(m) if m.get("Type").contains(PName("Page")) => out += d
+            case _ =>
+          }
+        }
+    }
+    out.result()
+  }
+
+  private def mediaBox(doc: Doc, page: PDict): (Double, Double) =
+    doc.dictGet(page, "MediaBox") match {
+      case PArr(Vector(PNum(x0), PNum(y0), PNum(x1), PNum(y1))) => (x1 - x0, y1 - y0)
+      case _ => (612.0, 792.0) // US Letter default
+    }
+
+  private def contentBytes(doc: Doc, page: PDict): Array[Byte] =
+    doc.dictGet(page, "Contents") match {
+      case PStream(d, raw) => decode(doc, d, raw)
+      case PArr(parts) =>
+        val out = new java.io.ByteArrayOutputStream()
+        parts.foreach { p =>
+          doc.resolve(p) match {
+            case PStream(d, raw) => out.write(decode(doc, d, raw)); out.write('\n')
+            case _               =>
+          }
+        }
+        out.toByteArray
+      case _ => Array.emptyByteArray
+    }
+
+  private def decode(doc: Doc, d: PDict, raw: Array[Byte]): Array[Byte] =
+    doc.dictGet(d, "Filter") match {
+      case PName("FlateDecode") => inflate(raw)
+      case PArr(fs) if fs.exists(f => doc.resolve(f) == PName("FlateDecode")) => inflate(raw)
+      case _ => raw
+    }
+
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && !inf.finished()) return out.toByteArray
+        out.write(buf, 0, k)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => out.toByteArray
+    } finally inf.end()
+  }
+
+  private def countImages(doc: Doc, page: PDict): Int =
+    doc.dictGet(page, "Resources") match {
+      case r: PDict =>
+        doc.dictGet(r, "XObject") match {
+          case x: PDict =>
+            x.v.values.count { v =>
+              doc.resolve(v) match {
+                case PStream(d, _) => doc.dictGet(d, "Subtype") == PName("Image")
+                case _             => false
+              }
+            }
+          case _ => 0
+        }
+      case _ => 0
+    }
+
+  // ----- content stream interpreter ---------------------------------------
+  /** Executes text operators; emits runs in top-left coordinates. */
+  private final class ContentInterp(pageW: Double, pageH: Double) {
+    private var size = 12.0
+    private var font = ""
+    private var leading = 0.0
+    private var lineX, lineY = 0.0 // text line matrix origin (bottom-left space)
+    private var curX = 0.0
+
+    def run(content: Array[Byte]): Vector[TextRun] = {
+      val out = Vector.newBuilder[TextRun]
+      val lex = new Lexer(content, 0)
+      val stack = mutable.ArrayBuffer.empty[PV]
+      var i = 0
+      val n = content.length
+      def flushOperand(v: PV): Unit = stack += v
+
+      while (i < n) {
+        val c = content(i)
+        if (isWs(c)) i += 1
+        else if (c == '(' || c == '<' || c == '[' || c == '/' ||
+                 isDigit(c) || c == '+' || c == '-' || c == '.') {
+          lex.pos = i
+          flushOperand(lex.parseValue())
+          i = lex.pos
+        } else if (c == ']' || c == ')' || c == '>') { i += 1 } // stray delimiters
+        else {
+          // operator: letters + ' * "
+          val k0 = i
+          while (i < n && !isWs(content(i)) && !isDelim(content(i))) i += 1
+          if (i == k0) i += 1 // never stall on a stray byte
+          val op = new String(content, k0, i - k0, StandardCharsets.US_ASCII)
+          exec(op, stack, out)
+          stack.clear()
+        }
+      }
+      out.result()
+    }
+
+    private def num(v: PV): Double = v match { case PNum(d) => d; case _ => 0.0 }
+
+    private def exec(op: String, st: mutable.ArrayBuffer[PV], out: mutable.Builder[TextRun, Vector[TextRun]]): Unit =
+      op match {
+        case "BT" => lineX = 0; lineY = 0; curX = 0
+        case "ET" =>
+        case "Tf" =>
+          if (st.nonEmpty) size = num(st.last)
+          font = st.collectFirst { case PName(f) => f }.getOrElse(font)
+        case "TL" => if (st.nonEmpty) leading = num(st.last)
+        case "Td" =>
+          if (st.length >= 2) { lineX += num(st(st.length - 2)); lineY += num(st.last); curX = lineX }
+        case "TD" =>
+          if (st.length >= 2) {
+            lineX += num(st(st.length - 2)); lineY += num(st.last)
+            leading = -num(st.last); curX = lineX
+          }
+        case "Tm" =>
+          if (st.length >= 6) { lineX = num(st(st.length - 2)); lineY = num(st.last); curX = lineX }
+        case "T*" => lineY -= leading; curX = lineX
+        case "Tj" =>
+          st.lastOption.foreach { case PStr(s) => emit(s, out); case _ => }
+        case "'" =>
+          lineY -= leading; curX = lineX
+          st.lastOption.foreach { case PStr(s) => emit(s, out); case _ => }
+        case "TJ" =>
+          st.lastOption.foreach {
+            case PArr(items) =>
+              items.foreach {
+                case PStr(s) => emit(s, out)
+                case PNum(a) => curX -= a / 1000.0 * size
+                case _       =>
+              }
+            case _ =>
+          }
+        case _ => // graphics operators ignored
+      }
+
+    private def emit(sBytes: Array[Byte], out: mutable.Builder[TextRun, Vector[TextRun]]): Unit = {
+      // PDFDocEncoding ≈ Latin-1 for our fixture subset
+      val s = new String(sBytes, StandardCharsets.ISO_8859_1)
+      if (s.isEmpty) return
+      val w = s.length * CharWidthFactor * size
+      val base = pageH - lineY            // baseline in top-left coords
+      val yTop = base - size * 0.8        // ascent above baseline
+      out += TextRun(curX, yTop, w, size, size, font, s, base)
+      curX += w
+    }
+  }
+}

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators over a `documents(doc_id, text)`
+  * table — the training-data-pipeline layer (builder brief; no reference
+  * analogue: Project Lantern is single-corpus).
+  *
+  * Scale shape: every variant is candidate-generation (narrow or one
+  * shuffle on a short key) → bounded verify (equi-join on bucket keys,
+  * never a cross join). MinHash/LSH follows Broder (1997) / Leskovec-
+  * Rajaraman-Ullman ch.3; SimHash follows Charikar (2002).
+  */
+object Dedup {
+
+  /** Deterministic 64-bit string hash (FNV-1a) as a Catalyst-free constant
+    * across JVMs — used where we must agree with ourselves, not with any
+    * external system. */
+  def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — decorrelates per-permutation hashes. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Exact dedup: identical text collapses to the smallest id.
+    * One shuffle on the text hash; at 100 TB hash first (64-bit + length)
+    * so the shuffle carries 16 bytes/row, not the text. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("text_hash"), length(col(textCol)).as("text_len"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word k-shingles of a text, distinct, hashed to Long. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.length < k) {
+      if (words.isEmpty) Array.empty else Array(fnv1a(words.mkString(" ")))
+    } else {
+      val out = new java.util.HashSet[Long]()
+      var i = 0
+      while (i + k <= words.length) {
+        val sb = new java.lang.StringBuilder(32)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
+        out.add(fnv1a(sb.toString))
+        i += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator; var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      arr
+    }
+  }
+
+  /** MinHash signature: sig(j) = min over shingles of mix64(h ^ seed_j). */
+  def minhashSignature(text: String, numHashes: Int, k: Int): Array[Long] = {
+    val hs = shingleHashes(text, k)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      var j = 0
+      while (j < numHashes) {
+        val v = mix64(hs(i) ^ (j * 0xA24BAED4963EE407L))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** doc → (band, bandHash) LSH keys from a MinHash signature. */
+  def lshBandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
+      h
+    }
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle → minhash → band → bucket join →
+    * exact-Jaccard verify. Output: (id_a, id_b, jaccard) with id_a < id_b
+    * and jaccard ≥ threshold.
+    *
+    * Shuffles: one on band keys (16 bytes + id per row × bands), one
+    * self-join per bucket (bounded by bucket size), one distinct. The
+    * verify recomputes true shingle-set Jaccard — candidates only. */
+  def minhashLsh(docs: DataFrame, threshold: Double, numHashes: Int = 64,
+      bands: Int = 16, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigUdf = udf((text: String) =>
+      lshBandKeys(minhashSignature(if (text == null) "" else text, numHashes, shingleK), bands))
+    val keyed = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("band_key", explode(sigUdf(col("t"))))
+    val a = keyed.select(col("band_key"), col("id").as("id_a"), col("t").as("ta"))
+    val b = keyed.select(col("band_key"), col("id").as("id_b"), col("t").as("tb"))
+    val cands = a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ta"), col("tb"))
+      .dropDuplicates("id_a", "id_b")
+    val jacUdf = udf((x: String, y: String) => jaccard(x, y, shingleK))
+    cands.withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact shingle-set Jaccard (the verify stage). */
+  def jaccard(a: String, b: String, k: Int): Double = {
+    val sa = shingleHashes(if (a == null) "" else a, k).toSet
+    val sb = shingleHashes(if (b == null) "" else b, k).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** 64-bit SimHash (Charikar 2002) over word tokens. */
+  def simhash(text: String): Long = {
+    val votes = new Array[Int](64)
+    val words = (if (text == null) "" else text).split("\\s+")
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val h = fnv1a(words(i))
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs within Hamming distance maxHamming, using the
+    * 4×16-bit chunk pigeonhole: pairs within distance ≤ 3 share at least
+    * one exact 16-bit chunk → equi-join on (chunk_idx, chunk_value). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole covers hamming <= 3")
+    val shUdf = udf((t: String) => simhash(t))
+    val sigs = docs.select(col(idCol).as("id"), shUdf(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"), shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
+      .select(col("id"), col("sig"), col("ch.ci"), col("ch.cv"))
+    val a = chunked.select(col("ci"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("ci"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** N-gram (word) Jaccard near-dup pairs with candidates bounded by a
+    * blocking column (e.g. source bucket) — the composable exact variant. */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val a = docs.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(textCol).as("ta"))
+    val b = docs.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(textCol).as("tb"))
+    val jacUdf = udf((x: String, y: String) => jaccard(x, y, k))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query side, scan the
+  * corpus once — correct at any scale, O(corpus × queries)). Scale path:
+  * random-hyperplane LSH (Charikar 2002) — bucket join shrinks candidates
+  * by ~2^bits, then exact re-rank inside buckets.
+  *
+  * Cosine is pure Catalyst (`zip_with` + `aggregate`) — whole-stage
+  * codegen, no UDF in the hot path.
+  */
+object Similarity {
+
+  /** cos(a, b) as a Column over two array<float/double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `corpus(vec_id, embedding)`, `queries(vec_id, embedding)`.
+    * Rank is deterministic: (rounded cosine desc, neighbor id asc). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic random hyperplanes: plane(p)(d) from splitmix64. */
+  def hyperplane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      // map to (-1, 1) uniformly
+      Dedup.mix64((p.toLong << 32) ^ d.toLong ^ 0x51AB5EEDL).toDouble / Long.MaxValue
+    }
+
+  /** Sign-bucket signature column: bit p = sign(v · plane_p). */
+  def lshBucket(v: Column, dim: Int, bits: Int): Column = {
+    val terms = (0 until bits).map { p =>
+      val plane = hyperplane(p, dim)
+      val dot = aggregate(
+        zip_with(v, typedLit(plane.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: join on bucket, exact re-rank inside.
+    * Recall < 1 by construction; the candidate set per query shrinks by
+    * ~2^bits. Multi-probe: also join buckets at Hamming distance 1 when
+    * `probe1` (flip each bit once) to trade compute for recall. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      bits: Int = 8, probe1: Boolean = true): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), dim, bits))
+    val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("bucket0", lshBucket(col("qv"), dim, bits))
+    val probes =
+      if (!probe1) array(col("bucket0"))
+      else array((col("bucket0") +: (0 until bits).map(b =>
+        col("bucket0").bitwiseXOR(lit(1L << b)))): _*)
+    val q = qBase.withColumn("bucket", explode(probes)).drop("bucket0")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold, blocked by an
+    * LSH bucket (the embedding analogue of Dedup.minhashLsh). */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 6): DataFrame = {
+    val e = embeddings.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, bits))
+    val a = e.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

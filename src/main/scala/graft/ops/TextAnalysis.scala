@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * Catalyst where possible (codegen); the fingerprint is a typed function
+  * (rolling hash has no built-in).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the WET convention). */
+  def tokensCol(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count estimate: alpha runs, digit runs, and symbol
+    * clusters each count as one token (a cheap deterministic proxy for
+    * tokenizer load; match-based so it stays RE2-expressible). */
+  val SubtokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_words", size(tokensCol(col(textCol))).cast("long"))
+      .withColumn("n_subtokens",
+        size(regexp_extract_all(col(textCol), lit(SubtokenPattern), lit(0))).cast("long"))
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"))
+
+  /** Quality features + a composite score in [0,1]: length band, mean word
+    * length band, stopword presence, alpha ratio (Gopher/C4-style rules). */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val nTok = size(toks).cast("double")
+    val meanLen = length(col(textCol)).cast("double") / nTok
+    val stopRatio = size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double") / nTok
+    val alphaRatio =
+      (length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(col(textCol)).cast("double"), lit(1.0)))
+    docs
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_word_len", round(meanLen, 4))
+      .withColumn("stopword_ratio", round(stopRatio, 4))
+      .withColumn("alpha_ratio", round(alphaRatio, 4))
+      .withColumn("quality_score", round(
+        (when(nTok.between(5, 100000), 0.25).otherwise(0.0)) +
+        (when(meanLen.between(2.0, 12.0), 0.25).otherwise(0.0)) +
+        (when(stopRatio > 0.0, 0.25).otherwise(0.0)) +
+        (when(alphaRatio > 0.5, 0.25).otherwise(0.0)), 2))
+  }
+
+  /** N-gram-profile language ID: score = stopword-set overlap per language,
+    * argmax with deterministic tie-break on language code. Pure Catalyst
+    * (array_intersect over split tokens). */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = array_distinct(tokensCol(lower(col(textCol))))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, typedLit(words))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax: sort by (hits desc, lang asc) via array_sort on negated hits
+    val best = array_sort(array(scored: _*),
+      (l, r) => when(l.getField("hits") > r.getField("hits"), -1)
+        .when(l.getField("hits") < r.getField("hits"), 1)
+        .otherwise(when(l.getField("lang") < r.getField("lang"), -1)
+          .when(l.getField("lang") > r.getField("lang"), 1).otherwise(0)))
+    docs.withColumn("pred_lang",
+      when(element_at(best, 1).getField("hits") > 0,
+        element_at(best, 1).getField("lang")).otherwise(lit("und")))
+      .withColumn("lang_hits", element_at(best, 1).getField("hits").cast("long"))
+  }
+
+  /** Rolling polynomial fingerprint over word tokens (Karp-Rabin family):
+    * order-sensitive, whitespace-normalized — unlike a raw content hash it
+    * is stable under re-serialization of the same token stream. */
+  def fingerprint64(text: String): Long = {
+    var h = 0L
+    val words = (if (text == null) "" else text).split("\\s+")
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) h = h * 0x100000001b3L + Dedup.fnv1a(words(i))
+      i += 1
+    }
+    h
+  }
+
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val fp = udf((t: String) => fingerprint64(t))
+    docs.withColumn("fingerprint", fp(col(textCol)))
+  }
+}

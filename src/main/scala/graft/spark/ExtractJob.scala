@@ -1,0 +1,148 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The Spark-native extraction pipeline (SURVEY §3 E1 re-expressed).
+  *
+  * Shape: `pages` scan → salted repartition on url-host (skew defense,
+  * SURVEY §4.3) → one narrow typed `mapPartitions` running the whole
+  * parse/classify stack on executors (zero further shuffle) → window for
+  * section carry-forward → argmax for best table per page → lineage
+  * counters folded from the same pass.
+  *
+  * The CPU-heavy work is entirely inside the map; the only shuffles are
+  * (a) the explicit salt repartition and (b) the provenance window on
+  * `url`. At 100 TB the parse stage scales linearly with executors; the
+  * window shuffles only the (small) block inventory, never the raw bytes.
+  */
+object ExtractJob {
+
+  /** Lean output row — the 100-TB hot path (no nested trees encoded).
+    * `partitionId`/`elapsedMs` feed the lineage fold without a second
+    * extraction pass; `warcTs` is epoch millis of the fetch. */
+  final case class ExtractedText(
+      url: String,
+      text: String,
+      nPages: Int,
+      extractor: String,
+      usedFallback: Boolean,
+      nBlocks: Int,
+      nTables: Int,
+      nImages: Int,
+      bytesIn: Long,
+      warcTs: Long,
+      partitionId: Int,
+      elapsedMs: Long)
+
+  /** Number of salt buckets for the mega-host spread. At 1000 executors
+    * this bounds any single host's share of one task to 1/S of its rows. */
+  val SaltBuckets = 64
+
+  private def pageEnc(spark: SparkSession): Encoder[PageRow] = {
+    import spark.implicits._
+    implicitly[Encoder[PageRow]]
+  }
+
+  /** Salted repartition keyed on (host, salt): spreads a mega-host over
+    * SaltBuckets tasks while keeping co-host locality for everything else.
+    * `parse_url` is Catalyst-native — stays in codegen.
+    *
+    * Use ONLY when the input store is host-clustered (e.g. an Iceberg table
+    * sorted by url): it moves the raw page bytes through a shuffle, which
+    * is the single most expensive thing a 100-TB job can do. When input
+    * splits are already size-balanced (Parquet row groups usually are),
+    * the parse stage is narrow and needs no repartition at all — that is
+    * the default hot path (`salted = false`). */
+  def saltRepartition(pages: DataFrame, partitions: Int): DataFrame =
+    pages.repartition(partitions,
+      parse_url(col("url"), lit("HOST")),
+      pmod(xxhash64(col("url")), lit(SaltBuckets)))
+
+  /** Full extraction to the lean schema, one narrow pass (zero shuffle
+    * unless `salted`). */
+  def extractTexts(spark: SparkSession, pages: DataFrame, partitions: Int = 0,
+      salted: Boolean = false): Dataset[ExtractedText] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val in = if (salted) saltRepartition(pages, parts) else pages
+    in.as[PageRow](pageEnc(spark))
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val t0 = System.nanoTime()
+        it.map { row =>
+          val d = Extractor.extract(row)
+          ExtractedText(d.url, d.text, d.nPages, d.extractor, d.usedFallback,
+            d.blocks.length, d.tables.length, d.images.length,
+            if (row.html == null) 0L else row.html.length.toLong,
+            if (row.warc_ts == null) 0L else row.warc_ts.getTime,
+            pid, (System.nanoTime() - t0) / 1000000L)
+        }
+      }
+  }
+
+  /** Per-partition lineage rows (SURVEY §4.4) folded from an extraction
+    * pass — `elapsedMs` is monotone per partition so max = total time. */
+  def lineage(extracted: Dataset[ExtractedText], runId: String, snapshotId: Long): DataFrame =
+    extracted.groupBy(col("partitionId").as("partition_id"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(when(col("extractor") === "html", 1L).otherwise(0L)).as("html_count"),
+        sum(when(col("extractor").startsWith("pdf"), 1L).otherwise(0L)).as("pdf_count"),
+        sum(when(col("usedFallback"), 1L).otherwise(0L)).as("fallback_count"),
+        sum(col("nTables")).as("table_count"),
+        sum(col("bytesIn")).as("bytes_in"),
+        max(col("elapsedMs")).as("extract_ms"),
+        min(col("warcTs")).as("warc_ts_min"),
+        max(col("warcTs")).as("warc_ts_max"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("snapshot_id", lit(snapshotId))
+
+  /** Full extraction with the complete block/table/image trees (for
+    * provenance, metrics, and table sinks). Narrow by default, like
+    * [[extractTexts]]. */
+  def extractDocs(spark: SparkSession, pages: DataFrame, partitions: Int = 0,
+      salted: Boolean = false): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val in = if (salted) saltRepartition(pages, parts) else pages
+    in.as[PageRow](pageEnc(spark))
+      .mapPartitions(_.map(Extractor.extract))
+  }
+
+  /** Provenance records with the W1 running-section label
+    * (text_extractor_all.py:287-291): last title/heading carried forward in
+    * document order, "UNLABELED" before the first one. The window
+    * partitions by url — blocks of one document always colocate. */
+  def provenance(docs: Dataset[ExtractedDoc]): DataFrame = {
+    val flat = docs.select(col("url"), explode(col("blocks")).as("b"))
+      .select(col("url"), col("b.page").as("page"), col("b.idx").as("idx"),
+        col("b.kind").as("block_type"), col("b.text").as("text"),
+        col("b.x0"), col("b.y0"), col("b.x1"), col("b.y1"))
+    val w = Window.partitionBy(col("url")).orderBy(col("page"), col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flat.withColumn("section",
+      coalesce(
+        last(when(col("block_type").isin(BlockKind.Title, BlockKind.Heading), col("text")),
+          ignoreNulls = true).over(w),
+        lit("UNLABELED")))
+  }
+
+  /** Best table per (url, page): the reference's argmax with Python-max
+    * tie-break parity (first max in candidate order wins —
+    * text_extractor_all.py:209-216; SURVEY A2). */
+  def bestTables(docs: Dataset[ExtractedDoc]): DataFrame = {
+    val cands = docs.select(col("url"), explode(col("tables")).as("t"))
+      .select(col("url"), col("t.page").as("page"), col("t.cand").as("cand"),
+        col("t.method").as("method"), col("t.methodRank").as("method_rank"),
+        col("t.rows").as("rows"), col("t.cols").as("cols"),
+        col("t.score").as("score"), col("t.cells").as("cells"))
+      .filter(col("score") > 0) // reference keeps only scored tables
+    val w = Window.partitionBy(col("url"), col("page"))
+      .orderBy(col("score").desc, col("method_rank"), col("cand"))
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

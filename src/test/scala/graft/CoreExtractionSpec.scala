@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.gen.FixtureGen
+import java.nio.charset.StandardCharsets
+
+/** Golden byte-identity + operator unit tests for the extraction core.
+  * These are the strict analogue of the reference's WER/CER threshold gates
+  * (/root/reference/tests/error_test.py) per SURVEY §5.2: equality, not
+  * tolerance. */
+class CoreExtractionSpec extends AnyFunSuite {
+
+  test("golden byte-identity across the mixed fixture corpus (400 docs)") {
+    var html = 0; var pdf = 0; var fb = 0; var empty = 0
+    FixtureGen.fixtures(400).zipWithIndex.foreach { case (f, i) =>
+      val doc = Extractor.extract(f.row)
+      val got = doc.text.getBytes(StandardCharsets.UTF_8)
+      val want = f.golden.getBytes(StandardCharsets.UTF_8)
+      assert(java.util.Arrays.equals(got, want),
+        s"fixture $i (${doc.extractor}) url=${f.row.url}\n--- got ---\n${doc.text}\n--- want ---\n${f.golden}")
+      doc.extractor match {
+        case "html"                   => html += 1
+        case "pdf"                    => pdf += 1
+        case "provided_text" | "pdf+fallback" => fb += 1
+        case "empty"                  => empty += 1
+      }
+    }
+    assert(html > 100, s"html=$html"); assert(pdf > 40, s"pdf=$pdf")
+    assert(fb > 10, s"fallback=$fb"); assert(empty > 5, s"empty=$empty")
+  }
+
+  test("extraction is deterministic (same input → same bytes)") {
+    val f = FixtureGen.fixture(7)
+    val a = Extractor.extract(f.row)
+    val b = Extractor.extract(f.row)
+    assert(a == b)
+  }
+
+  test("UTF-8 BOM is stripped (utf-8-sig analogue)") {
+    val html = "<html><body><h1>Héllo</h1></body></html>"
+    val withBom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      html.getBytes(StandardCharsets.UTF_8)
+    val r = HtmlExtractor.extract(withBom)
+    assert(r.blocks.map(_.text) == Vector("Héllo"))
+  }
+
+  test("entities decode; whitespace collapses; script/style dropped") {
+    val html = """<html><head><style>p{}</style><script>if(1<2){}</script></head>
+      |<body><p>AT&amp;T &lt;3   &#x41;&#66;
+      |ok&nbsp;&mdash;end</p></body></html>""".stripMargin
+    val r = HtmlExtractor.extract(html)
+    assert(r.blocks.map(_.text) == Vector("AT&T <3 AB ok —end"))
+  }
+
+  test("boilerplate classification: nav/header/footer/aside/link-density") {
+    val html =
+      """<body><header><p>Chrome top</p></header>
+        |<nav><a href="/">Home</a> <a href="/x">X</a></nav>
+        |<h1>Title here</h1>
+        |<p>A real paragraph with enough words to count as content.</p>
+        |<div><a href="/a">only</a> <a href="/b">links</a> <a href="/c">inside</a></div>
+        |<aside>side content</aside>
+        |<footer>copyright</footer></body>""".stripMargin
+    val r = HtmlExtractor.extract(html)
+    val kinds = r.blocks.map(b => b.kind -> b.text)
+    assert(kinds.contains(BlockKind.Header -> "Chrome top"))
+    assert(kinds.contains(BlockKind.Header -> "Home X"))
+    assert(kinds.contains(BlockKind.Title -> "Title here"))
+    assert(kinds.exists { case (k, t) => k == BlockKind.Paragraph && t.startsWith("A real") })
+    assert(kinds.contains(BlockKind.Boilerplate -> "only links inside"))
+    assert(kinds.contains(BlockKind.Boilerplate -> "side content"))
+    assert(kinds.contains(BlockKind.Footer -> "copyright"))
+    assert(TextAssembly.assemble(r.blocks) ==
+      "Title here\nA real paragraph with enough words to count as content.")
+  }
+
+  test("html table → two scored candidates; grid cells exact") {
+    val html =
+      """<body><table>
+        |<tr><th>Item</th><th>FY24</th></tr>
+        |<tr><td>rev</td><td>1,234</td></tr>
+        |<tr><td>cost</td><td>(56)</td></tr>
+        |</table></body>""".stripMargin
+    val r = HtmlExtractor.extract(html)
+    assert(r.tables.length == 2)
+    val grid = r.tables.find(_.method == "grid").get
+    assert(grid.rows == 3 && grid.cols == 2)
+    assert(grid.cells.find(c => c.r == 1 && c.c == 1).get.v == "1,234")
+    // score: 3*0.1 + 2*0.2 + 2*(1/6) — one numeric cell of six
+    assert(math.abs(grid.score - (0.3 + 0.4 + 2.0 / 6)) < 1e-9)
+  }
+
+  test("score_table ports the reference arithmetic incl. -1 sentinels") {
+    assert(TableScore.score(Seq(Seq("a", "b"), Seq("c", "d"))) == -1.0) // rows<3
+    assert(TableScore.score(Seq(Seq("a"), Seq("b"), Seq("c"))) == -1.0) // cols<2
+    assert(TableScore.isNumericCell("1,234.56"))
+    assert(TableScore.isNumericCell("42"))
+    assert(!TableScore.isNumericCell("$42"))
+    assert(!TableScore.isNumericCell("(42)"))
+    assert(!TableScore.isNumericCell(""))
+    val g = Seq(Seq("x", "1"), Seq("y", "2"), Seq("z", "3"))
+    assert(math.abs(TableScore.score(g) - (0.3 + 0.4 + 2 * 0.5)) < 1e-9)
+  }
+
+  test("classifier thresholds at exact boundaries (1.5x / 1.2x / bands)") {
+    // within-block max-vs-avg rule, exactly at threshold → fires (>=)
+    def pdfWith(sizes: Seq[Double], y: Double = 400): String = {
+      val spans = sizes.map(s => s"/F1 $s Tf (ab) Tj ").mkString
+      s"BT 50 $y Td $spans ET"
+    }
+    def kinds(content: String): Vector[String] = {
+      val bytes = FixtureGen.buildPdf(Vector(content), compress = false)
+      PdfLayout.layout(PdfParser.parse(bytes)).blocks.map(_.kind)
+    }
+    // sizes {18,12,12}: avg=14, 1.5*14=21>18; 1.2*14=16.8<=18 → heading
+    assert(kinds(pdfWith(Seq(18, 12, 12))) == Vector(BlockKind.Heading))
+    // sizes {21,12,12}: avg=15, 1.5*15=22.5>21 → heading; {24,12,12}: avg=16, 24>=24 → title
+    assert(kinds(pdfWith(Seq(24, 12, 12))) == Vector(BlockKind.Title))
+    // uniform sizes → paragraph (max==avg)
+    assert(kinds(pdfWith(Seq(12, 12, 12))) == Vector(BlockKind.Paragraph))
+    // header band: y1 < 79.2 (top-left) → baseline near top of the page
+    assert(kinds(pdfWith(Seq(12, 12, 12), y = 740)) == Vector(BlockKind.Header))
+    // footer band: y0 > 712.8 → baseline near bottom
+    assert(kinds(pdfWith(Seq(12, 12, 12), y = 40)) == Vector(BlockKind.Footer))
+  }
+
+  test("pdf: two-column reading order via XY-cut") {
+    val content =
+      """BT /F1 12 Tf 50 600 Td 14 TL (left one) Tj T* (left two) Tj ET
+        |BT /F1 12 Tf 400 600 Td 14 TL (right one) Tj T* (right two) Tj ET""".stripMargin
+    val bytes = FixtureGen.buildPdf(Vector(content), compress = false)
+    val blocks = PdfLayout.layout(PdfParser.parse(bytes)).blocks
+    assert(blocks.map(_.text) == Vector("left one left two", "right one right two"))
+  }
+
+  test("pdf: FlateDecode streams parse identically to raw") {
+    val content = "BT /F1 12 Tf 50 600 Td (compressed text) Tj ET"
+    val raw = FixtureGen.buildPdf(Vector(content), compress = false)
+    val zip = FixtureGen.buildPdf(Vector(content), compress = true)
+    assert(PdfParser.parse(raw).head.runs == PdfParser.parse(zip).head.runs)
+  }
+
+  test("pdf: TJ kerning, Tm, quote operator, escapes") {
+    val content =
+      """BT /F1 10 Tf 1 0 0 1 50 500 Tm [(a) -100 (b)] TJ ET
+        |BT /F1 10 Tf 50 480 Td 12 TL (line\(1\)) Tj (next) ' ET""".stripMargin
+    val bytes = FixtureGen.buildPdf(Vector(content), compress = false)
+    val runs = PdfParser.parse(bytes).head.runs
+    assert(runs.map(_.text) == Vector("a", "b", "line(1)", "next"))
+    // kerning: -100/1000*10 = +1.0 gap beyond advance of "a" (0.5*10*1=5)
+    assert(math.abs(runs(1).x - (50 + 5 + 1.0)) < 1e-9)
+    // ' = T* then show: baseline drops by TL=12
+    assert(math.abs(runs(3).base - (runs(2).base + 12)) < 1e-9)
+  }
+
+  test("fallback chain: empty-text pdf routes to provided text") {
+    val row = PageRow("u", new java.sql.Timestamp(0), FixtureGen.emptyPdf(), "wet line one\nwet line two", "en")
+    val doc = Extractor.extract(row)
+    assert(doc.extractor == "pdf+fallback" && doc.usedFallback)
+    assert(doc.text == "wet line one\nwet line two")
+    val empty = Extractor.extract(PageRow("u", new java.sql.Timestamp(0), Array.emptyByteArray, "", "en"))
+    assert(empty.extractor == "empty" && empty.text == "")
+  }
+
+  test("argmax tie-break parity: first-max-wins in candidate order") {
+    // equal scores → methodRank decides (stream before lattice), like
+    // Python max() keeping the first maximal element
+    val f = FixtureGen.fixtures(300).find { fx =>
+      val d = Extractor.extract(fx.row)
+      d.tables.nonEmpty
+    }.get
+    val d = Extractor.extract(f.row)
+    val best = d.tables.groupBy(t => (t.page, t.x0, t.y0)).map { case (_, cands) =>
+      cands.minBy(c => (-c.score, c.methodRank, c.cand))
+    }
+    assert(best.nonEmpty)
+  }
+}

