@@ -18,9 +18,10 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the extraction pipeline itself (pages → parse → text
+    * surface). Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("x_extract_text")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------------
   // Relational queries (SURVEY §2.2–§2.7 operator inventory, re-expressed
@@ -319,8 +320,30 @@ object SparkEntry {
         col("height"), col("nFrames").as("n_frames"), col("out_w"), col("out_h"))
   }
 
+  /** E3: numeric cross-verification — facts derived from the extracted
+    * best-table cells (every 3rd cell, some scaled ×1000 to exercise the
+    * scale search), then matched back by the banded theta join. Every
+    * derived fact must come back EXACT; the scaled ones prove the scale
+    * factor path. */
+  private def xValidate(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4))
+    val best = graft.spark.ExtractJob.bestTables(docs)
+    val cells = best.select(col("url"), col("page"), explode(col("cells")).as("c"))
+      .select(col("url"), col("page"), col("c.r").as("r"), col("c.c").as("c"), col("c.v").as("v"))
+    val parse = udf((v: String) => graft.core.TextMetrics.parseNumeric(v))
+    val facts = cells.withColumn("value0", parse(col("v")))
+      .filter(col("value0").isNotNull && (col("r") + col("c")) % 3 === 0)
+      .withColumn("scale", when(col("r") % 2 === 0, lit(1.0)).otherwise(lit(1000.0)))
+      .select(col("url"),
+        concat(lit("fact_r"), col("r"), lit("_c"), col("c")).as("concept"),
+        (col("value0") * col("scale")).as("value"))
+    graft.spark.ValidateJob.qualityCounts(
+      graft.spark.ValidateJob.matches(s, cells, facts))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_extract_text"  -> xExtractText _,
+    "x_validate"      -> xValidate _,
     "x_provenance"    -> xProvenance _,
     "x_best_tables"   -> xBestTables _,
     "x_metrics_wer"   -> xMetrics _,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan quality gates (builder brief: ".explain the plan and
+  * iterate until it's the plan you'd want"). These keep plan regressions
+  * out: filters must reach the parquet scan, projections must prune the
+  * read schema, small sides must broadcast, the extraction hot path must
+  * stay shuffle-free, and the banded theta join must plan as a hash join —
+  * never a cartesian/nested-loop.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame, mode: String = "formatted"): String =
+    df.queryExecution.explainString(ExplainMode.fromString(mode))
+
+  test("q1: filter pushed to parquet scan + read schema pruned + codegen") {
+    val p = plan(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // only the 6 referenced columns are read, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"), readSchema)
+    // codegen visibility needs codegen mode (AQE hides it in formatted)
+    val cg = plan(SparkEntry.queries("q1_pricing_summary")(spark, sf), "codegen")
+    assert(cg.contains("WholeStageCodegen"), "aggregation should be codegen'd")
+  }
+
+  test("q3: dimension side broadcasts (no shuffle join on the small side)") {
+    val p = plan(SparkEntry.queries("q3_top_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("theta-band join plans as hash join, never cartesian") {
+    val p = plan(SparkEntry.queries("q_theta_band")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("extraction hot path has zero Exchange (narrow scan→parse)") {
+    val pages = graft.gen.PagesTable.pagesDF(spark, 100)
+    val p = plan(graft.spark.ExtractJob.extractTexts(spark, pages).toDF(), "simple")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("provenance has exactly one shuffle (the url window)") {
+    val pages = graft.gen.PagesTable.pagesDF(spark, 50)
+    val docs = graft.spark.ExtractJob.extractDocs(spark, pages)
+    val p = plan(graft.spark.ExtractJob.provenance(docs), "simple")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
+  }
+
+  test("ann cosine is pure Catalyst (no ScalaUDF in the plan)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.bruteForceTopK(e, e.limit(2), 3), "simple")
+    assert(!p.toLowerCase.contains("scalaudf"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("exact dedup shuffles only hash+length, not the text") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Dedup.exact(d), "formatted")
+    // the shuffled row must be (text_hash, text_len, partials) — never text
+    val inputLine = p.linesIterator.toVector
+      .dropWhile(l => !l.matches("\\(\\d+\\) Exchange.*"))
+      .find(_.trim.startsWith("Input"))
+      .getOrElse(fail(s"no Exchange Input line in\n${p.take(1500)}"))
+    // grouping keys surface as _groupingexpression; partials as min/count.
+    // What matters: the raw text column never crosses the wire.
+    assert(inputLine.contains("min#") && inputLine.contains("count#"), inputLine)
+    assert(!inputLine.contains("text#"), inputLine)
+  }
+}
