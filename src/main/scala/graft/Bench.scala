@@ -53,11 +53,15 @@ object Bench {
     } finally spark.stop()
   }
 
-  /** Child-JVM phase: measure extraction throughput, print a marker line. */
+  /** Child-JVM phase: measure extraction throughput AND the pure-ALU
+    * control with the same thread count in the same host time window —
+    * the sandbox's CPU share drifts over minutes, so control and workload
+    * must be sampled together to normalize fairly. */
   private def extractPhase(cores: Int, pagesDir: String, reps: Int): Unit = {
     val spark = session(cores)
     try {
       var best = 0.0
+      var bestCtl = 0.0
       var r = 0
       while (r < reps) {
         val t0 = System.nanoTime()
@@ -66,14 +70,17 @@ object Bench {
           .count()
         val thr = n / ((System.nanoTime() - t0) / 1e9)
         if (thr > best) best = thr
+        val ctl = cpuControl(cores)
+        if (ctl > bestCtl) bestCtl = ctl
         r += 1
       }
-      println(f"GRAFT_THR $best%.1f")
+      println(f"GRAFT_THR $best%.1f GRAFT_CTL $bestCtl%.3f")
     } finally spark.stop()
   }
 
-  /** Spawn a child JVM for one parallelism level; returns docs/s. */
-  private def spawnPhase(cores: Int, pagesDir: String, reps: Int): Double = {
+  /** Spawn a child JVM for one parallelism level; returns
+    * (extraction docs/s, control Gop/s) sampled in the same window. */
+  private def spawnPhase(cores: Int, pagesDir: String, reps: Int): (Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala
@@ -90,8 +97,10 @@ object Bench {
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
     out.linesIterator.collectFirst {
-      case l if l.startsWith("GRAFT_THR ") => l.stripPrefix("GRAFT_THR ").toDouble
-    }.getOrElse(0.0)
+      case l if l.startsWith("GRAFT_THR ") =>
+        val parts = l.split(" ")
+        (parts(1).toDouble, parts(3).toDouble)
+    }.getOrElse((0.0, 0.0))
   }
 
   /** Pure-ALU control: how well does THIS BOX scale threads at all?
@@ -144,15 +153,24 @@ object Bench {
     }
     spark.stop()
 
-    // 2. extraction scaling: same parquet input, N vs 4N cores, one JVM each
+    // 2. extraction scaling: same parquet input, N vs 4N cores, one JVM
+    // each, ALTERNATED (A/B/A/B) because the sandbox's host CPU share
+    // drifts over minutes — each child also samples the pure-ALU control
+    // in its own window for fair normalization.
     ensurePages(pagesDir, benchDocs, sizeBoost)
-    val thrLow = spawnPhase(lowCores, pagesDir, reps)
-    val thrHigh = spawnPhase(lowCores * 4, pagesDir, reps)
+    var thrLow = 0.0; var ctlLow = 0.0
+    var thrHigh = 0.0; var ctlHigh = 0.0
+    var round = 0
+    while (round < 2) {
+      val (tl, cl) = spawnPhase(lowCores, pagesDir, reps)
+      if (tl > thrLow) thrLow = tl
+      if (cl > ctlLow) ctlLow = cl
+      val (th, ch) = spawnPhase(lowCores * 4, pagesDir, reps)
+      if (th > thrHigh) thrHigh = th
+      if (ch > ctlHigh) ctlHigh = ch
+      round += 1
+    }
     val efficiency = if (thrLow > 0) thrHigh / thrLow / 4.0 else 0.0
-
-    // 3. hardware control: best-of-2 per level (thermal/share noise)
-    val ctlLow = math.max(cpuControl(lowCores), cpuControl(lowCores))
-    val ctlHigh = math.max(cpuControl(lowCores * 4), cpuControl(lowCores * 4))
     val ctlEff = if (ctlLow > 0) ctlHigh / ctlLow / 4.0 else 0.0
     val normalized = if (ctlEff > 0) efficiency / ctlEff else 0.0
 

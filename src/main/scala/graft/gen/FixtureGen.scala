@@ -178,11 +178,20 @@ object FixtureGen {
 
   // ----- PDF family ----------------------------------------------------------
 
-  /** Build a small spec-valid PDF. Geometry contract: glyph advance =
-    * 0.5·size per char (PdfParser.CharWidthFactor); page 612×792. */
+  /** Build a small spec-valid PDF — 1 to 3 pages (multi-page exercises
+    * page ordinals, per-page header/footer bands, and cross-page text
+    * assembly). Geometry contract: glyph advance = 0.5·size per char
+    * (PdfParser.CharWidthFactor); page 612×792. */
   def pdfDoc(h: Long): (Array[Byte], String) = {
+    val nPages = 1 + pick(mix(h, 35), 3)
+    val parts = (0 until nPages).map(p => pdfPage(mix(h, 400 + p)))
+    (buildPdf(parts.map(_._1).toVector, compress = pick(mix(h, 34), 2) == 0),
+      parts.map(_._2).filter(_.nonEmpty).mkString("\n"))
+  }
+
+  /** One page of content-stream ops + its golden text. */
+  private def pdfPage(h: Long): (String, String) = {
     val golden = Vector.newBuilder[String]
-    val W = 612.0; val H = 792.0
     val c = new StringBuilder(2048)
     // header band (dropped): y1(top-left) must be < 79.2 → baseline near top
     c ++= "BT /F1 9 Tf 50 742 Td (BigCorp Annual Report) Tj ET\n"
@@ -237,8 +246,7 @@ object FixtureGen {
     }
     // footer band (dropped): y0(top-left) > 712.8 → baseline below 72
     c ++= "BT /F1 9 Tf 50 40 Td (Page 1 of 1 - BigCorp Confidential) Tj ET\n"
-    (buildPdf(Vector(c.toString), compress = pick(mix(h, 34), 2) == 0),
-      golden.result().mkString("\n"))
+    (c.toString, golden.result().mkString("\n"))
   }
 
   /** A PDF whose single page has no text operators at all. */

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.gen.FixtureGen
+
+/** Adversarial-input hardening: a 10^12-document crawl WILL contain every
+  * malformed byte sequence imaginable; the extractor must never throw and
+  * must stay deterministic (SURVEY §5.2 property tests). Deterministic
+  * splitmix-driven generators — same corpus every run, no flaky seeds. */
+class FuzzSpec extends AnyFunSuite {
+
+  private def row(bytes: Array[Byte], text: String = ""): PageRow =
+    PageRow("https://fuzz.example/x", new java.sql.Timestamp(0), bytes, text, "en")
+
+  private def randBytes(seed: Long, len: Int): Array[Byte] =
+    Array.tabulate(len)(i => (FixtureGen.mix(seed, i.toLong) & 0xFF).toByte)
+
+  test("random bytes never crash and extraction is deterministic") {
+    for (s <- 0 until 200) {
+      val len = (FixtureGen.mix(77L, s.toLong).abs % 4096).toInt
+      val bytes = randBytes(s.toLong, len)
+      val a = Extractor.extract(row(bytes))
+      val b = Extractor.extract(row(bytes))
+      assert(a == b, s"seed $s")
+    }
+  }
+
+  test("random bytes with PDF magic never crash the PDF parser") {
+    for (s <- 0 until 200) {
+      val len = (FixtureGen.mix(99L, s.toLong).abs % 2048).toInt
+      val bytes = "%PDF-1.4\n".getBytes ++ randBytes(1000L + s, len)
+      val d = Extractor.extract(row(bytes, text = "fallback line"))
+      assert(d.extractor == "pdf" || d.extractor == "pdf+fallback", s"seed $s → ${d.extractor}")
+    }
+  }
+
+  test("truncated valid payloads never crash") {
+    val (html, _) = FixtureGen.htmlDoc(FixtureGen.mix(FixtureGen.Seed, 3))
+    val (pdf, _) = FixtureGen.pdfDoc(FixtureGen.mix(FixtureGen.Seed, 8))
+    for (payload <- Seq(html, pdf); cut <- 0 to payload.length by math.max(payload.length / 37, 1)) {
+      Extractor.extract(row(payload.take(cut))) // must not throw
+    }
+  }
+
+  test("pathological html: unclosed tags, nested tables, huge entities") {
+    val cases = Seq(
+      "<p><p><p><div><div>text",
+      "<table><tr><td><table><tr><td>inner</td></tr></table>outer</td></tr></table>",
+      "&" * 1000,
+      "&#xFFFFFFFFFFFF;&#0;&bogus;&amp",
+      "<a href='" + "x" * 10000, // unterminated attribute
+      "<script>never closed",
+      "<!---->" * 500,
+      "<![CDATA[raw <p> text",
+      " �<p>mixed </p>")
+    cases.foreach { c =>
+      val d = Extractor.extract(row(c.getBytes("UTF-8")))
+      assert(d == Extractor.extract(row(c.getBytes("UTF-8"))))
+    }
+  }
+
+  test("normText is idempotent over adversarial strings") {
+    val gens = (0 until 300).map { s =>
+      val h = FixtureGen.mix(123L, s.toLong)
+      new String(randBytes(h, (h.abs % 200).toInt), java.nio.charset.StandardCharsets.UTF_8)
+    } ++ Seq("", " ", "  x ", "a\t\n\r\fb", " lead", "trail ")
+    gens.foreach { s =>
+      val once = HtmlExtractor.normText(s)
+      assert(HtmlExtractor.normText(once) == once, s"input ${s.take(40)}")
+    }
+  }
+
+  test("wer/cer bounds and similarityRatio symmetry over word soup") {
+    val words = Seq("alpha", "beta", "gamma", "", "x", "zz")
+    for (i <- 0 until 100) {
+      val h = FixtureGen.mix(321L, i.toLong)
+      def mk(h2: Long) = (0 until (h2.abs % 8).toInt)
+        .map(k => words((FixtureGen.mix(h2, k.toLong).abs % words.length).toInt)).mkString(" ")
+      val a = mk(h); val b = mk(FixtureGen.mix(h, 1))
+      assert(TextMetrics.wer(a, a) == 0.0 || a.trim.isEmpty)
+      val x = TextMetrics.wer(a, b); assert(x.isNaN || x >= 0.0)
+      val c = TextMetrics.cer(a, b); assert(c.isNaN || c >= 0.0)
+      // NOTE: Ratcliff-Obershelp is NOT symmetric (difflib's isn't either —
+      // longest-match tie-breaks depend on argument order), so only bounds
+      // and the reflexive case are true properties.
+      val r = TextMetrics.similarityRatio(a, b)
+      assert(r >= 0.0 && r <= 1.0)
+      assert(TextMetrics.similarityRatio(a, a) == 1.0 || a.isEmpty)
+    }
+  }
+}
