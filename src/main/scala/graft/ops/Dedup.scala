@@ -159,8 +159,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming <= 3")
-    val shUdf = udf((t: String) => simhash(t))
-    val sigs = docs.select(col(idCol).as("id"), shUdf(col(textCol)).as("sig"))
+    graft.functions.functions.register(docs.sparkSession)
+    val sigs = docs.select(col(idCol).as("id"),
+      graft.functions.functions.graft_simhash64(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"), shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("ch"))

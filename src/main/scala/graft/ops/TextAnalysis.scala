@@ -88,7 +88,8 @@ object TextAnalysis {
   }
 
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val fp = udf((t: String) => fingerprint64(t))
-    docs.withColumn("fingerprint", fp(col(textCol)))
+    graft.functions.functions.register(docs.sparkSession)
+    docs.withColumn("fingerprint",
+      graft.functions.functions.graft_fingerprint64(col(textCol)))
   }
 }

@@ -131,6 +131,22 @@ object ExtractJob {
         lit("UNLABELED")))
   }
 
+  /** Distributed text reassembly from the flattened block inventory
+    * (SURVEY §2.10 reserve path; O4 ordering discipline): collect the
+    * content blocks per url, sort by (page, idx), join with '\n'. Must be
+    * byte-identical to the map-side TextAssembly — the invariant that the
+    * text surface survives a shuffle round-trip. Pure Catalyst
+    * (collect_list + array_sort + transform + array_join). */
+  def assembleText(docs: Dataset[ExtractedDoc]): DataFrame =
+    docs.select(col("url"), explode(col("blocks")).as("b"))
+      .filter(col("b.kind").isin(BlockKind.ContentKinds.toSeq: _*))
+      .groupBy(col("url"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("b.page"), col("b.idx"), col("b.text")))),
+          x => x.getField("text")),
+        "\n").as("text"))
+
   /** Best table per (url, page): the reference's argmax with Python-max
     * tie-break parity (first max in candidate order wins —
     * text_extractor_all.py:209-216; SURVEY A2). */

@@ -58,12 +58,11 @@ object ValidateJob {
     import spark.implicits._
     val unmatched = facts.join(matched.select(col("url"), col("concept")).distinct(),
       Seq("url", "concept"), "left_anti")
-    val sim = udf((a: String, b: String) =>
-      TextMetrics.similarityRatio(
-        if (a == null) "" else a.toLowerCase,
-        if (b == null) "" else b.toLowerCase) * 100.0)
+    graft.functions.functions.register(spark)
     unmatched.join(labels, Seq("url"))
-      .withColumn("similarity", sim(col("concept"), col("label")))
+      .withColumn("similarity",
+        graft.functions.functions.graft_ratcliff_ratio(
+          lower(col("concept")), lower(col("label"))) * 100.0)
       .filter(col("similarity") > 50.0)
       .withColumn("quality", lit("MISMATCH"))
   }

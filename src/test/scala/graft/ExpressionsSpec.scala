@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core.TextMetrics
+import graft.functions.functions._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Native Catalyst expression tests: correctness vs the scalar evaluators,
+  * SQL registration, null handling, and codegen participation (the whole
+  * point of an Expression over a UDF). */
+class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("expressions match their scalar evaluators (Column + SQL paths)") {
+    import spark.implicits._
+    register(spark)
+    val df = Seq(("alpha beta gamma", "alpha beta delta"), ("x", "x"))
+      .toDF("a", "b")
+    val viaCol = df.select(
+      graft_simhash64($"a"), graft_fingerprint64($"a"),
+      graft_ratcliff_ratio($"a", $"b"), graft_wer($"a", $"b")).collect()
+    df.createOrReplaceTempView("t")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash64(a), graft_fingerprint64(a),
+        |graft_ratcliff_ratio(a, b), graft_wer(a, b) FROM t""".stripMargin).collect()
+    assert(viaCol.toSeq == viaSql.toSeq)
+    assert(viaCol(0).getLong(0) == Dedup.simhash("alpha beta gamma"))
+    assert(viaCol(0).getLong(1) == TextAnalysis.fingerprint64("alpha beta gamma"))
+    assert(viaCol(0).getDouble(2) ==
+      TextMetrics.similarityRatio("alpha beta gamma", "alpha beta delta"))
+    assert(viaCol(0).getDouble(3) == TextMetrics.wer("alpha beta gamma", "alpha beta delta"))
+    assert(viaCol(1).getDouble(3) == 0.0)
+  }
+
+  test("null inputs yield null (framework null handling)") {
+    import spark.implicits._
+    register(spark)
+    val df = Seq((null.asInstanceOf[String], "x")).toDF("a", "b")
+    val r = df.select(graft_simhash64($"a"), graft_wer($"a", $"b")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("expressions run inside whole-stage codegen, not as ScalaUDF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit}
+    register(spark)
+    // a LocalRelation would be constant-folded away — use a range scan
+    val df = spark.range(4)
+      .select(concat(lit("a b c "), $"id").as("a"), concat(lit("a b d "), $"id").as("b"))
+      .select(graft_simhash64($"a").as("s"), graft_wer($"a", $"b").as("w"))
+    val cg = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"))
+    assert(cg.contains("graft.functions.ExprEval.simhash64"), "generated code must call the static evaluator")
+    assert(!cg.toLowerCase.contains("scalaudf"))
+  }
+
+  test("type check rejects non-string input with a clear error") {
+    import spark.implicits._
+    register(spark)
+    val e = intercept[Exception] {
+      Seq(1, 2).toDF("n").select(graft_simhash64($"n")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}

@@ -49,6 +49,18 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.sameElements(b))
   }
 
+  test("shuffle-based reassembly is byte-identical to map-side assembly") {
+    import spark.implicits._
+    val pages = PagesTable.pagesDF(spark, 150)
+    val mapSide = ExtractJob.extractTexts(spark, pages)
+      .select($"url", $"text").filter(length($"text") > 0)
+      .as[(String, String)].collect().toMap
+    val shuffled = ExtractJob.assembleText(ExtractJob.extractDocs(spark, pages))
+      .as[(String, String)].collect().toMap
+    assert(shuffled.keySet == mapSide.keySet)
+    shuffled.foreach { case (url, text) => assert(text == mapSide(url), url) }
+  }
+
   test("provenance carries section labels forward (W1)") {
     import spark.implicits._
     val pages = PagesTable.pagesDF(spark, 60)
