@@ -341,9 +341,22 @@ object SparkEntry {
       graft.spark.ValidateJob.matches(s, cells, facts))
   }
 
+  /** S12: all export surfaces (txt/md/json projections of the tree). */
+  private def xExports(s: SparkSession, dir: String): DataFrame =
+    graft.spark.Exports.exportAll(
+      graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 8)))
+
+  /** A6/§4.4: per-partition lineage rows from one extraction pass. */
+  private def xLineage(s: SparkSession, dir: String): DataFrame =
+    graft.spark.ExtractJob.lineage(
+      graft.spark.ExtractJob.extractTexts(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4)),
+      runId = "verify", snapshotId = 1L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_extract_text"  -> xExtractText _,
     "x_validate"      -> xValidate _,
+    "x_exports"       -> xExports _,
+    "x_lineage"       -> xLineage _,
     "x_provenance"    -> xProvenance _,
     "x_best_tables"   -> xBestTables _,
     "x_metrics_wer"   -> xMetrics _,

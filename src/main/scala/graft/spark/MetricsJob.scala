@@ -50,6 +50,25 @@ object MetricsJob {
         when(col("n_gold") > 0, col("tp").cast("double") / col("n_gold")).otherwise(lit(Double.NaN)))
   }
 
+  /** Threshold gates mirroring the reference's pytest suite
+    * (/root/reference/tests/error_test.py:12,17,22,27): WER < 0.5,
+    * CER < 0.3, table precision ≥ 0.3, recall > 0.3 — per doc. Our own
+    * gate is stricter (byte identity), but the reference gates stay
+    * available as the compatibility surface. */
+  def gates(textM: DataFrame, tableM: DataFrame): DataFrame = {
+    val t = textM.groupBy(col("url"))
+      .agg(avg(col("wer")).as("wer"), avg(col("cer")).as("cer"))
+    val c = tableM.groupBy(col("url"))
+      .agg(avg(col("precision")).as("precision"), avg(col("recall")).as("recall"))
+    t.join(c, Seq("url"), "full_outer")
+      .withColumn("pass_wer", col("wer") < 0.5)
+      .withColumn("pass_cer", col("cer") < 0.3)
+      .withColumn("pass_precision", col("precision").isNull || col("precision") >= 0.3)
+      .withColumn("pass_recall", col("recall").isNull || col("recall") > 0.3)
+      .withColumn("pass_all",
+        col("pass_wer") && col("pass_cer") && col("pass_precision") && col("pass_recall"))
+  }
+
   /** Per-doc unweighted means (A5) — NaN (not null) for empty page sets,
     * matching np.mean-of-empty (error_rate_detection.py:159-170). */
   def docMeans(perPage: DataFrame, keys: Seq[String], metrics: Seq[String]): DataFrame = {

@@ -149,6 +149,37 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mm.select($"concept").as[String].collect().toSet == Set("Unmatched") || mm.count() >= 0)
   }
 
+  test("exports: markdown/json folds are deterministic projections (S12)") {
+    import spark.implicits._
+    val docs = ExtractJob.extractDocs(spark, PagesTable.pagesDF(spark, 40))
+    val out = graft.spark.Exports.exportAll(docs)
+    assert(out.columns.toSeq == Seq("url", "txt", "md", "json"))
+    val rows = out.collect()
+    assert(rows.length == 40)
+    val withText = rows.filter(_.getAs[String]("txt").nonEmpty)
+    withText.foreach { r =>
+      val md = r.getAs[String]("md")
+      assert(md.startsWith("# " + r.getAs[String]("url")))
+      assert(r.getAs[String]("json").contains("\"extractor\""))
+    }
+    // determinism: same input → same md bytes
+    val again = graft.spark.Exports.exportAll(
+      ExtractJob.extractDocs(spark, PagesTable.pagesDF(spark, 40)))
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("md")).toMap
+    rows.foreach(r => assert(again(r.getAs[String]("url")) == r.getAs[String]("md")))
+  }
+
+  test("reference threshold gates all pass on golden-exact output (E2)") {
+    import spark.implicits._
+    val n = 40L
+    val pred = ExtractJob.extractTexts(spark, PagesTable.pagesDF(spark, n))
+      .select($"url", $"text")
+    val tm = MetricsJob.textMetrics(spark, PagesTable.golden(spark, n).toDF(), pred)
+    val cells = Seq(("u", 1, 0, 0, "a")).toDF("url", "page", "r", "c", "v")
+    val gates = MetricsJob.gates(tm, MetricsJob.tableMetrics(cells, cells))
+    assert(gates.filter(!$"pass_all").count() == 0)
+  }
+
   test("snapshot resume is exactly-once (kill after partial commit)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
