@@ -27,6 +27,7 @@ object ExtractJob {
   final case class ExtractedText(
       url: String,
       text: String,
+      lang: String,
       nPages: Int,
       extractor: String,
       usedFallback: Boolean,
@@ -75,7 +76,7 @@ object ExtractJob {
         val t0 = System.nanoTime()
         it.map { row =>
           val d = Extractor.extract(row)
-          ExtractedText(d.url, d.text, d.nPages, d.extractor, d.usedFallback,
+          ExtractedText(d.url, d.text, row.lang, d.nPages, d.extractor, d.usedFallback,
             d.blocks.length, d.tables.length, d.images.length,
             if (row.html == null) 0L else row.html.length.toLong,
             if (row.warc_ts == null) 0L else row.warc_ts.getTime,

@@ -149,6 +149,31 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mm.select($"concept").as[String].collect().toSet == Set("Unmatched") || mm.count() >= 0)
   }
 
+  test("salting spreads the mega-host; plain host partitioning does not (SURVEY 4.3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{spark_partition_id, parse_url}
+    val pages = PagesTable.pagesDF(spark, 400) // ~30% of urls on mega.example
+    val parts = 8
+    def maxLoad(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id()).count().agg(max($"count")).as[Long].head()
+    val unsalted = pages.repartition(parts, parse_url($"url", lit("HOST")))
+    val salted = ExtractJob.saltRepartition(pages, parts)
+    val mu = maxLoad(unsalted); val ms = maxLoad(salted)
+    // mega.example alone is ~120 rows and lands in ONE unsalted partition
+    assert(mu >= 120, s"unsalted max load $mu")
+    assert(ms < mu, s"salted $ms should beat unsalted $mu")
+    assert(ms <= 400 / parts * 2, s"salted max load $ms should be near-balanced")
+  }
+
+  test("lang column passes through to the extracted output") {
+    import spark.implicits._
+    val out = ExtractJob.extractTexts(spark, PagesTable.pagesDF(spark, 50))
+      .select($"url", $"lang").as[(String, String)].collect().toMap
+    val expected = graft.gen.FixtureGen.fixtures(50).map(f => f.row.url -> f.row.lang).toMap
+    assert(out == expected)
+    assert(out.values.toSet.subsetOf(Set("en", "de", "fr")))
+  }
+
   test("exports: markdown/json folds are deterministic projections (S12)") {
     import spark.implicits._
     val docs = ExtractJob.extractDocs(spark, PagesTable.pagesDF(spark, 40))
