@@ -362,6 +362,7 @@ object SparkEntry {
     "x_metrics_wer"   -> xMetrics _,
     "x_multimodal"    -> xMultimodal _,
     "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_minhash_sig"   -> ((s, dir) => graft.ops.Dedup.minhashSignaturesSql(t(s, dir, "documents"))),
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_cosine_neardup" -> qCosineNearDup _,
     "q_ann_topk"      -> qAnnTopK _,
@@ -385,6 +386,24 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_minhash_sig" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT id, tok FROM toks WHERE length(tok) > 0),
+        |dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS code
+        |         FROM (SELECT DISTINCT tok FROM t2)),
+        |j AS (SELECT id, code FROM t2 JOIN dict USING (tok))
+        |SELECT id AS doc_id,
+        |  min((code * 1103 + 12345) % 2147483647) AS h0,
+        |  min((code * 2053 + 1299709) % 2147483647) AS h1,
+        |  min((code * 4099 + 15485863) % 2147483647) AS h2,
+        |  min((code * 8209 + 32452843) % 2147483647) AS h3,
+        |  min((code * 16411 + 49979687) % 2147483647) AS h4,
+        |  min((code * 32771 + 67867967) % 2147483647) AS h5,
+        |  min((code * 65537 + 86028121) % 2147483647) AS h6,
+        |  min((code * 131101 + 104395301) % 2147483647) AS h7
+        |FROM j GROUP BY id""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -55,6 +55,8 @@ object HtmlExtractor {
     * plain flow — very short link-bearing fragments are chrome. */
   val MinWordsLinked = 5
 
+  private[core] val MultiSpace = java.util.regex.Pattern.compile("\\s{2,}")
+
   final case class Result(blocks: Vector[Block], tables: Vector[TableCand], images: Vector[ImageRef])
 
   def extract(bytes: Array[Byte]): Result = {
@@ -231,7 +233,7 @@ object HtmlExtractor {
       // candidate 1: stream (methodRank 0, mirrors camelot-first order)
       val streamGrid = grid.map { r =>
         val line = r.mkString("  ")
-        line.split("\\s{2,}").toVector.filter(_.nonEmpty) match {
+        HtmlExtractor.MultiSpace.split(line).toVector.filter(_.nonEmpty) match {
           case v if v.nonEmpty => v
           case _               => Vector("")
         }

@@ -285,12 +285,16 @@ object PdfParser {
           if (pos < n && b(pos) == '\r') pos += 1
           if (pos < n && b(pos) == '\n') pos += 1
           val start = pos
-          // find "endstream"
+          // find "endstream" — raw byte compare, no per-position allocation
+          val pat = Array[Byte]('e', 'n', 'd', 's', 't', 'r', 'e', 'a', 'm')
           var e = pos
           var found = -1
           while (found < 0 && e + 9 <= n) {
-            if (b(e) == 'e' && new String(b, e, 9, StandardCharsets.US_ASCII) == "endstream") found = e
-            else e += 1
+            if (b(e) == 'e') {
+              var k = 1
+              while (k < 9 && b(e + k) == pat(k)) k += 1
+              if (k == 9) found = e else e += 1
+            } else e += 1
           }
           val end = if (found < 0) n else found
           // trim trailing EOL before endstream

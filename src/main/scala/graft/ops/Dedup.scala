@@ -131,6 +131,33 @@ object Dedup {
     }
   }
 
+  /** Relational MinHash signatures over a corpus-wide token dictionary:
+    * code(tok) = dense_rank over distinct tokens, sig_j = min over a doc's
+    * tokens of (a_j·code + b_j) mod p — universal hashing with EXACT
+    * integer arithmetic, so an independent SQL engine reproduces the
+    * signatures bit-for-bit (the DuckDB oracle does). The global-ordering
+    * dictionary window is demo-scale: a production run swaps dense_rank
+    * for a 64-bit token hash (minhashSignature above) and loses only
+    * oracle-ability, not semantics. */
+  val MinhashP = 2147483647L // 2^31 - 1, prime
+  val MinhashCoeffs: Seq[(Long, Long)] = Seq(
+    (1103L, 12345L), (2053L, 1299709L), (4099L, 15485863L), (8209L, 32452843L),
+    (16411L, 49979687L), (32771L, 67867967L), (65537L, 86028121L), (131101L, 104395301L))
+
+  def minhashSignaturesSql(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dict = toks.select(col("tok")).distinct()
+      .withColumn("code", dense_rank().over(Window.orderBy(col("tok"))).cast("long"))
+    val joined = toks.join(dict, "tok")
+    val aggs = MinhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("code") * a + b, lit(MinhashP))).as(s"h$j")
+    }
+    joined.groupBy(col("id").as("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** 64-bit SimHash (Charikar 2002) over word tokens. */
   def simhash(text: String): Long = {
     val votes = new Array[Int](64)
