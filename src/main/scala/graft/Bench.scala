@@ -158,21 +158,23 @@ object Bench {
     // drifts over minutes — each child also samples the pure-ALU control
     // in its own window for fair normalization.
     ensurePages(pagesDir, benchDocs, sizeBoost)
-    var thrLow = 0.0; var ctlLow = 0.0
-    var thrHigh = 0.0; var ctlHigh = 0.0
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val lowSamples = Vector.newBuilder[(Double, Double)]
+    val highSamples = Vector.newBuilder[(Double, Double)]
     var round = 0
-    while (round < 2) {
-      val (tl, cl) = spawnPhase(lowCores, pagesDir, reps)
-      if (tl > thrLow) thrLow = tl
-      if (cl > ctlLow) ctlLow = cl
-      val (th, ch) = spawnPhase(lowCores * 4, pagesDir, reps)
-      if (th > thrHigh) thrHigh = th
-      if (ch > ctlHigh) ctlHigh = ch
+    while (round < rounds) {
+      lowSamples += spawnPhase(lowCores, pagesDir, reps)
+      highSamples += spawnPhase(lowCores * 4, pagesDir, reps)
       round += 1
     }
+    val lows = lowSamples.result(); val highs = highSamples.result()
+    val thrLow = lows.map(_._1).max;  val ctlLow = lows.map(_._2).max
+    val thrHigh = highs.map(_._1).max; val ctlHigh = highs.map(_._2).max
     val efficiency = if (thrLow > 0) thrHigh / thrLow / 4.0 else 0.0
     val ctlEff = if (ctlLow > 0) ctlHigh / ctlLow / 4.0 else 0.0
     val normalized = if (ctlEff > 0) efficiency / ctlEff else 0.0
+    def fmtSamples(xs: Vector[(Double, Double)]): String =
+      xs.map(x => f"${x._1}%.0f").mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -181,6 +183,8 @@ object Bench {
       s""""extract_docs_per_sec_n$lowCores":${f"$thrLow%.1f"},""" +
       s""""extract_docs_per_sec_n${lowCores * 4}":${f"$thrHigh%.1f"},""" +
       s""""extract_bench_docs":$benchDocs,"extract_size_boost":$sizeBoost,""" +
+      s""""extract_thr_samples_n$lowCores":${fmtSamples(lows)},""" +
+      s""""extract_thr_samples_n${lowCores * 4}":${fmtSamples(highs)},""" +
       s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
       s""""cpu_control_gops_n$lowCores":${f"$ctlLow%.2f"},""" +
       s""""cpu_control_gops_n${lowCores * 4}":${f"$ctlHigh%.2f"},""" +

@@ -268,6 +268,13 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-flat approximate ANN (coarse quantizer + probe; rows-only). */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5, dim = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Stopword-profile language ID with deterministic argmax. */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.langId(t(s, dir, "documents"))
@@ -367,6 +374,7 @@ object SparkEntry {
     "q_cosine_neardup" -> qCosineNearDup _,
     "q_ann_topk"      -> qAnnTopK _,
     "q_ann_lsh"       -> qAnnLsh _,
+    "q_ann_ivf"       -> qAnnIvf _,
     "q_langid"        -> qLangId _,
     "q_token_counts"  -> qTokenCounts _,
     "q_quality"       -> qQuality _,

@@ -87,6 +87,73 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-flat approximate top-k (the other classic ANN scale path next to
+    * LSH): a coarse quantizer of `nCells` centroids — deterministic seeds
+    * (first nCells corpus vectors by id) refined by one driver-side Lloyd
+    * iteration over a bounded sample — then corpus rows live in their
+    * nearest cell and queries probe the `nProbe` nearest cells with exact
+    * re-ranking inside. Cell assignment and probing are pure Catalyst
+    * (array_sort over per-centroid cosine structs); only the tiny centroid
+    * table ever touches the driver. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nProbe: Int = 2, sampleSize: Int = 512): DataFrame = {
+    val centroids = trainCentroids(corpus, dim, nCells, sampleSize)
+
+    def cellScores(v: Column): Column = array_sort(
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(v, typedLit(c.toSeq)).as("cos"), lit(i).as("cell"))
+      }: _*),
+      (l, r) => when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1).otherwise(0))
+
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cell", element_at(cellScores(col("cv")), 1).getField("cell"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("cell", explode(transform(
+        slice(cellScores(col("qv")), 1, nProbe), x => x.getField("cell"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic coarse quantizer: seeds = first nCells vectors by id,
+    * one Lloyd step over the first `sampleSize` vectors (bounded driver
+    * work — at 10^9 rows this is still nCells×dim doubles on the wire). */
+  def trainCentroids(corpus: DataFrame, dim: Int, nCells: Int, sampleSize: Int): Array[Array[Double]] = {
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    val seeds = sample.take(nCells)
+    if (seeds.length < nCells) return seeds
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val sums = Array.fill(nCells)(new Array[Double](dim))
+    val counts = new Array[Int](nCells)
+    sample.foreach { v =>
+      var best = 0; var bs = Double.MinValue
+      var i = 0
+      while (i < nCells) { val s = cos(v, seeds(i)); if (s > bs) { bs = s; best = i }; i += 1 }
+      counts(best) += 1
+      var d = 0
+      while (d < dim) { sums(best)(d) += v(d); d += 1 }
+    }
+    Array.tabulate(nCells)(i =>
+      if (counts(i) == 0) seeds(i)
+      else sums(i).map(_ / counts(i)))
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold, blocked by an
     * LSH bucket (the embedding analogue of Dedup.minhashLsh). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, dim: Int,

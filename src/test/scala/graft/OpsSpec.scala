@@ -110,6 +110,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("IVF ANN achieves high recall vs brute force on clustered vectors") {
+    import spark.implicits._
+    val dim = 16
+    val rows = for (i <- 0L until 100L) yield {
+      val cl = (i % 4).toInt
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d % 4 == cl) 1.0f else 0.0f
+        center + (Dedup.mix64(i * 31 + d).toFloat / Long.MaxValue) * 0.05f
+      }
+      (i, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(e, q, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, q, 5, dim, nCells = 8, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("language id picks the profile language, und when no hits") {
     import spark.implicits._
     val d = docsDF(Seq(
