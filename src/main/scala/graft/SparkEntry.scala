@@ -140,6 +140,22 @@ object SparkEntry {
   // Training-data-pipeline ops over `documents` / `embeddings`.
   // ---------------------------------------------------------------------
 
+  /** §2.8 scalar-function surface in one query: bit ops (the reference's
+    * 24-bit color decode, text_extractor_all.py:40-46 and font-flag masks
+    * :55-62), zero-padded formatting (:137), and regex field extraction
+    * (:99-104) — all Catalyst built-ins, DuckDB-oracled. */
+  private def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("color", (col("doc_id") * 99991) % 16777216)
+      .select(
+        col("doc_id"),
+        shiftright(col("color"), 16).bitwiseAND(lit(255)).as("r"),
+        shiftright(col("color"), 8).bitwiseAND(lit(255)).as("g"),
+        col("color").bitwiseAND(lit(255)).as("b"),
+        (col("doc_id").bitwiseAND(lit(16)) =!= 0).as("bold_flag"),
+        format_string("page%03d", col("doc_id")).as("page_tag"),
+        regexp_extract(col("source"), "src(\\d+)", 1).cast("long").as("source_num"))
+
   /** Exact deduplication: group identical text, keep the smallest doc_id. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -389,6 +405,7 @@ object SparkEntry {
     "q_set_except"       -> qSetExcept _,
     "q_theta_band"       -> qThetaBand _,
     "q_dedup_exact"      -> qDedupExact _,
+    "q_scalar_funcs"     -> qScalarFuncs _,
     "q_jaccard_pairs"    -> qJaccardPairs _,
     "q_text_quality"     -> qTextQuality _,
   )
@@ -539,6 +556,15 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT doc_id,
+        |  (doc_id * 99991) % 16777216 >> 16 & 255 AS r,
+        |  (doc_id * 99991) % 16777216 >> 8 & 255 AS g,
+        |  (doc_id * 99991) % 16777216 & 255 AS b,
+        |  (doc_id & 16) <> 0 AS bold_flag,
+        |  printf('page%03d', doc_id) AS page_tag,
+        |  CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) AS source_num
+        |FROM documents""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words
         |           FROM documents)

@@ -130,6 +130,13 @@ object ExtractJob {
         last(when(col("block_type").isin(BlockKind.Title, BlockKind.Heading), col("text")),
           ignoreNulls = true).over(w),
         lit("UNLABELED")))
+      // doc-id parse (text_extractor_all.py:99-104): the reference's
+      // "([A-Za-z0-9]+).*?(\d{4})" over the filename stem, applied to the
+      // url's last path segment; empty strings when the pattern misses.
+      .withColumn("doc_stem", regexp_extract(col("url"), "([^/]+)\\.[a-z]+$", 1))
+      .withColumn("company", regexp_extract(col("doc_stem"), "([A-Za-z0-9]+).*?(\\d{4})", 1))
+      .withColumn("fiscal_year", regexp_extract(col("doc_stem"), "([A-Za-z0-9]+).*?(\\d{4})", 2))
+      .drop("doc_stem")
   }
 
   /** Distributed text reassembly from the flattened block inventory
