@@ -26,6 +26,10 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val N = 300L
 
+  test("driver t1 smoke: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("distributed extraction matches goldens byte-for-byte per url") {
     import spark.implicits._
     val extracted = ExtractJob.extractTexts(spark, PagesTable.pagesDF(spark, N))
