@@ -128,7 +128,7 @@ object FixtureGen {
         val hp = mix(hs, 40 + p)
         val raw = sentence(mix(hp, 1), 12 + pick(mix(hp, 2), 20))
         // entity + inline-link decoration on some paragraphs
-        val deco = pick(mix(hp, 3), 4)
+        val deco = pick(mix(hp, 3), 6)
         val (markup, text) = deco match {
           case 0 =>
             val extra = "AT&T says 3 < 5 & “quotes”"
@@ -140,10 +140,24 @@ object FixtureGen {
           case 2 =>
             // messy whitespace collapses to single spaces
             (xmlEsc(raw).replace(" ", "\n  "), raw)
+          case 3 =>
+            // inline formatting tags flow through block text
+            (s"${xmlEsc(raw)} with <b>bold</b>, <i>italic</i> and <span class=\"x\">span</span> runs",
+              s"$raw with bold, italic and span runs")
           case _ => (xmlEsc(raw), raw)
         }
         sb ++= s"<p>$markup</p>\n"
         golden += text
+      }
+      // some sections carry a content list: one block (golden line) per item
+      if (pick(mix(hs, 5), 3) == 0) {
+        sb ++= "<ul>\n"
+        for (li <- 0 until 2 + pick(mix(hs, 6), 3)) {
+          val item = sentence(mix(hs, 70 + li), 6 + pick(mix(hs, 80 + li), 6))
+          sb ++= s"<li>${xmlEsc(item)}</li>\n"
+          golden += item
+        }
+        sb ++= "</ul>\n"
       }
     }
     // optional financial table (block kind "table", not in the text surface)

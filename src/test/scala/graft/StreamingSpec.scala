@@ -60,6 +60,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(outDf.select($"url").distinct().count() == 40)
   }
 
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionizeStream
+    import graft.streaming.SessionizeStream.{Event, Session}
+    def ev(u: Long, sec: Long, v: Double) =
+      Event(u, new java.sql.Timestamp(1700000000000L + sec * 1000), v)
+    val stream = MemoryStream[Event]
+    val q = SessionizeStream.sessions(spark, stream.toDS(), gapSeconds = 60,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_mem").outputMode("append").start()
+    // burst 1: two sessions for user 1 separated by >60s inside one batch
+    stream.addData(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(1, 200, 5.0))
+    q.processAllAvailable()
+    // burst 2: far-future event advances the watermark past user1's timeout
+    stream.addData(ev(2, 10000, 1.0))
+    q.processAllAvailable()
+    stream.addData(ev(2, 20000, 1.0)) // one more trigger so timeouts fire
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_mem").as[Session].collect()
+      .map(s => (s.userId, s.startMs, s.endMs, s.nEvents, s.sumValue)).toSet
+    val t0 = 1700000000000L
+    // gap-closed session (0-10s) and timeout-closed session (200s)
+    assert(got.contains((1L, t0, t0 + 10000, 2L, 3.0)), got.toString)
+    assert(got.contains((1L, t0 + 200000, t0 + 200000, 1L, 5.0)), got.toString)
+  }
+
   test("watermarked windowed rate metrics emit closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
