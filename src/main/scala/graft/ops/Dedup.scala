@@ -105,17 +105,22 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sigUdf = udf((text: String) =>
       lshBandKeys(minhashSignature(if (text == null) "" else text, numHashes, shingleK), bands))
+    // the band-key explode carries ONLY (id, key): carrying text here would
+    // amplify it ×bands through the shuffle — the classic LSH scale trap.
     val keyed = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("band_key", explode(sigUdf(col("t"))))
-    val a = keyed.select(col("band_key"), col("id").as("id_a"), col("t").as("ta"))
-    val b = keyed.select(col("band_key"), col("id").as("id_b"), col("t").as("tb"))
-    val cands = a.join(b, Seq("band_key"))
+      .select(col(idCol).as("id"), explode(sigUdf(col(textCol))).as("band_key"))
+    val cands = keyed.select(col("band_key"), col("id").as("id_a"))
+      .join(keyed.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ta"), col("tb"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // texts rejoin once per side, only for surviving candidates
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     val jacUdf = udf((x: String, y: String) => jaccard(x, y, shingleK))
-    cands.withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+    cands
+      .join(texts.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+      .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
