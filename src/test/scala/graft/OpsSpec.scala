@@ -131,6 +131,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("cosine near-dup recall: multi-probe recovers planted perturbed pairs") {
+    import spark.implicits._
+    val dim = 16
+    val base = (0L until 60L).map { i =>
+      (i, Array.tabulate(dim)(d => (Dedup.mix64(i * 17 + d).toFloat / Long.MaxValue)))
+    }
+    val planted = base.map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, d) => x + 0.01f * math.sin(d).toFloat })
+    }
+    val e = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(e, threshold = 0.98, dim = dim)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    val recall = expected.count(pairs.contains).toDouble / expected.size
+    assert(recall >= 0.95, s"recall=$recall missing=${expected.diff(pairs).take(5)}")
+  }
+
   test("language id picks the profile language, und when no hits") {
     import spark.implicits._
     val d = docsDF(Seq(
