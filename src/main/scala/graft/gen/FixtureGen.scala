@@ -199,7 +199,9 @@ object FixtureGen {
   def pdfDoc(h: Long): (Array[Byte], String) = {
     val nPages = 1 + pick(mix(h, 35), 3)
     val parts = (0 until nPages).map(p => pdfPage(mix(h, 400 + p)))
-    (buildPdf(parts.map(_._1).toVector, compress = pick(mix(h, 34), 2) == 0),
+    // every third pdf doc embeds an image XObject on its first page (S7)
+    val imagePages: Set[Int] = if (pick(mix(h, 36), 3) == 0) Set(0) else Set.empty
+    (buildPdf(parts.map(_._1).toVector, compress = pick(mix(h, 34), 2) == 0, imagePages),
       parts.map(_._2).filter(_.nonEmpty).mkString("\n"))
   }
 
@@ -274,30 +276,50 @@ object FixtureGen {
       else ch.toString
     }
 
-  /** Assemble a minimal PDF with one page per content string. */
-  def buildPdf(contents: Vector[String], compress: Boolean): Array[Byte] = {
+  /** Assemble a minimal PDF with one page per content string; pages whose
+    * index is in `imagePages` get a 4×4 gray image XObject in /Resources
+    * (the reference's S7 extraction source, text_extractor_all.py:235-243). */
+  def buildPdf(contents: Vector[String], compress: Boolean,
+      imagePages: Set[Int] = Set.empty): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(4096)
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     w("%PDF-1.4\n")
     val nPages = contents.length
-    // object numbering: 1 catalog, 2 pages, 3 font, then per page: page obj, content obj
+    // object numbering: 1 catalog, 2 pages, 3 font, then per page:
+    // page obj, content obj[, image obj]
     w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-    val kidRefs = (0 until nPages).map(i => s"${4 + i * 2} 0 R").mkString(" ")
+    val objOf = new Array[Int](nPages)
+    var next = 4
+    for (i <- 0 until nPages) {
+      objOf(i) = next
+      next += (if (imagePages.contains(i)) 3 else 2)
+    }
+    val kidRefs = (0 until nPages).map(i => s"${objOf(i)} 0 R").mkString(" ")
     w(s"2 0 obj << /Type /Pages /Kids [ $kidRefs ] /Count $nPages >> endobj\n")
     w("3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
     contents.zipWithIndex.foreach { case (content, i) =>
-      val pageObj = 4 + i * 2
+      val pageObj = objOf(i)
       val contObj = pageObj + 1
+      val withImg = imagePages.contains(i)
+      val xobj = if (withImg) s" /XObject << /Im1 ${pageObj + 2} 0 R >>" else ""
       w(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
-        s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contObj 0 R >> endobj\n")
-      val raw = content.getBytes(StandardCharsets.ISO_8859_1)
+        s"/Resources << /Font << /F1 3 0 R >>$xobj >> /Contents $contObj 0 R >> endobj\n")
+      val raw = (content + (if (withImg) "\nq 32 0 0 32 500 100 cm /Im1 Do Q\n" else ""))
+        .getBytes(StandardCharsets.ISO_8859_1)
       val (body, filter) =
         if (compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
       w(s"$contObj 0 obj << /Length ${body.length}$filter >> stream\n")
       out.write(body)
       w("\nendstream endobj\n")
+      if (withImg) {
+        val pixels = Array.tabulate[Byte](16)(p => (p * 16).toByte)
+        w(s"${pageObj + 2} 0 obj << /Type /XObject /Subtype /Image /Width 4 /Height 4 " +
+          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${pixels.length} >> stream\n")
+        out.write(pixels)
+        w("\nendstream endobj\n")
+      }
     }
-    w(s"trailer << /Root 1 0 R /Size ${4 + nPages * 2} >>\n%%EOF\n")
+    w(s"trailer << /Root 1 0 R /Size $next >>\n%%EOF\n")
     out.toByteArray
   }
 

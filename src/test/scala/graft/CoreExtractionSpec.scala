@@ -154,6 +154,21 @@ class CoreExtractionSpec extends AnyFunSuite {
     assert(math.abs(runs(3).base - (runs(2).base + 12)) < 1e-9)
   }
 
+  test("pdf image XObjects surface as ImageRef rows (S7)") {
+    val withImg = graft.gen.FixtureGen.buildPdf(
+      Vector("BT /F1 12 Tf 50 600 Td (text next to an image) Tj ET"),
+      compress = false, imagePages = Set(0))
+    val pages = PdfParser.parse(withImg)
+    assert(pages.head.imageCount == 1)
+    val r = PdfLayout.layout(pages)
+    assert(r.images.length == 1 && r.images.head.page == 1)
+    // image docs exist in the generated corpus too
+    val corpusImgs = graft.gen.FixtureGen.fixtures(200)
+      .map(f => Extractor.extract(f.row))
+      .filter(d => d.extractor == "pdf" && d.images.nonEmpty)
+    assert(corpusImgs.nonEmpty)
+  }
+
   test("fallback chain: empty-text pdf routes to provided text") {
     val row = PageRow("u", new java.sql.Timestamp(0), FixtureGen.emptyPdf(), "wet line one\nwet line two", "en")
     val doc = Extractor.extract(row)
