@@ -105,4 +105,41 @@ object SnapshotStore {
   def readCommitted(spark: SparkSession, root: String): Option[DataFrame] =
     lastSnapshot(root).filter(_.dataDirs.nonEmpty)
       .map(s => spark.read.parquet(s.dataDirs: _*))
+
+  /** Compaction (Iceberg-style table maintenance): rewrite all committed
+    * data dirs into one and commit a new snapshot referencing only it.
+    * Readers of older snapshots are unaffected — their manifests still
+    * point at the old files until [[expireSnapshots]]. */
+  def compact(spark: SparkSession, root: String, runId: String): Snapshot = {
+    val prev = lastSnapshot(root).getOrElse(return Snapshot(0L, Set.empty, Vector.empty))
+    if (prev.dataDirs.length <= 1) return prev
+    val dataDir = s"$root/data/compact-$runId"
+    spark.read.parquet(prev.dataDirs: _*).write.mode("overwrite").parquet(dataDir)
+    val snap = Snapshot(prev.id + 1, prev.buckets, Vector(dataDir))
+    commitManifest(root, snap)
+    snap
+  }
+
+  /** Snapshot expiry: drop all but the newest `keepLast` manifests and
+    * delete data dirs no surviving manifest references. */
+  def expireSnapshots(root: String, keepLast: Int = 1): Unit = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return
+    val manifests = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("snapshot-\\d+\\.tsv"))
+      .toVector
+      .sortBy(p => p.getFileName.toString.stripPrefix("snapshot-").stripSuffix(".tsv").toLong)
+    if (manifests.length <= keepLast) return
+    val (expire, keep) = manifests.splitAt(manifests.length - keepLast)
+    val live = keep.map(readManifest).flatMap(_.dataDirs).toSet
+    val dead = expire.map(readManifest).flatMap(_.dataDirs).toSet -- live
+    expire.foreach(Files.delete)
+    dead.foreach { d =>
+      val p = Paths.get(d)
+      if (Files.isDirectory(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+  }
 }

@@ -231,5 +231,14 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // lineage rows exist and sum to the doc count
     val lineage = spark.read.parquet(s"$root/lineage/run-r1", s"$root/lineage/run-r2")
     assert(lineage.agg(sum($"doc_count")).as[Long].head() == 150L)
+    // compaction: one data dir, same rows; expiry removes dead files but
+    // the compacted snapshot still reads exactly-once
+    val c = SnapshotStore.compact(spark, root, runId = "c1")
+    assert(c.id == 3 && c.dataDirs.length == 1)
+    assert(SnapshotStore.readCommitted(spark, root).get.count() == 150)
+    SnapshotStore.expireSnapshots(root, keepLast = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data/run-r1")))
+    assert(SnapshotStore.readCommitted(spark, root).get.count() == 150)
+    assert(SnapshotStore.readCommitted(spark, root).get.select($"url").distinct().count() == 150)
   }
 }
