@@ -85,9 +85,30 @@ object HtmlExtractor {
     private var headingLevel = 0   // level of innermost open heading
     private var tableDepth = 0
 
-    // current text block accumulator
+    // current text block accumulator — text is normalized AS IT IS
+    // APPENDED (same rules as normText: ws runs collapse to one space,
+    // no leading space), so flush needs no second normalization pass.
     private val buf = new java.lang.StringBuilder(256)
-    private var bufLink = 0 // raw link chars in buf
+    private var bufRaw = 0        // raw chars appended (density denominator)
+    private var bufLink = 0       // raw link chars in buf
+    private var pendingSpace = false
+
+    @inline private def isWsChar(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00A0'
+
+    private def normAppend(s: CharSequence, start: Int, end: Int): Unit = {
+      var i = start
+      while (i < end) {
+        val c = s.charAt(i)
+        if (isWsChar(c)) {
+          if (buf.length() > 0) pendingSpace = true
+        } else {
+          if (pendingSpace) { buf.append(' '); pendingSpace = false }
+          buf.append(c)
+        }
+        i += 1
+      }
+    }
     private var ctxNav, ctxHeader, ctxFooter, ctxAside = false
     private var ctxHeading = 0
 
@@ -104,11 +125,13 @@ object HtmlExtractor {
     }
 
     private def flushBlock(): Unit = {
-      if (buf.length() == 0) { bufLink = 0; return }
+      if (buf.length() == 0) { bufRaw = 0; bufLink = 0; pendingSpace = false; return }
       captureCtx()
-      val text = normText(buf.toString)
-      val rawLen = buf.length()
+      val text = buf.toString // normalized on append
+      val rawLen = bufRaw
       buf.setLength(0)
+      pendingSpace = false
+      bufRaw = 0
       val link = bufLink; bufLink = 0
       if (text.isEmpty) return // P1 empty-text filter
       val nChars = text.length
@@ -207,7 +230,8 @@ object HtmlExtractor {
         if (cell != null) cell.append(s, start, end)
         return
       }
-      buf.append(s, start, end)
+      normAppend(s, start, end)
+      bufRaw += end - start
       if (inLink > 0) bufLink += end - start
     }
 
@@ -217,7 +241,8 @@ object HtmlExtractor {
         if (cell != null) cell.append(s)
         return
       }
-      buf.append(s)
+      normAppend(s, 0, s.length)
+      bufRaw += s.length
       if (inLink > 0) bufLink += s.length
     }
 

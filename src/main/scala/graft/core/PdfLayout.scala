@@ -82,28 +82,47 @@ object PdfLayout {
   private def lineText(line: Vector[TextRun]): String =
     line.map(_.text).mkString(" ")
 
+  /** Single-pass geometry + font stats over a block's runs (these were the
+    * hottest allocations in the layout stage). */
+  private final class BlockStats(lns: Vector[Vector[TextRun]]) {
+    var x0: Double = Double.MaxValue
+    var y0: Double = Double.MaxValue
+    var x1: Double = Double.MinValue
+    var y1: Double = Double.MinValue
+    var sizeMax: Double = Double.MinValue
+    var sizeSum: Double = 0.0
+    var n: Int = 0
+    lns.foreach(_.foreach { r =>
+      if (r.x < x0) x0 = r.x
+      if (r.y < y0) y0 = r.y
+      if (r.x + r.w > x1) x1 = r.x + r.w
+      if (r.y + r.h > y1) y1 = r.y + r.h
+      if (r.size > sizeMax) sizeMax = r.size
+      sizeSum += r.size
+      n += 1
+    })
+    def sizeAvg: Double = if (n > 0) sizeSum / n else 0.0
+  }
+
   private def mkBlock(p: PdfPage, idx: Int, kind: String, text: String, lns: Vector[Vector[TextRun]]): Block = {
-    val rs = lns.flatten
-    val sizes = rs.map(_.size)
-    Block(p.num, idx, kind, text,
-      rs.map(_.x).min, rs.map(_.y).min,
-      rs.map(r => r.x + r.w).max, rs.map(r => r.y + r.h).max,
-      sizes.max, sizes.sum / sizes.length,
-      text.length, 0, text.split(' ').count(_.nonEmpty))
+    val s = new BlockStats(lns)
+    var words = 0; var i = 0; var inW = false
+    while (i < text.length) {
+      if (text.charAt(i) == ' ') inW = false
+      else if (!inW) { words += 1; inW = true }
+      i += 1
+    }
+    Block(p.num, idx, kind, text, s.x0, s.y0, s.x1, s.y1,
+      s.sizeMax, s.sizeAvg, text.length, 0, words)
   }
 
   /** Port of classify_block (text_extractor_all.py:65-83). */
   private def classify(lns: Vector[Vector[TextRun]], pageH: Double): String = {
-    val rs = lns.flatten
-    val y0 = rs.map(_.y).min
-    val y1 = rs.map(r => r.y + r.h).max
-    val sizes = rs.map(_.size)
-    val maxS = sizes.max
-    val avgS = sizes.sum / sizes.length
-    if (y1 < pageH * 0.1) BlockKind.Header
-    else if (y0 > pageH * 0.9) BlockKind.Footer
-    else if (maxS >= avgS * 1.5) BlockKind.Title
-    else if (maxS >= avgS * 1.2) BlockKind.Heading
+    val s = new BlockStats(lns)
+    if (s.y1 < pageH * 0.1) BlockKind.Header
+    else if (s.y0 > pageH * 0.9) BlockKind.Footer
+    else if (s.sizeMax >= s.sizeAvg * 1.5) BlockKind.Title
+    else if (s.sizeMax >= s.sizeAvg * 1.2) BlockKind.Heading
     else BlockKind.Paragraph
   }
 
