@@ -115,19 +115,19 @@ object SparkEntry {
     * re-expressed as a *banded equi-join* + exact tolerance filter instead of
     * a nested loop: facts = part retail prices, cells = lineitem prices,
     * scales {1, 1000}, tolerance max(0.01, 0.001·|fact|).
-    * The band key makes the join an equi-join Catalyst can hash/broadcast;
-    * the oracle states the naive theta-join — same result set. */
+    * Uses ValidateJob's magnitude-aware band key (log-scale bands, so the
+    * relative tolerance is covered at EVERY magnitude — a fixed band width
+    * silently drops matches once facts outgrow it); the oracle states the
+    * naive theta-join — same result set. */
   private def qThetaBand(s: SparkSession, dir: String): DataFrame = {
-    val bandW = 2048.0 // >= 2 * max tolerance (0.001 * 5e5 = 500)
     val facts = t(s, dir, "part")
       .select(col("p_partkey"), col("p_retailprice"))
-      .withColumn("band", explode(sequence(
-        floor(col("p_retailprice") / bandW) - 1, floor(col("p_retailprice") / bandW) + 1)))
+      .withColumn("band", graft.spark.ValidateJob.bandKey(col("p_retailprice")))
     val cells = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .withColumn("scale", explode(array(lit(1.0), lit(1000.0))))
       .withColumn("scaled", col("l_extendedprice") * col("scale"))
-      .withColumn("band", floor(col("scaled") / bandW))
+      .withColumn("band", explode(graft.spark.ValidateJob.probeKeys(col("scaled"))))
     cells.join(broadcast(facts), "band")
       .filter(abs(col("scaled") - col("p_retailprice")) <=
         greatest(lit(0.01), lit(0.001) * abs(col("p_retailprice"))))
@@ -324,8 +324,12 @@ object SparkEntry {
         when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(run))
       .groupBy(col("user_id"), col("session_id"))
+      // decimal-cast sum: order-independent (exact integer arithmetic), so
+      // the 4-decimal hash is stable across partitionings — double summation
+      // drifted ~1e-13 with partition order and flipped rounding-boundary
+      // groups run-to-run (CORRECTNESS_r01 q_sessionize hash failure).
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("session_value"))
+        round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("session_value"))
   }
 
   /** Multimodal plumbing: deterministic fake assets → batch decode →
@@ -495,7 +499,7 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM e)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  round(sum(value), 4) AS session_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

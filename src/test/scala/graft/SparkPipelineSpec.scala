@@ -153,6 +153,46 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mm.select($"concept").as[String].collect().toSet == Set("Unmatched") || mm.count() >= 0)
   }
 
+  test("validate: magnitude banding matches the naive nested loop from 1e2 to 1e11 (J1 at XBRL scale)") {
+    import spark.implicits._
+    // facts spanning nine decades (real XBRL dollar-amount range), both
+    // signs, plus values hugging the abs/log regime boundary at 16
+    val factVals: Seq[Double] =
+      (0 until 120).map { i =>
+        val mag = math.pow(10.0, 2 + (i % 10))            // 1e2 .. 1e11
+        val v = mag * (1.0 + ((i * 37) % 997) / 997.0)
+        if (i % 7 == 0) -v else v
+      } ++ Seq(0.005, 0.5, 5.0, 15.9, 16.0, 16.1, -15.99, -16.01, 9.875)
+    // cells: in-tolerance (±0.05%), boundary (±~0.1%), out (±0.2%), and
+    // down-scaled values that only match via the 1000 / 1e6 scale factors
+    val cellVals: Seq[Double] = factVals.flatMap { f =>
+      Seq(f, f * 1.0005, f * 0.9995, f * 1.002, f * 0.998, f / 1000.0, f / 1e6, f + 0.009)
+    }
+    def plain(d: Double): String = new java.math.BigDecimal(d).toPlainString
+    val facts = factVals.zipWithIndex
+      .map { case (v, i) => ("u", s"c$i", v) }.toDF("url", "concept", "value")
+    val cells = cellVals.zipWithIndex
+      .map { case (v, i) => ("u", 1, i, 0, plain(v)) }.toDF("url", "page", "r", "c", "v")
+    // naive reference loop (xbrl_validate.py:104-146 semantics)
+    val parsed = cellVals.zipWithIndex.flatMap { case (v, i) =>
+      graft.core.TextMetrics.parseNumeric(plain(v)).map(i -> _)
+    }
+    val expected = (for {
+      (ci, cv)    <- parsed
+      scale       <- ValidateJob.Scales
+      (fv, fi)    <- factVals.zipWithIndex
+      if math.abs(cv * scale - fv) <= math.max(0.01, 0.001 * math.abs(fv))
+    } yield (ci, s"c$fi", scale)).toSet
+    assert(expected.nonEmpty)
+    assert(expected.exists { case (_, c, _) =>
+      math.abs(factVals(c.drop(1).toInt)) > 1e9 }, "test must cover 1e9+ facts")
+    val got = ValidateJob.matches(spark, cells, facts)
+      .select($"r", $"concept", $"scale").as[(Int, String, Double)].collect()
+      .map { case (r, c, s) => (r, c, s) }.toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("salting spreads the mega-host; plain host partitioning does not (SURVEY 4.3)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{spark_partition_id, parse_url}
