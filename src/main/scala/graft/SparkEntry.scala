@@ -215,6 +215,13 @@ object SparkEntry {
     graft.spark.ExtractJob.provenance(
       graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4)))
 
+  /** Line/Span tier: per-span font/size/color/style rows (the reference's
+    * layout.json span export, text_extractor_all.py:251-259). Rows-only
+    * here; decode parity is asserted in ScalaTest (CoreExtractionSpec). */
+  private def xSpans(s: SparkSession, dir: String): DataFrame =
+    graft.spark.ExtractJob.spans(
+      graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4)))
+
   /** A2: best table per page (argmax over dual-engine candidates). */
   private def xBestTables(s: SparkSession, dir: String): DataFrame =
     graft.spark.ExtractJob.bestTables(
@@ -385,6 +392,7 @@ object SparkEntry {
     "x_exports"       -> xExports _,
     "x_lineage"       -> xLineage _,
     "x_provenance"    -> xProvenance _,
+    "x_spans"         -> xSpans _,
     "x_best_tables"   -> xBestTables _,
     "x_metrics_wer"   -> xMetrics _,
     "x_multimodal"    -> xMultimodal _,

@@ -58,7 +58,10 @@ object Extractor {
       .zipWithIndex
       .map { case (t, i) =>
         Block(1, i, BlockKind.Paragraph, t, 0.0, i.toDouble, 1.0, i + 1.0,
-          0.0, 0.0, t.length, 0, t.split(' ').count(_.nonEmpty))
+          0.0, 0.0, t.length, 0, t.split(' ').count(_.nonEmpty),
+          Vector(Line(t, Vector(Span(t, "", 0.0, 0, 0, 0,
+            superscript = false, italic = false, serif = false,
+            monospace = false, bold = false)))))
       }
       .toVector
     ExtractedDoc(row.url, TextAssembly.assemble(blocks), 1, "provided_text",
@@ -68,8 +71,11 @@ object Extractor {
 
 /** The byte-identity surface (reference P8/O4): content blocks
   * ({title, heading, paragraph}; text_extractor_all.py:353-362) in document
-  * order, joined with a single '\n'. Golden fixtures assert UTF-8 byte
-  * equality of this string per url. */
+  * order, joined with a single '\n'. Block text is already the per-line
+  * '\n' join of its Line tier, so the assembled surface emits ONE output
+  * line per layout line — exactly the reference's
+  * `"\n".join(line["text"] for page... for block... for line...)`.
+  * Golden fixtures assert UTF-8 byte equality of this string per url. */
 object TextAssembly {
   def assemble(blocks: Seq[Block]): String = {
     val sb = new java.lang.StringBuilder(512)

@@ -85,6 +85,44 @@ object HtmlExtractor {
     private var headingLevel = 0   // level of innermost open heading
     private var tableDepth = 0
 
+    // inline style depths → span boundaries (the Line/Span tier; HTML has
+    // no font geometry, so size=0/font="" and style flags come from tags)
+    private var stBold, stItalic, stMono, stSup = 0
+    /** (offset into buf, style bits) span marks; bits: 1 bold, 2 italic,
+      * 4 mono, 8 superscript. Marks partition the block text exactly; a
+      * collapsed inter-word space that lands on a style boundary belongs
+      * to the span that follows it (deterministic, documented). */
+    private val spanMarks = mutable.ArrayBuffer[(Int, Int)]((0, 0))
+
+    @inline private def styleBits: Int =
+      (if (stBold > 0) 1 else 0) | (if (stItalic > 0) 2 else 0) |
+        (if (stMono > 0) 4 else 0) | (if (stSup > 0) 8 else 0)
+
+    private def markStyle(): Unit = {
+      val bits = styleBits
+      val off = buf.length()
+      if (spanMarks.last._1 == off) spanMarks(spanMarks.length - 1) = (off, bits)
+      else if (spanMarks.last._2 != bits) spanMarks += ((off, bits))
+    }
+
+    private def mkSpans(text: String): Vector[Span] = {
+      val out = Vector.newBuilder[Span]
+      var mi = 0
+      while (mi < spanMarks.length) {
+        val start = spanMarks(mi)._1
+        val end = if (mi + 1 < spanMarks.length) math.min(spanMarks(mi + 1)._1, text.length)
+          else text.length
+        if (end > start) {
+          val bits = spanMarks(mi)._2
+          out += Span(text.substring(start, end), "", 0.0, 0, 0, 0,
+            superscript = (bits & 8) != 0, italic = (bits & 2) != 0,
+            serif = false, monospace = (bits & 4) != 0, bold = (bits & 1) != 0)
+        }
+        mi += 1
+      }
+      out.result()
+    }
+
     // current text block accumulator — text is normalized AS IT IS
     // APPENDED (same rules as normText: ws runs collapse to one space,
     // no leading space), so flush needs no second normalization pass.
@@ -125,9 +163,15 @@ object HtmlExtractor {
     }
 
     private def flushBlock(): Unit = {
-      if (buf.length() == 0) { bufRaw = 0; bufLink = 0; pendingSpace = false; return }
+      if (buf.length() == 0) {
+        bufRaw = 0; bufLink = 0; pendingSpace = false
+        spanMarks.clear(); spanMarks += ((0, styleBits))
+        return
+      }
       captureCtx()
       val text = buf.toString // normalized on append
+      val spans = mkSpans(text)
+      spanMarks.clear(); spanMarks += ((0, styleBits))
       val rawLen = bufRaw
       buf.setLength(0)
       pendingSpace = false
@@ -149,7 +193,8 @@ object HtmlExtractor {
       val linkChars = math.min(link, nChars)
       blocks += Block(1, blockIdx, kind, text,
         0.0, blockIdx.toDouble, 1.0, blockIdx + 1.0,
-        0.0, 0.0, nChars, linkChars, nWords)
+        0.0, 0.0, nChars, linkChars, nWords,
+        Vector(Line(text, spans)))
       blockIdx += 1
     }
 
@@ -184,6 +229,10 @@ object HtmlExtractor {
         case "footer" => flushBlock(); inFooter += 1
         case "aside"  => flushBlock(); inAside += 1
         case "a"      => inLink += 1
+        case "b" | "strong" => stBold += 1; markStyle()
+        case "i" | "em"     => stItalic += 1; markStyle()
+        case "code" | "tt"  => stMono += 1; markStyle()
+        case "sup"          => stSup += 1; markStyle()
         case "table"  =>
           flushBlock()
           tableDepth += 1
@@ -209,6 +258,10 @@ object HtmlExtractor {
       case "footer" => flushBlock(); if (inFooter > 0) inFooter -= 1
       case "aside"  => flushBlock(); if (inAside > 0) inAside -= 1
       case "a"      => if (inLink > 0) inLink -= 1
+      case "b" | "strong" => if (stBold > 0) stBold -= 1; markStyle()
+      case "i" | "em"     => if (stItalic > 0) stItalic -= 1; markStyle()
+      case "code" | "tt"  => if (stMono > 0) stMono -= 1; markStyle()
+      case "sup"          => if (stSup > 0) stSup -= 1; markStyle()
       case "td" | "th" =>
         if (tableDepth == 1 && cell != null && rows.nonEmpty) {
           rows.last(rows.last.length - 1) = normText(cell.toString)
@@ -267,10 +320,16 @@ object HtmlExtractor {
       // candidate 2: grid (methodRank 1)
       emitCand("grid", 1, grid, y)
       // table block for the inventory / provenance (not the text surface)
-      val blockText = normText(grid.map(_.mkString(" ")).mkString(" "))
+      // one Line per table row (per-line discipline, like the PDF path)
+      val rowLines = grid.map(r => normText(r.mkString(" "))).filter(_.nonEmpty)
+      val blockText = rowLines.mkString("\n")
       if (blockText.nonEmpty) {
         blocks += Block(1, blockIdx, BlockKind.Table, blockText,
-          0.0, y, 1.0, y + 1.0, 0.0, 0.0, blockText.length, 0, countWords(blockText))
+          0.0, y, 1.0, y + 1.0, 0.0, 0.0, blockText.length, 0,
+          countWords(blockText.replace('\n', ' ')),
+          rowLines.map(t => Line(t, Vector(Span(t, "", 0.0, 0, 0, 0,
+            superscript = false, italic = false, serif = false,
+            monospace = false, bold = false)))))
         blockIdx += 1
       }
     }

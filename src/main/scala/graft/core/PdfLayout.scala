@@ -50,9 +50,9 @@ object PdfLayout {
       // scope (reading order never jumps upward inside a block)
       val leaves = xyCutLeaves(proseLines.flatten, avgSize(p.runs))
       leaves.flatMap(leaf => toBlocks(toLines(leaf))).foreach { lns =>
-        val text = HtmlExtractor.normText(lns.map(lineText).mkString(" "))
-        if (text.nonEmpty) {
-          blocks += mkBlock(p, blockIdx, classify(lns, p.height), text, lns)
+        val lineObjs = mkLines(lns)
+        if (lineObjs.nonEmpty) {
+          blocks += mkBlock(p, blockIdx, classify(lns, p.height), lns, lineObjs)
           blockIdx += 1
         }
       }
@@ -61,9 +61,9 @@ object PdfLayout {
         val cands = tableCandidates(region, p.num, tableIdx)
         cands.foreach(tables += _)
         tableIdx += cands.length
-        val text = HtmlExtractor.normText(region.map(lineText).mkString(" "))
-        if (text.nonEmpty) {
-          blocks += mkBlock(p, blockIdx, BlockKind.Table, text, region)
+        val lineObjs = mkLines(region)
+        if (lineObjs.nonEmpty) {
+          blocks += mkBlock(p, blockIdx, BlockKind.Table, region, lineObjs)
           blockIdx += 1
         }
       }
@@ -81,6 +81,26 @@ object PdfLayout {
 
   private def lineText(line: Vector[TextRun]): String =
     line.map(_.text).mkString(" ")
+
+  /** Span of one run: style flags from the font name + Ts rise
+    * (decode_font_flags parity, text_extractor_all.py:55-62); color is the
+    * fill color at show time (int_to_rgb parity, :40-46). Span text stays
+    * raw — normalization applies to the LINE text only. */
+  private def mkSpan(r: TextRun): Span = {
+    val (bold, italic, serif, mono) = PdfParser.fontStyle(r.font)
+    Span(r.text, r.font, r.size, r.colorR, r.colorG, r.colorB,
+      superscript = r.rise > 0, italic = italic, serif = serif,
+      monospace = mono, bold = bold)
+  }
+
+  /** The Line tier: one Line per layout line with non-empty normalized
+    * text — the reference keeps `line_text.strip()` truthy lines only
+    * (text_extractor_all.py:246-249). */
+  private def mkLines(lns: Vector[Vector[TextRun]]): Vector[Line] =
+    lns.flatMap { ln =>
+      val t = HtmlExtractor.normText(lineText(ln))
+      if (t.isEmpty) None else Some(Line(t, ln.map(mkSpan)))
+    }
 
   /** Single-pass geometry + font stats over a block's runs (these were the
     * hottest allocations in the layout stage). */
@@ -104,16 +124,22 @@ object PdfLayout {
     def sizeAvg: Double = if (n > 0) sizeSum / n else 0.0
   }
 
-  private def mkBlock(p: PdfPage, idx: Int, kind: String, text: String, lns: Vector[Vector[TextRun]]): Block = {
+  /** Block text is the per-line '\n' join — the reference's `.txt` surface
+    * emits one output line per layout line (text_extractor_all.py:353-362),
+    * so a 3-line paragraph must stay 3 lines, never collapse to 1. */
+  private def mkBlock(p: PdfPage, idx: Int, kind: String,
+      lns: Vector[Vector[TextRun]], lineObjs: Vector[Line]): Block = {
+    val text = lineObjs.map(_.text).mkString("\n")
     val s = new BlockStats(lns)
     var words = 0; var i = 0; var inW = false
     while (i < text.length) {
-      if (text.charAt(i) == ' ') inW = false
+      val c = text.charAt(i)
+      if (c == ' ' || c == '\n') inW = false
       else if (!inW) { words += 1; inW = true }
       i += 1
     }
     Block(p.num, idx, kind, text, s.x0, s.y0, s.x1, s.y1,
-      s.sizeMax, s.sizeAvg, text.length, 0, words)
+      s.sizeMax, s.sizeAvg, text.length, 0, words, lineObjs)
   }
 
   /** Port of classify_block (text_extractor_all.py:65-83). */

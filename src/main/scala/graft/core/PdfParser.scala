@@ -25,11 +25,30 @@ object PdfParser {
 
   /** One shown string: x,y = top-left of the run box (page units);
     * `base` = baseline y in top-left coords (same for every run of a line
-    * regardless of font size — line grouping keys on it). */
+    * regardless of font size — line grouping keys on it). `font` is the
+    * resolved /BaseFont name; colorR/G/B is the fill color at show time
+    * (the reference's span color, int_to_rgb of the span's color int,
+    * text_extractor_all.py:40-46); `rise` is the Ts text rise (drives the
+    * superscript style flag, decode_font_flags :56). */
   final case class TextRun(x: Double, y: Double, w: Double, h: Double,
-      size: Double, font: String, text: String, base: Double)
+      size: Double, font: String, text: String, base: Double,
+      colorR: Int = 0, colorG: Int = 0, colorB: Int = 0, rise: Double = 0.0)
   final case class PdfPage(num: Int, width: Double, height: Double,
       runs: Vector[TextRun], imageCount: Int)
+
+  /** Style flags from the PostScript font name — the reconstruction of the
+    * reference's decode_font_flags surface (text_extractor_all.py:55-62;
+    * PyMuPDF reads them from the font descriptor, we derive them from the
+    * /BaseFont naming convention). Returns (bold, italic, serif, mono). */
+  def fontStyle(font: String): (Boolean, Boolean, Boolean, Boolean) = {
+    val f = if (font == null) "" else font.toLowerCase
+    val bold   = f.contains("bold") || f.contains("black") || f.contains("heavy")
+    val italic = f.contains("italic") || f.contains("oblique")
+    val mono   = f.contains("courier") || f.contains("mono")
+    val serif  = f.contains("times") || f.contains("serif") || f.contains("georgia") ||
+      f.contains("garamond") || f.contains("bookman") || f.contains("palatino")
+    (bold, italic, serif && !mono, mono)
+  }
 
   val CharWidthFactor = 0.5
 
@@ -63,11 +82,36 @@ object PdfParser {
     pages.zipWithIndex.map { case (pd, i) =>
       val (w, h) = mediaBox(doc, pd)
       val content = contentBytes(doc, pd)
-      val runs = new ContentInterp(w, h).run(content)
+      val runs = new ContentInterp(w, h, fontMap(doc, pd)).run(content)
       val nImg = countImages(doc, pd)
       PdfPage(i + 1, w, h, runs, nImg)
     }
   }
+
+  /** Resource font name (e.g. "F1") → /BaseFont name (subset prefix
+    * "ABCDEF+" stripped), from the page's /Resources /Font dict. */
+  private def fontMap(doc: Doc, page: PDict): Map[String, String] =
+    doc.dictGet(page, "Resources") match {
+      case r: PDict =>
+        doc.dictGet(r, "Font") match {
+          case f: PDict =>
+            f.v.flatMap { case (name, v) =>
+              doc.resolve(v) match {
+                case fd: PDict =>
+                  doc.dictGet(fd, "BaseFont") match {
+                    case PName(base) =>
+                      val clean = if (base.length > 7 && base.charAt(6) == '+')
+                        base.substring(7) else base
+                      Some(name -> clean)
+                    case _ => None
+                  }
+                case _ => None
+              }
+            }
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
 
   // ----- object scanning (robust: linear scan for "N G obj") -------------
   private def scanObjects(b: Array[Byte]): Doc = {
@@ -406,12 +450,15 @@ object PdfParser {
 
   // ----- content stream interpreter ---------------------------------------
   /** Executes text operators; emits runs in top-left coordinates. */
-  private final class ContentInterp(pageW: Double, pageH: Double) {
+  private final class ContentInterp(pageW: Double, pageH: Double,
+      fonts: Map[String, String]) {
     private var size = 12.0
     private var font = ""
     private var leading = 0.0
     private var lineX, lineY = 0.0 // text line matrix origin (bottom-left space)
     private var curX = 0.0
+    private var fillR, fillG, fillB = 0 // nonstroking color (span color)
+    private var rise = 0.0              // Ts text rise
 
     def run(content: Array[Byte]): Vector[TextRun] = {
       val out = Vector.newBuilder[TextRun]
@@ -451,8 +498,20 @@ object PdfParser {
         case "ET" =>
         case "Tf" =>
           if (st.nonEmpty) size = num(st.last)
-          font = st.collectFirst { case PName(f) => f }.getOrElse(font)
+          font = st.collectFirst { case PName(f) => fonts.getOrElse(f, f) }.getOrElse(font)
         case "TL" => if (st.nonEmpty) leading = num(st.last)
+        case "Ts" => if (st.nonEmpty) rise = num(st.last)
+        case "rg" => // nonstroking RGB (each component 0..1)
+          if (st.length >= 3) {
+            fillR = to255(num(st(st.length - 3)))
+            fillG = to255(num(st(st.length - 2)))
+            fillB = to255(num(st.last))
+          }
+        case "g" => // nonstroking gray
+          if (st.nonEmpty) {
+            val v = to255(num(st.last))
+            fillR = v; fillG = v; fillB = v
+          }
         case "Td" =>
           if (st.length >= 2) { lineX += num(st(st.length - 2)); lineY += num(st.last); curX = lineX }
         case "TD" =>
@@ -481,14 +540,18 @@ object PdfParser {
         case _ => // graphics operators ignored
       }
 
+    @inline private def to255(c: Double): Int =
+      math.max(0, math.min(255, math.round(c * 255).toInt))
+
     private def emit(sBytes: Array[Byte], out: mutable.Builder[TextRun, Vector[TextRun]]): Unit = {
       // PDFDocEncoding ≈ Latin-1 for our fixture subset
       val s = new String(sBytes, StandardCharsets.ISO_8859_1)
       if (s.isEmpty) return
       val w = s.length * CharWidthFactor * size
-      val base = pageH - lineY            // baseline in top-left coords
+      val base = pageH - (lineY + rise)   // baseline in top-left coords
       val yTop = base - size * 0.8        // ascent above baseline
-      out += TextRun(curX, yTop, w, size, size, font, s, base)
+      out += TextRun(curX, yTop, w, size, size, font, s, base,
+        fillR, fillG, fillB, rise)
       curX += w
     }
   }

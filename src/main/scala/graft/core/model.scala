@@ -35,8 +35,28 @@ object BlockKind {
   val ContentKinds: Set[String] = Set(Title, Heading, Paragraph)
 }
 
+/** One styled span — the innermost tier of the reference's layout tree
+  * (text_extractor_all.py:152-162): text + font + size + RGB color
+  * (int_to_rgb, :40-46) + style flags (decode_font_flags, :55-62:
+  * flags&1 superscript, &2 italic, &4 serif, &8 monospace, &16 bold). */
+final case class Span(
+    text: String,
+    font: String,
+    size: Double,
+    colorR: Int, colorG: Int, colorB: Int,
+    superscript: Boolean, italic: Boolean, serif: Boolean,
+    monospace: Boolean, bold: Boolean)
+
+/** One line of a block: the stripped line text (the unit of the reference's
+  * `.txt` surface and provenance records, text_extractor_all.py:246-258,
+  * 296-302) plus its styled spans. */
+final case class Line(text: String, spans: Seq[Span])
+
 /** A classified layout block. `page` is 1-based; `idx` is the 0-based block
-  * ordinal within the document (document order = reading order). */
+  * ordinal within the document (document order = reading order).
+  * `text` is the per-line join: lines.map(_.text).mkString("\n") — the
+  * reference emits one output line per layout line (:353-362), so a 3-line
+  * paragraph is 3 text lines, never 1. */
 final case class Block(
     page: Int,
     idx: Int,
@@ -44,7 +64,8 @@ final case class Block(
     text: String,
     x0: Double, y0: Double, x1: Double, y1: Double,
     fontMax: Double, fontAvg: Double,
-    nChars: Int, nLinkChars: Int, nWords: Int)
+    nChars: Int, nLinkChars: Int, nWords: Int,
+    lines: Seq[Line])
 
 /** One cell of an extracted table candidate (row-major, 0-based). */
 final case class TableCell(page: Int, cand: Int, r: Int, c: Int, v: String)

@@ -205,32 +205,42 @@ object FixtureGen {
       parts.map(_._2).filter(_.nonEmpty).mkString("\n"))
   }
 
-  /** One page of content-stream ops + its golden text. */
+  /** One page of content-stream ops + its golden text. Golden discipline
+    * is PER LINE (text_extractor_all.py:353-362): each layout line of a
+    * content block is its own golden line — a 4-line paragraph contributes
+    * 4 lines. Pages also exercise the span-style surface: colored titles
+    * (rg), a superscript run (Ts), bold headings (/F2) and italic-serif
+    * paragraphs (/F3). */
   private def pdfPage(h: Long): (String, String) = {
     val golden = Vector.newBuilder[String]
     val c = new StringBuilder(2048)
     // header band (dropped): y1(top-left) must be < 79.2 → baseline near top
     c ++= "BT /F1 9 Tf 50 742 Td (BigCorp Annual Report) Tj ET\n"
-    // title block: mixed sizes so max >= 1.5*avg (24 vs {24,8,8} avg 13.33)
+    // title block: mixed sizes so max >= 1.5*avg; colored fill + a
+    // superscript footnote marker (rise 2 <= 0.3*size keeps it in-line)
     val title = pdfLossy(sentence(mix(h, 30), 3))
-    golden += s"$title tm k"
-    c ++= s"BT /F1 24 Tf 50 680 Td (${pdfEsc(title)}) Tj /F1 8 Tf (tm) Tj ( k) Tj ET\n"
+    golden += s"$title tm k 2"
+    val tr = pick(mix(h, 37), 256); val tg = pick(mix(h, 38), 256); val tb = pick(mix(h, 39), 256)
+    c ++= s"${tr / 255.0} ${tg / 255.0} ${tb / 255.0} rg\n"
+    c ++= s"BT /F1 24 Tf 50 680 Td (${pdfEsc(title)}) Tj /F1 8 Tf (tm) Tj ( k) Tj 2 Ts (2) Tj 0 Ts ET\n"
+    c ++= "0 g\n"
     val twoCol = pick(mix(h, 31), 2) == 0
+    val paraFont = if (pick(mix(h, 41), 2) == 0) "/F3" else "/F1"
     if (twoCol) {
-      // two columns; each column: heading(mixed 14/9) + paragraph lines
+      // two columns; each column: bold heading(mixed 14/9) + paragraph lines
       val colTexts = for (col <- 0 until 2) yield {
         val hc = mix(h, 32 + col)
         val x = if (col == 0) 50 else 330
         val heading = pdfLossy(sentence(mix(hc, 1), 2))
-        c ++= s"BT /F1 14 Tf $x 620 Td (${pdfEsc(heading)}) Tj /F1 9 Tf ( s${col + 1}) Tj ET\n"
+        c ++= s"BT /F2 14 Tf $x 620 Td (${pdfEsc(heading)}) Tj /F1 9 Tf ( s${col + 1}) Tj ET\n"
         val lines = (0 until 4).map(k => pdfLossy(sentence(mix(hc, 10 + k), 4)))
-        c ++= s"BT /F1 12 Tf $x 580 Td 14 TL\n"
+        c ++= s"BT $paraFont 12 Tf $x 580 Td 14 TL\n"
         lines.zipWithIndex.foreach { case (ln, k) =>
           if (k > 0) c ++= "T* "
           c ++= s"(${pdfEsc(ln)}) Tj\n"
         }
         c ++= "ET\n"
-        (s"$heading s${col + 1}", lines.mkString(" "))
+        (s"$heading s${col + 1}", lines.mkString("\n"))
       }
       // reading order: XY-cut splits title row first, then left col, right col
       colTexts.foreach { case (hd, para) => golden += hd; golden += para }
@@ -238,15 +248,15 @@ object FixtureGen {
       // single column paragraphs + a ruling-grid table
       val heading = pdfLossy(sentence(mix(h, 33), 3))
       golden += s"$heading s0"
-      c ++= s"BT /F1 14 Tf 50 620 Td (${pdfEsc(heading)}) Tj /F1 9 Tf ( s0) Tj ET\n"
+      c ++= s"BT /F2 14 Tf 50 620 Td (${pdfEsc(heading)}) Tj /F1 9 Tf ( s0) Tj ET\n"
       val lines = (0 until 3).map(k => pdfLossy(sentence(mix(h, 40 + k), 6)))
-      c ++= "BT /F1 12 Tf 50 580 Td 14 TL\n"
+      c ++= s"BT $paraFont 12 Tf 50 580 Td 14 TL\n"
       lines.zipWithIndex.foreach { case (ln, k) =>
         if (k > 0) c ++= "T* "
         c ++= s"(${pdfEsc(ln)}) Tj\n"
       }
       c ++= "ET\n"
-      golden += lines.mkString(" ")
+      golden += lines.mkString("\n")
       // table: 4 rows × 3 cols on a grid (each cell its own run); separated
       // from the paragraph block by a > BlockGapFactor gap
       for (r <- 0 until 4) {
@@ -285,11 +295,11 @@ object FixtureGen {
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     w("%PDF-1.4\n")
     val nPages = contents.length
-    // object numbering: 1 catalog, 2 pages, 3 font, then per page:
+    // object numbering: 1 catalog, 2 pages, 3-5 fonts, then per page:
     // page obj, content obj[, image obj]
     w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     val objOf = new Array[Int](nPages)
-    var next = 4
+    var next = 6
     for (i <- 0 until nPages) {
       objOf(i) = next
       next += (if (imagePages.contains(i)) 3 else 2)
@@ -297,13 +307,15 @@ object FixtureGen {
     val kidRefs = (0 until nPages).map(i => s"${objOf(i)} 0 R").mkString(" ")
     w(s"2 0 obj << /Type /Pages /Kids [ $kidRefs ] /Count $nPages >> endobj\n")
     w("3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    w("4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >> endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Times-Italic >> endobj\n")
     contents.zipWithIndex.foreach { case (content, i) =>
       val pageObj = objOf(i)
       val contObj = pageObj + 1
       val withImg = imagePages.contains(i)
       val xobj = if (withImg) s" /XObject << /Im1 ${pageObj + 2} 0 R >>" else ""
       w(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
-        s"/Resources << /Font << /F1 3 0 R >>$xobj >> /Contents $contObj 0 R >> endobj\n")
+        s"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R >>$xobj >> /Contents $contObj 0 R >> endobj\n")
       val raw = (content + (if (withImg) "\nq 32 0 0 32 500 100 cm /Im1 Do Q\n" else ""))
         .getBytes(StandardCharsets.ISO_8859_1)
       val (body, filter) =

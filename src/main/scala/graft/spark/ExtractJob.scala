@@ -115,21 +115,26 @@ object ExtractJob {
   }
 
   /** Provenance records with the W1 running-section label
-    * (text_extractor_all.py:287-291): last title/heading carried forward in
-    * document order, "UNLABELED" before the first one. The window
-    * partitions by url — blocks of one document always colocate. */
+    * (text_extractor_all.py:287-291): the reference re-initializes
+    * `current_section = "UNLABELED"` INSIDE the per-page loop (:287), so a
+    * heading never leaks across a page boundary — the window partitions by
+    * (url, page). The label is the FIRST LINE of the title/heading block
+    * (`block["lines"][0]["text"]`, :291), not its whole text. */
   def provenance(docs: Dataset[ExtractedDoc]): DataFrame = {
     val flat = docs.select(col("url"), explode(col("blocks")).as("b"))
       .select(col("url"), col("b.page").as("page"), col("b.idx").as("idx"),
         col("b.kind").as("block_type"), col("b.text").as("text"),
+        when(size(col("b.lines")) > 0,
+          element_at(col("b.lines"), 1).getField("text")).as("first_line"),
         col("b.x0"), col("b.y0"), col("b.x1"), col("b.y1"))
-    val w = Window.partitionBy(col("url")).orderBy(col("page"), col("idx"))
+    val w = Window.partitionBy(col("url"), col("page")).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flat.withColumn("section",
       coalesce(
-        last(when(col("block_type").isin(BlockKind.Title, BlockKind.Heading), col("text")),
-          ignoreNulls = true).over(w),
+        last(when(col("block_type").isin(BlockKind.Title, BlockKind.Heading),
+          col("first_line")), ignoreNulls = true).over(w),
         lit("UNLABELED")))
+      .drop("first_line")
       // doc-id parse (text_extractor_all.py:99-104): the reference's
       // "([A-Za-z0-9]+).*?(\d{4})" over the filename stem, applied to the
       // url's last path segment; empty strings when the pattern misses.
@@ -138,6 +143,30 @@ object ExtractJob {
       .withColumn("fiscal_year", regexp_extract(col("doc_stem"), "([A-Za-z0-9]+).*?(\\d{4})", 2))
       .drop("doc_stem")
   }
+
+  /** The Line/Span tier flattened to rows — the reference's layout.json
+    * span export (text_extractor_all.py:251-259): per-span font, size,
+    * RGB color and the five decode_font_flags style bits, addressable by
+    * (url, page, block idx, line_no, span_no). Narrow (explode only). */
+  def spans(docs: Dataset[ExtractedDoc]): DataFrame =
+    docs.select(col("url"), explode(col("blocks")).as("b"))
+      .select(col("url"), col("b.page").as("page"), col("b.idx").as("idx"),
+        col("b.kind").as("block_type"),
+        posexplode(col("b.lines")).as(Seq("line_no", "l")))
+      .select(col("url"), col("page"), col("idx"), col("block_type"),
+        col("line_no").cast("long").as("line_no"),
+        col("l.text").as("line_text"),
+        posexplode(col("l.spans")).as(Seq("span_no", "s")))
+      .select(col("url"), col("page"), col("idx"), col("block_type"),
+        col("line_no"), col("line_text"),
+        col("span_no").cast("long").as("span_no"),
+        col("s.text").as("span_text"), col("s.font").as("font"),
+        col("s.size").as("size"),
+        col("s.colorR").as("color_r"), col("s.colorG").as("color_g"),
+        col("s.colorB").as("color_b"),
+        col("s.bold").as("bold"), col("s.italic").as("italic"),
+        col("s.serif").as("serif"), col("s.monospace").as("monospace"),
+        col("s.superscript").as("superscript"))
 
   /** Distributed text reassembly from the flattened block inventory
     * (SURVEY §2.10 reserve path; O4 ordering discipline): collect the

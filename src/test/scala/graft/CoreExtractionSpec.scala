@@ -131,7 +131,42 @@ class CoreExtractionSpec extends AnyFunSuite {
         |BT /F1 12 Tf 400 600 Td 14 TL (right one) Tj T* (right two) Tj ET""".stripMargin
     val bytes = FixtureGen.buildPdf(Vector(content), compress = false)
     val blocks = PdfLayout.layout(PdfParser.parse(bytes)).blocks
-    assert(blocks.map(_.text) == Vector("left one left two", "right one right two"))
+    // per-line discipline (text_extractor_all.py:353-362): a 2-line column
+    // block is 2 output lines, and the Line tier carries both
+    assert(blocks.map(_.text) == Vector("left one\nleft two", "right one\nright two"))
+    assert(blocks.map(_.lines.map(_.text)) ==
+      Vector(Vector("left one", "left two"), Vector("right one", "right two")))
+  }
+
+  test("pdf: a 3-line paragraph yields 3 output lines (per-line txt discipline, text_extractor_all.py:353-362)") {
+    val content = "BT /F1 12 Tf 50 600 Td 14 TL (one) Tj T* (two) Tj T* (three) Tj ET"
+    val bytes = FixtureGen.buildPdf(Vector(content), compress = false)
+    val blocks = PdfLayout.layout(PdfParser.parse(bytes)).blocks
+    assert(blocks.length == 1)
+    assert(blocks.head.text == "one\ntwo\nthree")
+    assert(blocks.head.lines.map(_.text) == Vector("one", "two", "three"))
+    assert(TextAssembly.assemble(blocks) == "one\ntwo\nthree")
+  }
+
+  test("pdf: span tier decodes font, style flags, fill color, superscript (text_extractor_all.py:40-62)") {
+    val content =
+      """0.2 0.4 0.6 rg
+        |BT /F2 14 Tf 50 600 Td (bold head) Tj ET
+        |0 g
+        |BT /F3 12 Tf 50 560 Td (italic body) Tj 2 Ts /F1 8 Tf (1) Tj 0 Ts ET""".stripMargin
+    val bytes = FixtureGen.buildPdf(Vector(content), compress = false)
+    val blocks = PdfLayout.layout(PdfParser.parse(bytes)).blocks
+    val spans = blocks.flatMap(_.lines).flatMap(_.spans)
+    val bold = spans.find(_.text == "bold head").get
+    assert(bold.font == "Helvetica-Bold" && bold.bold && !bold.italic && !bold.serif)
+    assert((bold.colorR, bold.colorG, bold.colorB) == (51, 102, 153)) // int_to_rgb parity
+    val ital = spans.find(_.text == "italic body").get
+    assert(ital.font == "Times-Italic" && ital.italic && ital.serif && !ital.bold)
+    assert((ital.colorR, ital.colorG, ital.colorB) == (0, 0, 0)) // `0 g` reset
+    val sup = spans.find(_.text == "1").get
+    assert(sup.superscript && sup.size == 8.0 && !sup.bold)
+    // the rise-2 run stays in its line; line text joins runs in x order
+    assert(blocks.exists(_.lines.exists(_.text == "italic body 1")))
   }
 
   test("pdf: FlateDecode streams parse identically to raw") {

@@ -85,6 +85,35 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("provenance resets section per page and labels with the heading's first line (W1 parity)") {
+    import spark.implicits._
+    // page 1: a two-line heading block then a paragraph;
+    // page 2: a paragraph BEFORE any heading (must be UNLABELED — the
+    // reference re-inits current_section inside the per-page loop,
+    // text_extractor_all.py:287), then a heading and a late paragraph.
+    val p1 =
+      """BT /F1 16 Tf 50 600 Td (head one) Tj ET
+        |BT /F1 10 Tf 50 580 Td (head two) Tj ET
+        |BT /F1 12 Tf 50 500 Td (para one) Tj ET""".stripMargin
+    val p2 =
+      """BT /F1 12 Tf 50 600 Td (p2 early para) Tj ET
+        |BT /F1 16 Tf 50 500 Td (p2 head) Tj /F1 10 Tf ( x) Tj ET
+        |BT /F1 12 Tf 50 450 Td (p2 late para) Tj ET""".stripMargin
+    val bytes = FixtureGen.buildPdf(Vector(p1, p2), compress = false)
+    val pages = Seq(graft.core.PageRow("https://t.example/w1.pdf",
+      new java.sql.Timestamp(0L), bytes, "", "en")).toDS().toDF()
+    val prov = ExtractJob.provenance(ExtractJob.extractDocs(spark, pages))
+      .select($"page", $"block_type", $"text", $"section")
+      .as[(Int, String, String, String)].collect()
+    def sectionOf(text: String): String = prov.find(_._3 == text).get._4
+    // two-line heading: the block exists with both lines, label is line 1 only
+    assert(prov.exists(r => r._1 == 1 && r._2 == "heading" && r._3 == "head one\nhead two"))
+    assert(sectionOf("para one") == "head one")
+    // no carry across the page boundary
+    assert(sectionOf("p2 early para") == "UNLABELED")
+    assert(sectionOf("p2 late para") == "p2 head x")
+  }
+
   test("best-table argmax picks highest score with first-max tie-break (A2)") {
     import spark.implicits._
     val pages = PagesTable.pagesDF(spark, 200)
