@@ -301,20 +301,36 @@ object HtmlExtractor {
 
     /** Emit both table-candidate "engines" over the accumulated grid
       * (reference runs camelot-stream then pdfplumber per page and scores
-      * both; text_extractor_all.py:190-216). Engine 1 "grid" = the DOM
-      * cells; engine 2 "stream" = whitespace re-segmentation of the row
-      * text, mimicking a stream-mode detector. */
+      * both; text_extractor_all.py:190-216). Engine 2 "grid" = the DOM
+      * cells; engine 1 "stream" is a positional stream-mode emulation:
+      * rows laid out as fixed-offset text (column template = max cell
+      * widths), columns re-derived from the text-segment offsets that
+      * actually occur — so an empty cell inside a populated column is
+      * preserved by position (camelot-stream's whitespace alignment), but
+      * a column with NO text anywhere is invisible to a stream detector
+      * and drops, which lowers the stream score (fewer cols) and lets the
+      * argmax prefer the grid engine — the reference's candidate contest. */
     private def emitTable(): Unit = {
       val grid = rows.map(_.toVector).filter(_.nonEmpty).toVector
       if (grid.isEmpty) return
       val y = blockIdx.toDouble
       // candidate 1: stream (methodRank 0, mirrors camelot-first order)
-      val streamGrid = grid.map { r =>
-        val line = r.mkString("  ")
-        HtmlExtractor.MultiSpace.split(line).toVector.filter(_.nonEmpty) match {
-          case v if v.nonEmpty => v
-          case _               => Vector("")
-        }
+      val width = grid.map(_.length).max
+      val colW = Array.tabulate(width)(c =>
+        grid.map(r => if (c < r.length) r(c).length else 0).max)
+      val starts = new Array[Int](width)
+      var off = 0
+      var ci = 0
+      while (ci < width) { starts(ci) = off; off += colW(ci) + 2; ci += 1 }
+      val segs = grid.map { r =>
+        r.zipWithIndex.collect { case (v, c) if v.nonEmpty => (starts(c), v) }
+      }
+      val clusters = segs.flatten.map(_._1).distinct.sorted
+      val colOf = clusters.zipWithIndex.toMap
+      val streamGrid = segs.map { row =>
+        val out = Array.fill(clusters.length)("")
+        row.foreach { case (o, v) => out(colOf(o)) = v }
+        out.toVector
       }
       emitCand("stream", 0, streamGrid, y)
       // candidate 2: grid (methodRank 1)
