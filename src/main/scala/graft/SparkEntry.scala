@@ -163,21 +163,12 @@ object SparkEntry {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
-  /** Word-set Jaccard near-dup pairs within a `source` bucket (bounded
-    * candidate space — the exact-verify stage of a MinHash/LSH pipeline). */
-  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        array_distinct(split(col("text"), " ")).as("words"))
-    val a = docs.select(col("source"), col("doc_id").as("id_a"), col("words").as("wa"))
-    val b = docs.select(col("source"), col("doc_id").as("id_b"), col("words").as("wb"))
-    a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-      .withColumn("jac",
-        size(array_intersect(col("wa"), col("wb"))).cast("double") /
-          size(array_union(col("wa"), col("wb"))).cast("double"))
-      .filter(col("jac") >= 0.8)
-      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
-  }
+  /** Word-set Jaccard near-dup pairs within a `source` bucket, via exact-
+    * recall prefix filtering (Dedup.jaccardPrefixPairs) — identical result
+    * set to the naive all-pairs oracle, but candidates come from rare-token
+    * equi-joins instead of an O(bucket²) self-join. */
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.jaccardPrefixPairs(t(s, dir, "documents"), "source", threshold = 0.8)
 
   /** Token counting + quality scoring (length / word-length / stopword ratio). */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {

@@ -150,12 +150,25 @@ object Dedup {
     (16411L, 49979687L), (32771L, 67867967L), (65537L, 86028121L), (131101L, 104395301L))
 
   def minhashSignaturesSql(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = docs.select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .filter(length(col("tok")) > 0)
+    // Distributed dense_rank over the token dictionary: range-partition the
+    // distinct tokens, sort within partitions (range partitioning makes the
+    // concatenation of sorted partitions globally sorted), then zipWithIndex
+    // assigns contiguous global ordinals with only a small count job — no
+    // value flows through a single-partition window. Codes are independent
+    // of the partition count, so the signatures stay bit-for-bit equal to
+    // the oracle's dense_rank() OVER (ORDER BY tok).
+    val dictParts = math.max(spark.sparkContext.defaultParallelism, 1)
     val dict = toks.select(col("tok")).distinct()
-      .withColumn("code", dense_rank().over(Window.orderBy(col("tok"))).cast("long"))
+      .repartitionByRange(dictParts, col("tok"))
+      .sortWithinPartitions(col("tok"))
+      .as[String].rdd.zipWithIndex()
+      .map { case (t, i) => (t, i + 1L) }
+      .toDF("tok", "code")
     val joined = toks.join(dict, "tok")
     val aggs = MinhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("code") * a + b, lit(MinhashP))).as(s"h$j")
@@ -209,7 +222,9 @@ object Dedup {
   }
 
   /** N-gram (word) Jaccard near-dup pairs with candidates bounded by a
-    * blocking column (e.g. source bucket) — the composable exact variant. */
+    * blocking column (e.g. source bucket) — the composable exact variant.
+    * O(bucket²): use ONLY when the blocking column bounds bucket sizes;
+    * [[jaccardPrefixPairs]] is the scale path with identical results. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val a = docs.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(textCol).as("ta"))
@@ -219,5 +234,51 @@ object Dedup {
       .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Word-set Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin family,
+    * Bayardo et al., WWW 2007) — exact-recall candidate generation, no
+    * all-pairs join anywhere:
+    *  1. rank every token by global frequency (rare first; ties by token);
+    *  2. each doc keys only its first n − ⌈t·n⌉ + 1 tokens in that order —
+    *     two sets with Jaccard ≥ t MUST share a token in this prefix, so
+    *     recall is 1 (unlike MinHash banding, which is probabilistic);
+    *  3. candidates = equi-join on (block, prefix token): rare tokens →
+    *     small buckets, and the frequent tokens that would explode a
+    *     bucket sort LAST and never enter a prefix;
+    *  4. exact verify on the candidate pairs only.
+    * Result set is IDENTICAL to the naive all-pairs ≥ t join (the DuckDB
+    * oracle), at candidate cost instead of O(bucket²). Word semantics
+    * match q_jaccard_pairs: array_distinct(split(text, ' ')). */
+  def jaccardPrefixPairs(docs: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("words"))
+    val n = size(col("words"))
+    val toks = base.select(col("blk"), col("id"),
+      (n - ceil(lit(threshold) * n) + 1).cast("int").as("pl"),
+      explode(col("words")).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // per-doc window: partitions are single documents (bounded), never global
+    val w = Window.partitionBy(col("id")).orderBy(col("freq"), col("tok"))
+    val prefix = toks.join(tf, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("pl"))
+      .select(col("blk"), col("tok"), col("id"))
+    val cands = prefix.select(col("blk"), col("tok"), col("id").as("id_a"))
+      .join(prefix.select(col("blk"), col("tok"), col("id").as("id_b")), Seq("blk", "tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sides = base.select(col("id"), col("words"))
+    cands
+      .join(sides.select(col("id").as("id_a"), col("words").as("wa")), Seq("id_a"))
+      .join(sides.select(col("id").as("id_b"), col("words").as("wb")), Seq("id_b"))
+      .withColumn("jac",
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
   }
 }

@@ -54,14 +54,80 @@ object Exports {
     tables.filter(_.score > 0).groupBy(_.page).toSeq.sortBy(_._1)
       .map { case (_, cands) => cands.minBy(c => (-c.score, c.methodRank, c.cand)) }
 
-  /** All export surfaces as one DataFrame: url, txt, md, json. */
+  /** Deterministic JSON fold of one document — the layout.json surface
+    * (text_extractor_all.py:258-260): nPages + extractor + the full block
+    * tree including the Line/Span tier. Pure function, runs map-side in
+    * the SAME pass as the txt/md folds (a second to_json evaluation of the
+    * upstream extraction plus a self-join would double the most expensive
+    * stage of the whole pipeline at scale). */
+  def toJson(doc: ExtractedDoc): String = {
+    val sb = new java.lang.StringBuilder(doc.text.length * 2 + 256)
+    def str(s: String): Unit = {
+      sb.append('"')
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        c match {
+          case '"'  => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case _ =>
+            if (c < 0x20) sb.append(f"\\u$c%04x") else sb.append(c)
+        }
+        i += 1
+      }
+      sb.append('"')
+    }
+    sb.append("{\"nPages\":").append(doc.nPages)
+    sb.append(",\"extractor\":"); str(doc.extractor)
+    sb.append(",\"blocks\":[")
+    var bi = 0
+    doc.blocks.foreach { b =>
+      if (bi > 0) sb.append(',')
+      bi += 1
+      sb.append("{\"page\":").append(b.page)
+        .append(",\"idx\":").append(b.idx)
+        .append(",\"kind\":"); str(b.kind)
+      sb.append(",\"bbox\":[").append(b.x0).append(',').append(b.y0)
+        .append(',').append(b.x1).append(',').append(b.y1).append(']')
+      sb.append(",\"lines\":[")
+      var li = 0
+      b.lines.foreach { l =>
+        if (li > 0) sb.append(',')
+        li += 1
+        sb.append("{\"text\":"); str(l.text)
+        sb.append(",\"spans\":[")
+        var si = 0
+        l.spans.foreach { s =>
+          if (si > 0) sb.append(',')
+          si += 1
+          sb.append("{\"text\":"); str(s.text)
+          sb.append(",\"font\":"); str(s.font)
+          sb.append(",\"size\":").append(s.size)
+          sb.append(",\"color\":[").append(s.colorR).append(',')
+            .append(s.colorG).append(',').append(s.colorB).append(']')
+          sb.append(",\"style\":{\"superscript\":").append(s.superscript)
+            .append(",\"italic\":").append(s.italic)
+            .append(",\"serif\":").append(s.serif)
+            .append(",\"monospace\":").append(s.monospace)
+            .append(",\"bold\":").append(s.bold).append("}}")
+        }
+        sb.append("]}")
+      }
+      sb.append("]}")
+    }
+    sb.append("]}")
+    sb.toString
+  }
+
+  /** All export surfaces as one DataFrame: url, txt, md, json — ONE typed
+    * map over one extraction pass, zero shuffle (the previous shape
+    * evaluated the extraction twice and re-joined itself on url). */
   def exportAll(docs: Dataset[ExtractedDoc]): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.map(d => (d.url, d.text, toMarkdown(d)))
-      .toDF("url", "txt", "md")
-      .join(
-        docs.select(col("url"),
-          to_json(struct(col("nPages"), col("extractor"), col("blocks"))).as("json")),
-        "url")
+    docs.map(d => (d.url, d.text, toMarkdown(d), toJson(d)))
+      .toDF("url", "txt", "md", "json")
   }
 }

@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * df.align with fill "") then precision/recall from cell equality (A4),
   * per-doc unweighted means (A5, NaN-parity when a side is empty).
   *
-  * The golden side is always small relative to predictions → broadcast.
+  * The golden side is small in the reference (10 pages) but is NOT
+  * guaranteed small for arbitrary callers — no unconditional broadcast
+  * hint: AQE picks broadcast at runtime when the golden side fits
+  * (spark.sql.adaptive.autoBroadcastJoinThreshold), and falls back to a
+  * shuffle join instead of a driver OOM when it doesn't.
   */
 object MetricsJob {
 
@@ -20,7 +24,7 @@ object MetricsJob {
     * the reference's skip-missing pairing (error_rate_detection.py:60-75). */
   def textMetrics(spark: SparkSession, golden: DataFrame, pred: DataFrame): DataFrame = {
     import spark.implicits._
-    val joined = broadcast(golden.select(col("url"), col("text").as("gt")))
+    val joined = golden.select(col("url"), col("text").as("gt"))
       .join(pred.select(col("url"), col("text").as("hyp")), Seq("url"))
     joined.as[(String, String, String)].map { case (url, gt, hyp) =>
       (url, TextMetrics.wer(gt, hyp), TextMetrics.cer(gt, hyp),

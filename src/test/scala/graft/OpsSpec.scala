@@ -55,6 +55,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - truth) < 0.15, s"est=$est truth=$truth")
   }
 
+  test("jaccard prefix filter matches the naive all-pairs result exactly (recall 1)") {
+    import spark.implicits._
+    // deterministic corpus of overlapping word sets: doc i shares a sliding
+    // vocabulary window with its neighbors, plus exact planted near-dups
+    val rows = (0 until 80).map { i =>
+      val words = (0 until 40).map(k => s"w${(i * 3 + k) % 150}")
+      (i.toLong, s"src${i % 4}", words.mkString(" "))
+    } ++ (0 until 80 by 10).map { i =>
+      val words = (0 until 40).map(k => if (k == 7) "XX" else s"w${(i * 3 + k) % 150}")
+      (1000L + i, s"src${i % 4}", words.mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "source", "text")
+    def naive = {
+      val docs = d.select($"doc_id", $"source", array_distinct(split($"text", " ")).as("words"))
+      val a = docs.select($"source", $"doc_id".as("id_a"), $"words".as("wa"))
+      val b = docs.select($"source", $"doc_id".as("id_b"), $"words".as("wb"))
+      a.join(b, Seq("source")).filter($"id_a" < $"id_b")
+        .withColumn("jac", size(array_intersect($"wa", $"wb")).cast("double") /
+          size(array_union($"wa", $"wb")).cast("double"))
+        .filter($"jac" >= 0.8)
+        .select($"id_a", $"id_b", round($"jac", 4).as("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val fast = Dedup.jaccardPrefixPairs(d, "source", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty, "test corpus must contain qualifying pairs")
+    assert(fast == naive, s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+  }
+
   test("simhash: identical → distance 0; near → small; far → large") {
     val a = (1 to 80).map(i => s"w$i").mkString(" ")
     val b = (1 to 80).map(i => if (i % 40 == 0) s"B$i" else s"w$i").mkString(" ")

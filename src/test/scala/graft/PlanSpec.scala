@@ -73,6 +73,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exportAll is one narrow pass — zero Exchange, no self-join") {
+    val pages = graft.gen.PagesTable.pagesDF(spark, 40)
+    val docs = graft.spark.ExtractJob.extractDocs(spark, pages)
+    val p = plan(graft.spark.Exports.exportAll(docs), "simple")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("minhash signatures have no single-partition global window") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Dedup.minhashSignaturesSql(d), "simple")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("jaccard prefix pairs never plan a cartesian product") {
+    val p = plan(SparkEntry.queries("q_jaccard_pairs")(spark, sf), "simple")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("exact dedup shuffles only hash+length, not the text") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.Dedup.exact(d), "formatted")
