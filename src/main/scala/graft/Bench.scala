@@ -74,13 +74,24 @@ object Bench {
         if (ctl > bestCtl) bestCtl = ctl
         r += 1
       }
-      println(f"GRAFT_THR $best%.1f GRAFT_CTL $bestCtl%.3f")
+      println(f"GRAFT_THR $best%.1f GRAFT_CTL $bestCtl%.3f GRAFT_RSS ${peakRssMb()}%.1f")
     } finally spark.stop()
   }
 
+  /** Peak resident set of THIS process (VmHWM), MB — the A8 memory metric
+    * (the reference reports per-filing peak RSS, benchmark_report.md:26-38).
+    * Sampled after the timed reps so it covers the whole extraction run. */
+  private def peakRssMb(): Double =
+    try {
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/self/status"))
+        .asScala.find(_.startsWith("VmHWM"))
+        .map(_.replaceAll("[^0-9]", "").toDouble / 1024.0).getOrElse(-1.0)
+    } catch { case _: Exception => -1.0 }
+
   /** Spawn a child JVM for one parallelism level; returns
-    * (extraction docs/s, control Gop/s) sampled in the same window. */
-  private def spawnPhase(cores: Int, pagesDir: String, reps: Int): (Double, Double) = {
+    * (extraction docs/s, control Gop/s, peak RSS MB) sampled in the same
+    * window. */
+  private def spawnPhase(cores: Int, pagesDir: String, reps: Int): (Double, Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala
@@ -99,8 +110,9 @@ object Bench {
     out.linesIterator.collectFirst {
       case l if l.startsWith("GRAFT_THR ") =>
         val parts = l.split(" ")
-        (parts(1).toDouble, parts(3).toDouble)
-    }.getOrElse((0.0, 0.0))
+        (parts(1).toDouble, parts(3).toDouble,
+          if (parts.length > 5) parts(5).toDouble else -1.0)
+    }.getOrElse((0.0, 0.0, -1.0))
   }
 
   /** Pure-ALU control: how well does THIS BOX scale threads at all?
@@ -159,8 +171,8 @@ object Bench {
     // in its own window for fair normalization.
     ensurePages(pagesDir, benchDocs, sizeBoost)
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
-    val lowSamples = Vector.newBuilder[(Double, Double)]
-    val highSamples = Vector.newBuilder[(Double, Double)]
+    val lowSamples = Vector.newBuilder[(Double, Double, Double)]
+    val highSamples = Vector.newBuilder[(Double, Double, Double)]
     var round = 0
     while (round < rounds) {
       lowSamples += spawnPhase(lowCores, pagesDir, reps)
@@ -170,10 +182,11 @@ object Bench {
     val lows = lowSamples.result(); val highs = highSamples.result()
     val thrLow = lows.map(_._1).max;  val ctlLow = lows.map(_._2).max
     val thrHigh = highs.map(_._1).max; val ctlHigh = highs.map(_._2).max
+    val rssLow = lows.map(_._3).max;  val rssHigh = highs.map(_._3).max
     val efficiency = if (thrLow > 0) thrHigh / thrLow / 4.0 else 0.0
     val ctlEff = if (ctlLow > 0) ctlHigh / ctlLow / 4.0 else 0.0
     val normalized = if (ctlEff > 0) efficiency / ctlEff else 0.0
-    def fmtSamples(xs: Vector[(Double, Double)]): String =
+    def fmtSamples(xs: Vector[(Double, Double, Double)]): String =
       xs.map(x => f"${x._1}%.0f").mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -186,6 +199,8 @@ object Bench {
       s""""extract_thr_samples_n$lowCores":${fmtSamples(lows)},""" +
       s""""extract_thr_samples_n${lowCores * 4}":${fmtSamples(highs)},""" +
       s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
+      s""""extract_peak_rss_mb_n$lowCores":${f"$rssLow%.1f"},""" +
+      s""""extract_peak_rss_mb_n${lowCores * 4}":${f"$rssHigh%.1f"},""" +
       s""""cpu_control_gops_n$lowCores":${f"$ctlLow%.2f"},""" +
       s""""cpu_control_gops_n${lowCores * 4}":${f"$ctlHigh%.2f"},""" +
       s""""cpu_control_efficiency":${f"$ctlEff%.3f"},""" +
