@@ -128,6 +128,7 @@ object SparkEntry {
       .withColumn("scale", explode(array(lit(1.0), lit(1000.0))))
       .withColumn("scaled", col("l_extendedprice") * col("scale"))
       .withColumn("band", explode(graft.spark.ValidateJob.probeKeys(col("scaled"))))
+      .filter(col("band.regime") >= 0)
     cells.join(broadcast(facts), "band")
       .filter(abs(col("scaled") - col("p_retailprice")) <=
         greatest(lit(0.01), lit(0.001) * abs(col("p_retailprice"))))
@@ -163,12 +164,23 @@ object SparkEntry {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
-  /** Word-set Jaccard near-dup pairs within a `source` bucket, via exact-
-    * recall prefix filtering (Dedup.jaccardPrefixPairs) — identical result
-    * set to the naive all-pairs oracle, but candidates come from rare-token
-    * equi-joins instead of an O(bucket²) self-join. */
+  /** Word-set Jaccard near-dup pairs within a `source` bucket. Strategy is
+    * cost-based (Dedup.jaccardAdaptivePairs): small blocks → optimal plain
+    * blocked join; large blocks → exact-recall prefix filtering
+    * (Dedup.jaccardPrefixPairs, the O(block²) guard). Either path yields
+    * the identical result set as the naive all-pairs oracle. */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.jaccardPrefixPairs(t(s, dir, "documents"), "source", threshold = 0.8)
+    graft.ops.Dedup.jaccardAdaptivePairs(t(s, dir, "documents"), "source", threshold = 0.8)
+
+  /** Near-dup cluster resolution: connected components over the exact
+    * jaccard pair graph (min-label propagation) — "keep one doc per
+    * near-dup group". Oracled by a DuckDB recursive CTE over the same
+    * edges. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.ops.Dedup.jaccardAdaptivePairs(docs, "source", threshold = 0.8).cache()
+    graft.ops.Dedup.dedupClusters(docs, pairs)
+  }
 
   /** Token counting + quality scoring (length / word-length / stopword ratio). */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
@@ -353,8 +365,12 @@ object SparkEntry {
   private def xValidate(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4))
     val best = graft.spark.ExtractJob.bestTables(docs)
+    // cache: both the fact derivation and the banded join consume `cells`,
+    // and without it each side re-runs the full extraction upstream — the
+    // cells inventory is tiny relative to the parse it saves
     val cells = best.select(col("url"), col("page"), explode(col("cells")).as("c"))
       .select(col("url"), col("page"), col("c.r").as("r"), col("c.c").as("c"), col("c.v").as("v"))
+      .cache()
     val parse = udf((v: String) => graft.core.TextMetrics.parseNumeric(v))
     val facts = cells.withColumn("value0", parse(col("v")))
       .filter(col("value0").isNotNull && (col("r") + col("c")) % 3 === 0)
@@ -408,6 +424,7 @@ object SparkEntry {
     "q_set_except"       -> qSetExcept _,
     "q_theta_band"       -> qThetaBand _,
     "q_dedup_exact"      -> qDedupExact _,
+    "q_dedup_clusters"   -> qDedupClusters _,
     "q_scalar_funcs"     -> qScalarFuncs _,
     "q_jaccard_pairs"    -> qJaccardPairs _,
     "q_text_quality"     -> qTextQuality _,
@@ -559,6 +576,22 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words
+        |      FROM documents),
+        |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |          / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+        |edges AS (SELECT ia AS s, ib AS t FROM e UNION ALL SELECT ib, ia FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT eg.t, r.lbl FROM reach r JOIN edges eg ON eg.s = r.id
+        |  WHERE r.lbl < eg.t)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT doc_id,
         |  (doc_id * 99991) % 16777216 >> 16 & 255 AS r,

@@ -169,7 +169,12 @@ object Dedup {
       .as[String].rdd.zipWithIndex()
       .map { case (t, i) => (t, i + 1L) }
       .toDF("tok", "code")
-    val joined = toks.join(dict, "tok")
+      .persist()
+    // RDD-derived frames carry no stats, so AQE cannot see that a small
+    // dictionary fits in a broadcast — probe the (already materialized)
+    // count and hint explicitly; large dictionaries take the shuffle join.
+    val dictSide = if (dict.count() <= 1000000L) broadcast(dict) else dict
+    val joined = toks.join(dictSide, "tok")
     val aggs = MinhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("code") * a + b, lit(MinhashP))).as(s"h$j")
     }
@@ -236,6 +241,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Resolve near-duplicate PAIRS into clusters — the step between pair
+    * detection and "keep one document per near-dup group": every doc gets
+    * the smallest doc id reachable through the pair graph (connected
+    * components via min-label propagation), so dedup = keep rows where
+    * cluster_id == id. Each round is a hash join + min-aggregate — no
+    * driver-side graph, no all-pairs work; rounds are bounded by the
+    * component diameter (near-dup clusters are shallow). Labels converge
+    * monotonically, so the fixpoint is unique and deterministic.
+    * Output: (idCol, cluster_id). */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = docs.select(col(idCol).as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).persist()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val viaEdges = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(done, s"dedupClusters did not converge in $maxIter rounds")
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
+  /** Word-set Jaccard pairs, strategy chosen by a cost probe — the CBO
+    * decision a real engine makes: when the largest block is small, the
+    * plain blocked self-join is OPTIMAL (one shuffle, no candidate
+    * machinery); when any block is large, O(block²) would never finish and
+    * [[jaccardPrefixPairs]] takes over. The stats probe is one tiny
+    * aggregate over the blocking column. Both paths produce the identical
+    * result set. */
+  def jaccardAdaptivePairs(docs: DataFrame, blockCol: String, threshold: Double,
+      maxNaiveBlock: Long = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val maxBlock = docs.groupBy(col(blockCol)).count()
+      .agg(max(col("count"))).head().getLong(0)
+    if (maxBlock <= maxNaiveBlock)
+      jaccardBlockedPairs(docs, blockCol, threshold, idCol, textCol)
+    else
+      jaccardPrefixPairs(docs, blockCol, threshold, idCol, textCol)
+  }
+
+  /** Naive blocked self-join — optimal for small blocks. Jaccard uses
+    * |a∩b| / (|a|+|b|−|a∩b|): one hash-set pass per pair instead of
+    * computing both intersect and union (arrays are distinct, so the
+    * identity is exact and the result matches the |union| formulation). */
+  def jaccardBlockedPairs(docs: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("words"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("words").as("wa"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("words").as("wb"))
+    val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("jac",
+        inter / (size(col("wa")) + size(col("wb")) - inter))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
   /** Word-set Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin family,
     * Bayardo et al., WWW 2007) — exact-recall candidate generation, no
     * all-pairs join anywhere:
@@ -272,12 +348,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sides = base.select(col("id"), col("words"))
+    val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
     cands
       .join(sides.select(col("id").as("id_a"), col("words").as("wa")), Seq("id_a"))
       .join(sides.select(col("id").as("id_b"), col("words").as("wb")), Seq("id_b"))
       .withColumn("jac",
-        size(array_intersect(col("wa"), col("wb"))).cast("double") /
-          size(array_union(col("wa"), col("wb"))).cast("double"))
+        inter / (size(col("wa")) + size(col("wb")) - inter))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
   }

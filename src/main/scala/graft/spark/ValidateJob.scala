@@ -62,18 +62,22 @@ object ValidateJob {
 
   /** All band keys a probing value must search: ±1 band in each regime the
     * value sits near (both regimes inside the boundary slack, since a
-    * within-tolerance partner can land on the other side of the split). */
-  def probeKeys(v: Column): Column = concat(
-    filter(
-      transform(sequence(lit(-1L), lit(1L)),
-        d => struct(lit(0).as("regime"), (absBandOf(v) + d).as("band"))),
-      _ => abs(v) < RegimeSplit + 1.0),
-    filter(
-      transform(sequence(lit(-1L), lit(1L)),
-        d => struct(
-          when(v >= 0, lit(1)).otherwise(lit(2)).as("regime"),
-          (logBandOf(v) + d).as("band"))),
-      _ => abs(v) > RegimeSplit - 1.0))
+    * within-tolerance partner can land on the other side of the split).
+    * Built as a flat 6-element array of plain when/struct expressions —
+    * higher-order functions (transform/filter) have no doGenCode and would
+    * break the probe side out of whole-stage codegen. Entries for a regime
+    * the value is NOT near carry regime = -1: no fact key ever has that
+    * regime, so they can never join; callers should still drop them right
+    * after the explode to halve the probe rows. */
+  def probeKeys(v: Column): Column = {
+    val absRegime = when(abs(v) < RegimeSplit + 1.0, lit(0)).otherwise(lit(-1))
+    val logRegime = when(abs(v) > RegimeSplit - 1.0,
+      when(v >= 0, lit(1)).otherwise(lit(2))).otherwise(lit(-1))
+    val entries =
+      (-1 to 1).map(d => struct(absRegime.as("regime"), (absBandOf(v) + d).as("band"))) ++
+      (-1 to 1).map(d => struct(logRegime.as("regime"), (logBandOf(v) + d).as("band")))
+    array(entries: _*)
+  }
 
   /** cells(url, page, r, c, v:string) × facts(url, concept, value:double) →
     * matches(url, page, r, c, cell_value, concept, fact_value, scale,
@@ -88,6 +92,7 @@ object ValidateJob {
         col("cell_value"), explode(typedLit(Scales)).as("scale"))
       .withColumn("scaled", col("cell_value") * col("scale"))
       .withColumn("bk", explode(probeKeys(col("scaled"))))
+      .filter(col("bk.regime") >= 0)
     val bandedFacts = facts
       .select(col("url"), col("concept"), col("value").as("fact_value"))
       .withColumn("bk", bandKey(col("fact_value")))

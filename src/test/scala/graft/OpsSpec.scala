@@ -84,6 +84,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast == naive, s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
   }
 
+  test("dedup clusters: min-label propagation resolves components deterministically") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // chain 1-2-3 (via transitivity, never a direct 1-3 pair), pair 10-11,
+    // 12 bridging 11 at the end of a chain, 4 isolated
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 1.0), (11L, 12L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.dedupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // dedup = keep representative per cluster
+    assert(out.count { case (id, c) => id == c } == 3)
+  }
+
   test("simhash: identical → distance 0; near → small; far → large") {
     val a = (1 to 80).map(i => s"w$i").mkString(" ")
     val b = (1 to 80).map(i => if (i % 40 == 0) s"B$i" else s"w$i").mkString(" ")
