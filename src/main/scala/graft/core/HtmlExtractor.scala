@@ -106,6 +106,12 @@ object HtmlExtractor {
     }
 
     private def mkSpans(text: String): Vector[Span] = {
+      // fast path — unstyled block (the overwhelming majority): one span
+      // over the whole text, no substring copy
+      if (spanMarks.length == 1 && spanMarks(0)._2 == 0)
+        return Vector(Span(text, "", 0.0, 0, 0, 0,
+          superscript = false, italic = false, serif = false,
+          monospace = false, bold = false))
       val out = Vector.newBuilder[Span]
       var mi = 0
       while (mi < spanMarks.length) {

@@ -43,6 +43,7 @@ object PdfLayout {
     val blocks = Vector.newBuilder[Block]
     val tables = Vector.newBuilder[TableCand]
     val images = Vector.newBuilder[ImageRef]
+    val styleOf = new java.util.HashMap[String, (Boolean, Boolean, Boolean, Boolean)](8)
     pages.foreach { p =>
       val allLines = baselineLines(p.runs)
       val (tableRegions, proseLines) = splitTables(allLines)
@@ -50,7 +51,7 @@ object PdfLayout {
       // scope (reading order never jumps upward inside a block)
       val leaves = xyCutLeaves(proseLines.flatten, avgSize(p.runs))
       leaves.flatMap(leaf => toBlocks(toLines(leaf))).foreach { lns =>
-        val lineObjs = mkLines(lns)
+        val lineObjs = mkLines(lns, styleOf)
         if (lineObjs.nonEmpty) {
           blocks += mkBlock(p, blockIdx, classify(lns, p.height), lns, lineObjs)
           blockIdx += 1
@@ -61,7 +62,7 @@ object PdfLayout {
         val cands = tableCandidates(region, p.num, tableIdx)
         cands.foreach(tables += _)
         tableIdx += cands.length
-        val lineObjs = mkLines(region)
+        val lineObjs = mkLines(region, styleOf)
         if (lineObjs.nonEmpty) {
           blocks += mkBlock(p, blockIdx, BlockKind.Table, region, lineObjs)
           blockIdx += 1
@@ -85,21 +86,27 @@ object PdfLayout {
   /** Span of one run: style flags from the font name + Ts rise
     * (decode_font_flags parity, text_extractor_all.py:55-62); color is the
     * fill color at show time (int_to_rgb parity, :40-46). Span text stays
-    * raw — normalization applies to the LINE text only. */
-  private def mkSpan(r: TextRun): Span = {
-    val (bold, italic, serif, mono) = PdfParser.fontStyle(r.font)
+    * raw — normalization applies to the LINE text only. `styleOf` memoizes
+    * the name-based flag decode: a document has a handful of distinct
+    * fonts but thousands of runs, and the substring scans were measurable
+    * on the hot path. */
+  private def mkSpan(r: TextRun,
+      styleOf: java.util.HashMap[String, (Boolean, Boolean, Boolean, Boolean)]): Span = {
+    var st = styleOf.get(r.font)
+    if (st == null) { st = PdfParser.fontStyle(r.font); styleOf.put(r.font, st) }
     Span(r.text, r.font, r.size, r.colorR, r.colorG, r.colorB,
-      superscript = r.rise > 0, italic = italic, serif = serif,
-      monospace = mono, bold = bold)
+      superscript = r.rise > 0, italic = st._2, serif = st._3,
+      monospace = st._4, bold = st._1)
   }
 
   /** The Line tier: one Line per layout line with non-empty normalized
     * text — the reference keeps `line_text.strip()` truthy lines only
     * (text_extractor_all.py:246-249). */
-  private def mkLines(lns: Vector[Vector[TextRun]]): Vector[Line] =
+  private def mkLines(lns: Vector[Vector[TextRun]],
+      styleOf: java.util.HashMap[String, (Boolean, Boolean, Boolean, Boolean)]): Vector[Line] =
     lns.flatMap { ln =>
       val t = HtmlExtractor.normText(lineText(ln))
-      if (t.isEmpty) None else Some(Line(t, ln.map(mkSpan)))
+      if (t.isEmpty) None else Some(Line(t, ln.map(r => mkSpan(r, styleOf))))
     }
 
   /** Single-pass geometry + font stats over a block's runs (these were the

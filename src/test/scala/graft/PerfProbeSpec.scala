@@ -1,0 +1,44 @@
+package graft
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.gen.FixtureGen
+
+class PerfProbeSpec extends AnyFunSuite {
+  ignore("perf probe: single-thread extraction microbench (opt-in diagnostic — flip to test() to run)") {
+    val rows = (0L until 2000L).map(i => FixtureGen.fixture(i, 8).row).toVector
+    val html = rows.filter(r => r.html.nonEmpty && !PdfParser.isPdf(r.html))
+    val pdf = rows.filter(r => PdfParser.isPdf(r.html))
+    def time(rs: Vector[PageRow], passes: Int = 5): Double = {
+      var best = Double.MaxValue
+      for (_ <- 0 until passes) {
+        val t0 = System.nanoTime()
+        var i = 0; var acc = 0L
+        while (i < rs.length) { acc += Extractor.extract(rs(i)).text.length; i += 1 }
+        val us = (System.nanoTime() - t0) / 1000.0 / rs.length
+        if (us < best) best = us
+        if (acc == -1) println("")
+      }
+      best
+    }
+    // tokenizer-only lower bound (null sink)
+    def timeTok(rs: Vector[PageRow]): Double = {
+      val sink = new HtmlTokenizer.Sink {
+        override def startTag(n: String, sc: Boolean): Unit = ()
+        override def endTag(n: String): Unit = ()
+        override def textChunk(s: String, a: Int, b: Int): Unit = ()
+        override def textStr(s: String): Unit = ()
+      }
+      var best = Double.MaxValue
+      for (_ <- 0 until 5) {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < rs.length) { HtmlTokenizer.tokenize(rs(i).html, sink); i += 1 }
+        val us = (System.nanoTime() - t0) / 1000.0 / rs.length
+        if (us < best) best = us
+      }
+      best
+    }
+    val h = time(html); val p = time(pdf); val tk = timeTok(html)
+    println(f"PERF html ${h}%.1f us/doc (tokenize-only ${tk}%.1f) pdf ${p}%.1f us/doc")
+  }
+}
