@@ -39,6 +39,27 @@ object StreamingExtract {
       .groupBy(window(col("warcTs"), "1 minute"), col("extractor"))
       .agg(count(lit(1)).as("docs"), sum(when(col("usedFallback"), 1L).otherwise(0L)).as("fallbacks"))
 
+  /** Streaming exact dedup over the page stream: first-seen wins per
+    * (payload hash, length) — the streaming face of Dedup.exact. State is
+    * the dedup key set, bounded by the event-time watermark: a duplicate
+    * arriving within `horizon` of its original is dropped, later ones
+    * (beyond state expiry) pass through — the standard watermark/state
+    * tradeoff for unbounded streams. Only the 16-byte key enters state,
+    * never the text (same scale rule as the batch op). */
+  def dedupStream(spark: SparkSession, pages: Dataset[PageRow],
+      horizon: String = "10 minutes"): Dataset[PageRow] = {
+    import spark.implicits._
+    pages
+      .withColumn("dedup_hash", xxhash64(coalesce(col("html"), lit(Array.emptyByteArray)),
+        coalesce(col("text"), lit(""))))
+      .withColumn("dedup_len",
+        length(coalesce(col("text"), lit(""))) + octet_length(coalesce(col("html"), lit(Array.emptyByteArray))))
+      .withWatermark("warc_ts", horizon)
+      .dropDuplicatesWithinWatermark("dedup_hash", "dedup_len")
+      .drop("dedup_hash", "dedup_len")
+      .as[PageRow]
+  }
+
   /** File-source job: watch a directory of pages parquet, append extracted
     * parquet exactly-once via checkpoint. */
   def run(spark: SparkSession, sourceDir: String, outDir: String,

@@ -169,6 +169,23 @@ class CoreExtractionSpec extends AnyFunSuite {
     assert(blocks.exists(_.lines.exists(_.text == "italic body 1")))
   }
 
+  test("html: inline style tags produce styled spans that partition the block text") {
+    val html = "<html><body><p>plain <b>bold <i>both</i></b> tail <code>mono</code> x<sup>2</sup></p></body></html>"
+    val blocks = HtmlExtractor.extract(html).blocks
+    assert(blocks.length == 1)
+    val line = blocks.head.lines.head
+    assert(line.text == blocks.head.text)
+    // spans partition the text exactly, in order
+    assert(line.spans.map(_.text).mkString == line.text)
+    def spanOf(t: String) = line.spans.find(_.text == t).get
+    assert(!spanOf("plain").bold)
+    assert(spanOf(" bold").bold && !spanOf(" bold").italic)
+    assert(spanOf(" both").bold && spanOf(" both").italic)
+    assert(!spanOf(" tail").bold && !spanOf(" tail").italic)
+    assert(spanOf(" mono").monospace)
+    assert(spanOf("2").superscript)
+  }
+
   test("pdf: FlateDecode streams parse identically to raw") {
     val content = "BT /F1 12 Tf 50 600 Td (compressed text) Tj ET"
     val raw = FixtureGen.buildPdf(Vector(content), compress = false)

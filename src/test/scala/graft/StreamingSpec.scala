@@ -41,6 +41,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     fixtures.foreach(f => assert(got(f.row.url) == f.golden, f.row.url))
   }
 
+  test("streaming exact dedup drops in-horizon duplicates, first-seen wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[PageRow]
+    val q = StreamingExtract.dedupStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("dedup_mem").outputMode("append").start()
+    // nonempty payloads only: "empty" fixtures are genuine byte-duplicates
+    // of each other and would (correctly) collapse
+    val pool = FixtureGen.fixtures(30)
+      .filter(x => x.row.html.nonEmpty || x.row.text.nonEmpty)
+    val f = pool.take(10)
+    // base well above epoch 0: Spark's initial watermark is 0, and rows at
+    // event time 0 would be classed late and dropped by the stateful op
+    def at(row: PageRow, sec: Long): PageRow =
+      row.copy(warc_ts = new java.sql.Timestamp(FixtureGen.Epoch + sec * 1000L))
+    // batch 1: originals
+    stream.addData(f.map(r => at(r.row, 0)))
+    q.processAllAvailable()
+    // batch 2: byte-identical duplicates under different urls, in horizon —
+    // all dropped; plus one genuinely new page — kept
+    val dups = f.take(5).map(x =>
+      at(x.row.copy(url = x.row.url + "#dup"), 60))
+    val fresh = at(pool.last.row, 60)
+    stream.addData(dups :+ fresh)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_mem").select($"url").as[String].collect().toSet
+    assert(got.size == 11)
+    assert(got.contains(fresh.url))
+    assert(!got.exists(_.endsWith("#dup")), got.filter(_.endsWith("#dup")))
+  }
+
   test("file-source streaming job appends exactly-once and resumes") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
