@@ -172,6 +172,16 @@ object SparkEntry {
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.jaccardAdaptivePairs(t(s, dir, "documents"), "source", threshold = 0.8)
 
+  /** Full dedup chain (exact → MinHash/LSH pairs → connected components →
+    * representatives) over a corpus with planted exact + near duplicates.
+    * Rows-only (LSH banding is probabilistic); OpsSpec asserts the planted
+    * dups collapse. */
+  private def xDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = withNearDups(t(s, dir, "documents"))
+    graft.ops.Dedup.dedupCorpus(docs, threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup cluster resolution: connected components over the exact
     * jaccard pair graph (min-label propagation) — "keep one doc per
     * near-dup group". Oracled by a DuckDB recursive CTE over the same
@@ -425,6 +435,7 @@ object SparkEntry {
     "q_theta_band"       -> qThetaBand _,
     "q_dedup_exact"      -> qDedupExact _,
     "q_dedup_clusters"   -> qDedupClusters _,
+    "x_dedup_pipeline"   -> xDedupPipeline _,
     "q_scalar_funcs"     -> qScalarFuncs _,
     "q_jaccard_pairs"    -> qJaccardPairs _,
     "q_text_quality"     -> qTextQuality _,

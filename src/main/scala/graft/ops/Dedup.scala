@@ -276,6 +276,28 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 
+  /** The full dedup chain as one operator — what a training-data pipeline
+    * actually runs per corpus snapshot:
+    *  1. exact dedup (hash-groupBy, 16-byte shuffle keys) collapses
+    *     byte-identical docs to their smallest id;
+    *  2. MinHash+LSH near-dup pairs over the exact representatives;
+    *  3. connected components resolve pairs into clusters;
+    *  4. keep the smallest id per cluster.
+    * Returns (idCol, cluster_id, is_representative): filter on
+    * is_representative for the deduplicated corpus; the full mapping keeps
+    * the removal decision auditable (lineage of WHY a doc was dropped). */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exactReps = docs
+      .groupBy(xxhash64(col(textCol)).as("h"), length(col(textCol)).as("l"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+      .join(docs, Seq(idCol))
+    val pairs = minhashLsh(exactReps, threshold, idCol = idCol, textCol = textCol)
+    dedupClusters(exactReps, pairs, idCol)
+      .withColumn("is_representative", col(idCol) === col("cluster_id"))
+  }
+
   /** Word-set Jaccard pairs, strategy chosen by a cost probe — the CBO
     * decision a real engine makes: when the largest block is small, the
     * plain blocked self-join is OPTIMAL (one shuffle, no candidate

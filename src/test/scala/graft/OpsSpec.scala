@@ -99,6 +99,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count { case (id, c) => id == c } == 3)
   }
 
+  test("dedupCorpus chain: exact dups collapse, near dups cluster, representatives kept") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val far = (1 to 60).map(i => s"z$i").mkString(" ")
+    val d = docsDF(Seq(
+      (1L, base), (2L, base),      // exact dup of 1
+      (3L, near),                  // near dup of 1
+      (4L, far), (5L, far + " x")  // distinct cluster + near-ish? no: jaccard(far, far+x) high
+    ))
+    val out = Dedup.dedupCorpus(d, threshold = 0.5)
+      .select($"doc_id", $"cluster_id", $"is_representative")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // 2 never reaches clustering (exact-collapsed into 1); 3 clusters with 1
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(!byId.contains(2L))
+    assert(byId(1L) == ((1L, 1L, true)))
+    assert(byId(3L) == ((3L, 1L, false)))
+    assert(byId(4L)._3 || byId(5L)._3) // one representative in the far cluster
+    assert(out.count(_._3) == 2)       // exactly two clusters remain
+  }
+
   test("simhash: identical → distance 0; near → small; far → large") {
     val a = (1 to 80).map(i => s"w$i").mkString(" ")
     val b = (1 to 80).map(i => if (i % 40 == 0) s"B$i" else s"w$i").mkString(" ")
