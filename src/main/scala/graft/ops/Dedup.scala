@@ -255,25 +255,46 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = docs.select(col(idCol).as("id")).distinct()
+    // Only edge ENDPOINTS can ever change label; isolated docs (at corpus
+    // scale, nearly all of them) never enter the iteration and rejoin at
+    // the end with cluster_id = own id.
+    var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
-    var done = false
+    var done = prevSum.signum() == 0 && labels.isEmpty // no edges at all
     while (!done && iter < maxIter) {
+      // one min-propagation hop along edges...
       val viaEdges = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(viaEdges)
+      val hop = labels.unionByName(viaEdges)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      // ...then one pointer jump (lbl := lbl's own lbl): a label is always
+      // a reachable endpoint id, so chasing it doubles the effective hop —
+      // convergence in O(log component) rounds instead of O(diameter)
+      val next = hop.as("a")
+        .join(hop.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("a.lbl") === col("jid"), "left")
+        .select(col("a.id").as("id"), least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
         .persist()
-      done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).isEmpty
+      // labels decrease monotonically, so the (exact, decimal) label sum is
+      // a strict change witness — one aggregate per round, no diff join
+      val s = labelSum(next)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
     require(done, s"dedupClusters did not converge in $maxIter rounds")
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
   /** The full dedup chain as one operator — what a training-data pipeline

@@ -26,8 +26,10 @@ object Exports {
     doc.blocks.foreach { b =>
       if (b.page != page) { page = b.page; sb ++= s"\n## Page $page\n" }
       b.kind match {
-        case BlockKind.Title     => sb ++= s"\n# ${b.text}\n"
-        case BlockKind.Heading   => sb ++= s"\n## ${b.text}\n"
+        // md headers are single-line: a multi-line heading block folds to
+        // one line here (the txt surface keeps the line structure)
+        case BlockKind.Title     => sb ++= s"\n# ${b.text.replace('\n', ' ')}\n"
+        case BlockKind.Heading   => sb ++= s"\n## ${b.text.replace('\n', ' ')}\n"
         case BlockKind.Paragraph => sb ++= s"\n${b.text}\n"
         case BlockKind.Table     => // emitted from the scored candidates below
         case _                   => // chrome dropped, like the txt surface
