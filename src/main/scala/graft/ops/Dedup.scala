@@ -258,8 +258,12 @@ object Dedup {
     // Only edge ENDPOINTS can ever change label; isolated docs (at corpus
     // scale, nearly all of them) never enter the iteration and rejoin at
     // the end with cluster_id = own id.
+    // localCheckpoint (eager) after every round: an iterative DataFrame
+    // otherwise nests the entire previous round's plan inside the next —
+    // analyzer/optimizer time grows superlinearly with rounds and dwarfs
+    // the actual work. Checkpointing keeps each round's plan flat.
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).persist()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
@@ -273,20 +277,22 @@ object Dedup {
         .select(col("dst").as("id"), col("lbl"))
       val hop = labels.unionByName(viaEdges)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .persist()
       // ...then one pointer jump (lbl := lbl's own lbl): a label is always
       // a reachable endpoint id, so chasing it doubles the effective hop —
       // convergence in O(log component) rounds instead of O(diameter)
       val next = hop.as("a")
         .join(hop.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("a.lbl") === col("jid"), "left")
-        .select(col("a.id").as("id"), least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
-        .persist()
+        .select(col("a.id").as("id"),
+          least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      hop.unpersist()
       // labels decrease monotonically, so the (exact, decimal) label sum is
       // a strict change witness — one aggregate per round, no diff join
       val s = labelSum(next)
       done = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
       labels = next
       iter += 1
     }
