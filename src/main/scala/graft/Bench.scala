@@ -184,18 +184,24 @@ object Bench {
     val thrHigh = highs.map(_._1).max; val ctlHigh = highs.map(_._2).max
     val rssLow = lows.map(_._3).max;  val rssHigh = highs.map(_._3).max
     // Efficiency is computed PER ROUND (each round's N and 4N children run
-    // back-to-back in the same host window) and the best round wins —
-    // taking best-of-N and best-of-4N independently can pair a good window
-    // with a bad one and report drift, not scaling.
+    // back-to-back in the same host window) — taking best-of-N and
+    // best-of-4N independently can pair a good window with a bad one and
+    // report drift, not scaling. The headline round is the MEDIAN by
+    // normalized value: max-of-noisy-ratios is biased upward (a round
+    // whose control sample collapsed would win on a low denominator); all
+    // per-round triples are emitted so nothing is hidden.
     val perRound = lows.zip(highs).map { case ((tl, cl, _), (th, ch, _)) =>
       val eff = if (tl > 0) th / tl / 4.0 else 0.0
       val ctl = if (cl > 0) ch / cl / 4.0 else 0.0
       (eff, ctl, if (ctl > 0) eff / ctl else 0.0)
     }
-    val bestRound = perRound.maxBy(_._3)
-    val efficiency = bestRound._1
-    val ctlEff = bestRound._2
-    val normalized = bestRound._3
+    val headline = perRound.sortBy(_._3).apply(perRound.length / 2)
+    val efficiency = headline._1
+    val ctlEff = headline._2
+    val normalized = headline._3
+    val roundsJson = perRound.map { case (e, c, n) =>
+      f"""{"eff":$e%.3f,"ctl_eff":$c%.3f,"normalized":$n%.3f}"""
+    }.mkString("[", ",", "]")
     def fmtSamples(xs: Vector[(Double, Double, Double)]): String =
       xs.map(x => f"${x._1}%.0f").mkString("[", ",", "]")
 
@@ -214,6 +220,7 @@ object Bench {
       s""""cpu_control_gops_n$lowCores":${f"$ctlLow%.2f"},""" +
       s""""cpu_control_gops_n${lowCores * 4}":${f"$ctlHigh%.2f"},""" +
       s""""cpu_control_efficiency":${f"$ctlEff%.3f"},""" +
+      s""""scaling_rounds":$roundsJson,""" +
       s""""efficiency_vs_hw_control":${f"$normalized%.3f"}}""")
   }
 }

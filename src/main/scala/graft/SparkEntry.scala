@@ -188,7 +188,11 @@ object SparkEntry {
     * edges. */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = graft.ops.Dedup.jaccardAdaptivePairs(docs, "source", threshold = 0.8).cache()
+    // localCheckpoint, not cache(): the cluster iteration consumes the pair
+    // graph many times, and checkpointed RDDs are reclaimed by the
+    // ContextCleaner when unreferenced (cache() entries leak per invocation)
+    val pairs = graft.ops.Dedup.jaccardAdaptivePairs(docs, "source", threshold = 0.8)
+      .localCheckpoint(true)
     graft.ops.Dedup.dedupClusters(docs, pairs)
   }
 
@@ -375,12 +379,13 @@ object SparkEntry {
   private def xValidate(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4))
     val best = graft.spark.ExtractJob.bestTables(docs)
-    // cache: both the fact derivation and the banded join consume `cells`,
-    // and without it each side re-runs the full extraction upstream — the
-    // cells inventory is tiny relative to the parse it saves
+    // localCheckpoint: both the fact derivation and the banded join consume
+    // `cells`, and without it each side re-runs the full extraction
+    // upstream — the cells inventory is tiny relative to the parse it
+    // saves, and the checkpointed RDD is reclaimed once unreferenced
     val cells = best.select(col("url"), col("page"), explode(col("cells")).as("c"))
       .select(col("url"), col("page"), col("c.r").as("r"), col("c.c").as("c"), col("c.v").as("v"))
-      .cache()
+      .localCheckpoint(true)
     val parse = udf((v: String) => graft.core.TextMetrics.parseNumeric(v))
     val facts = cells.withColumn("value0", parse(col("v")))
       .filter(col("value0").isNotNull && (col("r") + col("c")) % 3 === 0)

@@ -548,8 +548,13 @@ object PdfParser {
       val s = new String(sBytes, StandardCharsets.ISO_8859_1)
       if (s.isEmpty) return
       val w = s.length * CharWidthFactor * size
-      val base = pageH - (lineY + rise)   // baseline in top-left coords
-      val yTop = base - size * 0.8        // ascent above baseline
+      // `base` is the LINE baseline (Ts rise excluded): a superscript must
+      // stay grouped with its anchor line no matter how large the rise —
+      // folding rise into the grouping key would split typical footnote
+      // markers (rise ≥ 0.3·size) onto their own line and reorder the
+      // byte-identity text surface. The drawn box (y) does honor the rise.
+      val base = pageH - lineY            // baseline in top-left coords
+      val yTop = base - rise - size * 0.8 // ascent above the RISEN position
       out += TextRun(curX, yTop, w, size, size, font, s, base,
         fillR, fillG, fillB, rise)
       curX += w

@@ -169,7 +169,11 @@ object Dedup {
       .as[String].rdd.zipWithIndex()
       .map { case (t, i) => (t, i + 1L) }
       .toDF("tok", "code")
-      .persist()
+      // eager localCheckpoint, not persist(): same materialization for the
+      // count probe below, but the backing RDD is reclaimed by the
+      // ContextCleaner once unreferenced — CacheManager entries from
+      // persist() leak across repeated invocations in one session
+      .localCheckpoint(true)
     // RDD-derived frames carry no stats, so AQE cannot see that a small
     // dictionary fits in a broadcast — probe the (already materialized)
     // count and hint explicitly; large dictionaries take the shuffle join.
@@ -310,19 +314,30 @@ object Dedup {
     *  2. MinHash+LSH near-dup pairs over the exact representatives;
     *  3. connected components resolve pairs into clusters;
     *  4. keep the smallest id per cluster.
-    * Returns (idCol, cluster_id, is_representative): filter on
-    * is_representative for the deduplicated corpus; the full mapping keeps
-    * the removal decision auditable (lineage of WHY a doc was dropped). */
+    * Returns one row PER INPUT DOC — (idCol, cluster_id,
+    * is_representative): exact duplicates map to their representative's
+    * cluster with is_representative = false, so the removal decision for
+    * EVERY doc is auditable (lineage of WHY a doc was dropped); filter on
+    * is_representative for the deduplicated corpus. */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exactReps = docs
-      .groupBy(xxhash64(col(textCol)).as("h"), length(col(textCol)).as("l"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
+    // per-doc exact-representative mapping (same 16-byte key discipline as
+    // [[exact]]: only (hash, length) crosses the shuffle, never the text)
+    val keyed = docs.select(col(idCol).as("id"),
+      xxhash64(col(textCol)).as("h"), length(col(textCol)).as("l"))
+    val docToRep = keyed
+      .withColumn("rep", min(col("id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"), col("l"))))
+      .select(col("id"), col("rep"))
+    val exactReps = docToRep.filter(col("id") === col("rep"))
+      .select(col("id").as(idCol))
       .join(docs, Seq(idCol))
     val pairs = minhashLsh(exactReps, threshold, idCol = idCol, textCol = textCol)
-    dedupClusters(exactReps, pairs, idCol)
-      .withColumn("is_representative", col(idCol) === col("cluster_id"))
+    val repClusters = dedupClusters(exactReps, pairs, idCol)
+      .select(col(idCol).as("rep"), col("cluster_id"))
+    docToRep.join(repClusters, Seq("rep"))
+      .select(col("id").as(idCol), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_representative"))
   }
 
   /** Word-set Jaccard pairs, strategy chosen by a cost probe — the CBO
@@ -335,8 +350,9 @@ object Dedup {
   def jaccardAdaptivePairs(docs: DataFrame, blockCol: String, threshold: Double,
       maxNaiveBlock: Long = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val maxBlock = docs.groupBy(col(blockCol)).count()
-      .agg(max(col("count"))).head().getLong(0)
+    val maxRow = docs.groupBy(col(blockCol)).count()
+      .agg(max(col("count"))).head()
+    val maxBlock = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     if (maxBlock <= maxNaiveBlock)
       jaccardBlockedPairs(docs, blockCol, threshold, idCol, textCol)
     else

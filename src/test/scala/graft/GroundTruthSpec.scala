@@ -42,8 +42,12 @@ class GroundTruthSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def listFiles(dir: Path, ext: String): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(ext)).sortBy(_.getFileName.toString)
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(ext)).sortBy(_.getFileName.toString)
+      finally s.close()
+    }
 
   test("reference text ground truth passes the WER/CER gates (error_test.py:12,17)") {
     import spark.implicits._

@@ -112,10 +112,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Dedup.dedupCorpus(d, threshold = 0.5)
       .select($"doc_id", $"cluster_id", $"is_representative")
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
-    // 2 never reaches clustering (exact-collapsed into 1); 3 clusters with 1
+    // every input doc appears: exact dup 2 maps THROUGH its representative
+    // to cluster 1 (auditable removal), near dup 3 clusters with 1
+    assert(out.length == 5)
     val byId = out.map(r => r._1 -> r).toMap
-    assert(!byId.contains(2L))
     assert(byId(1L) == ((1L, 1L, true)))
+    assert(byId(2L) == ((2L, 1L, false)))
     assert(byId(3L) == ((3L, 1L, false)))
     assert(byId(4L)._3 || byId(5L)._3) // one representative in the far cluster
     assert(out.count(_._3) == 2)       // exactly two clusters remain
