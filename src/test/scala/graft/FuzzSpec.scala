@@ -36,6 +36,31 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial graphics/state operators (rg, g, Ts) never crash or corrupt runs") {
+    // operator soup: wrong arities, huge/negative/NaN-ish operands, state
+    // ops interleaved with text ops — parser must stay total and the
+    // emitted spans must stay within decode ranges
+    val soups = Seq(
+      "rg\nBT (x) Tj ET",                          // no operands
+      "1 rg 2 g BT /F1 12 Tf 10 700 Td (a) Tj ET", // short arity
+      "9e9 -5 0.5 rg BT /F1 12 Tf 10 700 Td 1e9 Ts (b) Tj -1e9 Ts (c) Tj ET",
+      "0.1 0.2 0.3 rg 0.5 g BT /F2 0 Tf 10 700 Td (d) Tj ET", // size 0
+      "BT /Nope 12 Tf 10 700 Td 3 Ts (e) Tj ET",   // unresolvable font
+      (1 to 200).map(_ => "0.5 g 2 Ts").mkString(" ") + " BT (f) Tj ET")
+    soups.zipWithIndex.foreach { case (soup, i) =>
+      val bytes = FixtureGen.buildPdf(Vector(soup), compress = false)
+      val d = Extractor.extract(row(bytes, text = "fb"))
+      assert(d.extractor.startsWith("pdf"), s"soup $i → ${d.extractor}")
+      d.blocks.flatMap(_.lines).flatMap(_.spans).foreach { sp =>
+        assert(sp.colorR >= 0 && sp.colorR <= 255)
+        assert(sp.colorG >= 0 && sp.colorG <= 255)
+        assert(sp.colorB >= 0 && sp.colorB <= 255)
+      }
+      // determinism under operator soup
+      assert(Extractor.extract(row(bytes, text = "fb")) == d)
+    }
+  }
+
   test("truncated valid payloads never crash") {
     val (html, _) = FixtureGen.htmlDoc(FixtureGen.mix(FixtureGen.Seed, 3))
     val (pdf, _) = FixtureGen.pdfDoc(FixtureGen.mix(FixtureGen.Seed, 8))
