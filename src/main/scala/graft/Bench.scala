@@ -158,12 +158,17 @@ object Bench {
 
     // 1. headline queries
     val spark = session(cpus)
+    val errors = Vector.newBuilder[String]
     val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must NOT masquerade as a fast one: record -1 and list
+      // it in `errors` (a swallowed exception used to read as 0.00 s)
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => errors += name; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     spark.stop()
+    val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // 2. extraction scaling: same parquet input, N vs 4N cores, one JVM
     // each, ALTERNATED (A/B/A/B) because the sandbox's host CPU share
@@ -206,9 +211,10 @@ object Bench {
       xs.map(x => f"${x._1}%.0f").mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ > 0).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""query_errors":$errJson,""" +
       s""""extract_docs_per_sec_n$lowCores":${f"$thrLow%.1f"},""" +
       s""""extract_docs_per_sec_n${lowCores * 4}":${f"$thrHigh%.1f"},""" +
       s""""extract_bench_docs":$benchDocs,"extract_size_boost":$sizeBoost,""" +
