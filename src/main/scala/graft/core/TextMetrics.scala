@@ -12,8 +12,20 @@ package graft.core
   */
 object TextMetrics {
 
-  /** Levenshtein distance over any indexed sequence (two-row DP). */
-  def editDistance[T](a: IndexedSeq[T], b: IndexedSeq[T]): Int = {
+  /** Levenshtein distance over any indexed sequence (two-row DP).
+    * Common prefix/suffix are trimmed first: they never change the
+    * distance, and the dominant metric-stage case — regression-checking an
+    * extractor whose output matches its golden — drops from O(n²) to O(n)
+    * (identical inputs reduce to two empty sequences). */
+  def editDistance[T](a0: IndexedSeq[T], b0: IndexedSeq[T]): Int = {
+    var lo = 0
+    val maxLo = math.min(a0.length, b0.length)
+    while (lo < maxLo && a0(lo) == b0(lo)) lo += 1
+    var aHi = a0.length
+    var bHi = b0.length
+    while (aHi > lo && bHi > lo && a0(aHi - 1) == b0(bHi - 1)) { aHi -= 1; bHi -= 1 }
+    val a = a0.slice(lo, aHi)
+    val b = b0.slice(lo, bHi)
     if (a.isEmpty) return b.length
     if (b.isEmpty) return a.length
     var prev = Array.tabulate(b.length + 1)(identity)
