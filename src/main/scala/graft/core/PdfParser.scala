@@ -449,16 +449,31 @@ object PdfParser {
     }
 
   // ----- content stream interpreter ---------------------------------------
-  /** Executes text operators; emits runs in top-left coordinates. */
+  /** Executes text operators; emits runs in top-left coordinates.
+    *
+    * Coordinate model: axis-aligned subset of the PDF transform stack —
+    * scale + translation, no rotation/skew (b = c = 0 assumed; rotated
+    * text is out of scope for layout recovery here). The CTM (`cm`
+    * operator, saved/restored by q/Q) and the text matrix scale (`Tm`
+    * a/d) compose, so content drawn under `2 0 0 2 ... cm` or a scaled Tm
+    * lands at its true page position with its true effective font size —
+    * which is what the band classifier and XY-cut need. Identity defaults
+    * reproduce the plain Td/Tm-translation behavior exactly. */
   private final class ContentInterp(pageW: Double, pageH: Double,
       fonts: Map[String, String]) {
     private var size = 12.0
     private var font = ""
     private var leading = 0.0
-    private var lineX, lineY = 0.0 // text line matrix origin (bottom-left space)
+    private var lineX, lineY = 0.0 // text line matrix origin (text space)
     private var curX = 0.0
     private var fillR, fillG, fillB = 0 // nonstroking color (span color)
     private var rise = 0.0              // Ts text rise
+    // text-matrix scale (Tm a/d; translation lives in lineX/lineY)
+    private var tmA, tmD = 1.0
+    // CTM: x' = ctmA·x + ctmE ; y' = ctmD·y + ctmF, with a q/Q stack
+    private var ctmA, ctmD = 1.0
+    private var ctmE, ctmF = 0.0
+    private val gsStack = mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Int, Int, Int)]
 
     def run(content: Array[Byte]): Vector[TextRun] = {
       val out = Vector.newBuilder[TextRun]
@@ -494,7 +509,7 @@ object PdfParser {
 
     private def exec(op: String, st: mutable.ArrayBuffer[PV], out: mutable.Builder[TextRun, Vector[TextRun]]): Unit =
       op match {
-        case "BT" => lineX = 0; lineY = 0; curX = 0
+        case "BT" => lineX = 0; lineY = 0; curX = 0; tmA = 1.0; tmD = 1.0
         case "ET" =>
         case "Tf" =>
           if (st.nonEmpty) size = num(st.last)
@@ -512,27 +527,53 @@ object PdfParser {
             val v = to255(num(st.last))
             fillR = v; fillG = v; fillB = v
           }
-        case "Td" =>
-          if (st.length >= 2) { lineX += num(st(st.length - 2)); lineY += num(st.last); curX = lineX }
+        case "Td" => // displacement is in text space → scaled by the Tm scale
+          if (st.length >= 2) {
+            lineX += tmA * num(st(st.length - 2)); lineY += tmD * num(st.last)
+            curX = lineX
+          }
         case "TD" =>
           if (st.length >= 2) {
-            lineX += num(st(st.length - 2)); lineY += num(st.last)
+            lineX += tmA * num(st(st.length - 2)); lineY += tmD * num(st.last)
             leading = -num(st.last); curX = lineX
           }
         case "Tm" =>
-          if (st.length >= 6) { lineX = num(st(st.length - 2)); lineY = num(st.last); curX = lineX }
-        case "T*" => lineY -= leading; curX = lineX
+          if (st.length >= 6) {
+            tmA = num(st(st.length - 6)); tmD = num(st(st.length - 3))
+            if (tmA == 0) tmA = 1.0 // rotation/degenerate → keep axis-aligned
+            if (tmD == 0) tmD = 1.0
+            lineX = num(st(st.length - 2)); lineY = num(st.last); curX = lineX
+          }
+        case "cm" =>
+          if (st.length >= 6) {
+            val a = num(st(st.length - 6)); val d = num(st(st.length - 3))
+            val e = num(st(st.length - 2)); val f = num(st.last)
+            // compose (axis-aligned): new point maps through cm, then old CTM
+            ctmE = ctmA * e + ctmE
+            ctmF = ctmD * f + ctmF
+            if (a != 0) ctmA *= a
+            if (d != 0) ctmD *= d
+          }
+        case "q" =>
+          gsStack += ((ctmA, ctmD, ctmE, ctmF, fillR, fillG, fillB))
+        case "Q" =>
+          if (gsStack.nonEmpty) {
+            val (a, d, e, f, r, g, b) = gsStack.remove(gsStack.length - 1)
+            ctmA = a; ctmD = d; ctmE = e; ctmF = f
+            fillR = r; fillG = g; fillB = b
+          }
+        case "T*" => lineY -= tmD * leading; curX = lineX
         case "Tj" =>
           st.lastOption.foreach { case PStr(s) => emit(s, out); case _ => }
         case "'" =>
-          lineY -= leading; curX = lineX
+          lineY -= tmD * leading; curX = lineX
           st.lastOption.foreach { case PStr(s) => emit(s, out); case _ => }
         case "TJ" =>
           st.lastOption.foreach {
             case PArr(items) =>
               items.foreach {
                 case PStr(s) => emit(s, out)
-                case PNum(a) => curX -= a / 1000.0 * size
+                case PNum(a) => curX -= a / 1000.0 * size * tmA
                 case _       =>
               }
             case _ =>
@@ -547,17 +588,22 @@ object PdfParser {
       // PDFDocEncoding ≈ Latin-1 for our fixture subset
       val s = new String(sBytes, StandardCharsets.ISO_8859_1)
       if (s.isEmpty) return
-      val w = s.length * CharWidthFactor * size
+      // effective geometry composes the Tm and CTM scales; lineX/lineY/curX
+      // are pre-CTM user coordinates (Tm scale already applied via Td/T*)
+      val effSize = math.abs(size * tmD * ctmD)
+      val wUser = math.abs(s.length * CharWidthFactor * size * tmA * ctmA)
+      val xUser = ctmA * curX + ctmE
       // `base` is the LINE baseline (Ts rise excluded): a superscript must
       // stay grouped with its anchor line no matter how large the rise —
       // folding rise into the grouping key would split typical footnote
       // markers (rise ≥ 0.3·size) onto their own line and reorder the
       // byte-identity text surface. The drawn box (y) does honor the rise.
-      val base = pageH - lineY            // baseline in top-left coords
-      val yTop = base - rise - size * 0.8 // ascent above the RISEN position
-      out += TextRun(curX, yTop, w, size, size, font, s, base,
+      val base = pageH - (ctmD * lineY + ctmF)     // baseline, top-left coords
+      val riseUser = rise * tmD * ctmD
+      val yTop = base - riseUser - effSize * 0.8   // ascent above RISEN position
+      out += TextRun(xUser, yTop, wUser, effSize, effSize, font, s, base,
         fillR, fillG, fillB, rise)
-      curX += w
+      curX += s.length * CharWidthFactor * size * tmA
     }
   }
 }

@@ -186,6 +186,20 @@ class CoreExtractionSpec extends AnyFunSuite {
     assert(spanOf("2").superscript)
   }
 
+  test("pdf: cm and scaled Tm compose into true page geometry") {
+    val content =
+      """q 2 0 0 2 10 50 cm BT /F1 12 Tf 20 330 Td (scaled para) Tj ET Q
+        |BT 1.5 0 0 1.5 50 100 Tm (tm scaled) Tj ET""".stripMargin
+    val bytes = FixtureGen.buildPdf(Vector(content), compress = false)
+    val runs = PdfParser.parse(bytes).head.runs
+    val a = runs.find(_.text == "scaled para").get
+    // CTM 2x + translate(10, 50): x = 2*20+10, base = 792-(2*330+50), size 24
+    assert(a.x == 50.0 && a.base == 82.0 && a.size == 24.0, a)
+    val b = runs.find(_.text == "tm scaled").get
+    // Tm scale 1.5: effective size 18 at (50, 792-100); Q restored the CTM
+    assert(b.x == 50.0 && b.base == 692.0 && b.size == 18.0, b)
+  }
+
   test("pdf: FlateDecode streams parse identically to raw") {
     val content = "BT /F1 12 Tf 50 600 Td (compressed text) Tj ET"
     val raw = FixtureGen.buildPdf(Vector(content), compress = false)
