@@ -142,6 +142,37 @@ object PdfParser {
         } else i = numEnd
       } else i += 1
     }
+    // Second pass — object streams (PDF 1.5+ /Type /ObjStm): most objects
+    // of a modern PDF live packed inside compressed streams, invisible to
+    // the linear scan above. Decode each ObjStm, read its N (objnum,
+    // offset) header pairs, and parse every packed object at /First +
+    // offset. Direct objects win on collision (later incremental updates
+    // are direct).
+    val base = new Doc(objs.toMap)
+    objs.values.toVector.foreach {
+      case PStream(d, raw) if base.dictGet(d, "Type") == PName("ObjStm") =>
+        val n = base.dictGet(d, "N") match { case PNum(v) => v.toInt; case _ => 0 }
+        val first = base.dictGet(d, "First") match { case PNum(v) => v.toInt; case _ => 0 }
+        val data = decode(base, d, raw)
+        val hdr = new Lexer(data, 0)
+        val pairs = Vector.newBuilder[(Int, Int)]
+        var k = 0
+        var ok = true
+        while (ok && k < n) {
+          (hdr.parseValue(), hdr.parseValue()) match {
+            case (PNum(on), PNum(off)) => pairs += ((on.toInt, off.toInt))
+            case _                     => ok = false
+          }
+          k += 1
+        }
+        pairs.result().foreach { case (objNum, off) =>
+          if (!objs.contains(objNum) && first + off >= 0 && first + off < data.length) {
+            val lex = new Lexer(data, first + off)
+            objs.put(objNum, lex.parseValue())
+          }
+        }
+      case _ =>
+    }
     new Doc(objs.toMap)
   }
 

@@ -200,6 +200,32 @@ class CoreExtractionSpec extends AnyFunSuite {
     assert(b.x == 50.0 && b.base == 692.0 && b.size == 18.0, b)
   }
 
+  test("pdf: objects packed in a compressed object stream (ObjStm, PDF 1.5) are found") {
+    // page dict lives INSIDE a FlateDecode'd /Type /ObjStm — invisible to a
+    // plain linear object scan; modern PDFs pack most objects this way
+    val packedObj = "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+    val header = "4 0\n"
+    val stmData = FixtureGen.deflate(
+      (header + packedObj).getBytes(StandardCharsets.ISO_8859_1))
+    val content = "BT /F1 12 Tf 50 600 Td (objstm text) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [ 4 0 R ] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    w(s"5 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    w(s"9 0 obj << /Type /ObjStm /N 1 /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${stmData.size} >> stream\n")
+    out.write(stmData)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R /Size 10 >>\n%%EOF\n")
+    val pages = PdfParser.parse(out.toByteArray)
+    assert(pages.length == 1)
+    assert(pages.head.runs.exists(_.text == "objstm text"))
+  }
+
   test("pdf: FlateDecode streams parse identically to raw") {
     val content = "BT /F1 12 Tf 50 600 Td (compressed text) Tj ET"
     val raw = FixtureGen.buildPdf(Vector(content), compress = false)
