@@ -239,6 +239,32 @@ object SparkEntry {
     graft.spark.ExtractJob.spans(
       graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4)))
 
+  /** S7: embedded images — placement bbox (the CTM at `Do` time; the
+    * reference's page.get_image_bbox), intrinsic dims from the XObject
+    * dict, and decoded payload size (CMYK already converted to RGB). */
+  private def xImages(s: SparkSession, dir: String): DataFrame =
+    graft.spark.ExtractJob.extractDocs(s, graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4))
+      .select(col("url"), explode(col("images")).as("im"))
+      .select(col("url"), col("im.page").as("page"), col("im.idx").as("idx"),
+        round(col("im.x0"), 2).as("x0"), round(col("im.y0"), 2).as("y0"),
+        round(col("im.x1"), 2).as("x1"), round(col("im.y1"), 2).as("y1"),
+        col("im.width").cast("long").as("width"),
+        col("im.height").cast("long").as("height"),
+        length(col("im.bytes")).cast("long").as("n_bytes"))
+
+  /** S3: per-word geometry — the reference's pdfplumber extract_words()
+    * log (text_extractor_all.py:177, 187-188). */
+  private def xWordBoxes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.gen.PagesTable.pagesDF(s, xDocCount(dir) / 4).as[graft.core.PageRow]
+      .flatMap(r => graft.core.Extractor.wordBoxes(r)
+        .map(w => (r.url, w.page, w.word, w.x0, w.x1, w.top, w.bottom)))
+      .toDF("url", "page", "word", "x0", "x1", "top", "bottom")
+      .select(col("url"), col("page"), col("word"),
+        round(col("x0"), 2).as("x0"), round(col("x1"), 2).as("x1"),
+        round(col("top"), 2).as("top"), round(col("bottom"), 2).as("bottom"))
+  }
+
   /** A2: best table per page (argmax over dual-engine candidates). */
   private def xBestTables(s: SparkSession, dir: String): DataFrame =
     graft.spark.ExtractJob.bestTables(
@@ -348,12 +374,13 @@ object SparkEntry {
         when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(run))
       .groupBy(col("user_id"), col("session_id"))
-      // decimal-cast sum: order-independent (exact integer arithmetic), so
-      // the 4-decimal hash is stable across partitionings — double summation
-      // drifted ~1e-13 with partition order and flipped rounding-boundary
-      // groups run-to-run (CORRECTNESS_r01 q_sessionize hash failure).
+      // exact integer micro-units: floor(value*1e6) is the same IEEE double →
+      // the same long on every engine, the long sum is order-independent, and
+      // the single final division is one IEEE op — bit-identical in DuckDB.
+      // (decimal(20,6) casts differ between Spark's HALF_UP-on-shortest-string
+      // and DuckDB's binary rounding on boundary values: CORRECTNESS_r02.)
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("session_value"))
+        (sum(floor(col("value") * lit(1000000.0))) / lit(1000000.0)).as("session_value"))
   }
 
   /** Multimodal plumbing: deterministic fake assets → batch decode →
@@ -393,8 +420,19 @@ object SparkEntry {
       .select(col("url"),
         concat(lit("fact_r"), col("r"), lit("_c"), col("c")).as("concept"),
         (col("value0") * col("scale")).as("value"))
-    graft.spark.ValidateJob.qualityCounts(
-      graft.spark.ValidateJob.matches(s, cells, facts))
+    val matched = graft.spark.ValidateJob.matches(s, cells, facts)
+    // plant one deterministic unmatched fact per url with a fuzzy row label
+    // so the reference's third quality class (MISMATCH, xbrl_validate.py:
+    // 135-145) always appears in the histogram alongside EXACT/CLOSE
+    val urls = facts.select(col("url")).distinct()
+    val planted = urls
+      .withColumn("concept", lit("fact_total_net_assets"))
+      .withColumn("value", lit(9.87654321e8))
+    val labels = urls.withColumn("label", lit("Total net assets"))
+    val mism = graft.spark.ValidateJob.mismatches(
+      s, facts.unionByName(planted), matched, labels)
+    graft.spark.ValidateJob.qualityCounts(matched)
+      .unionByName(graft.spark.ValidateJob.qualityCounts(mism))
   }
 
   /** S12: all export surfaces (txt/md/json projections of the tree). */
@@ -416,6 +454,8 @@ object SparkEntry {
     "x_provenance"    -> xProvenance _,
     "x_spans"         -> xSpans _,
     "x_best_tables"   -> xBestTables _,
+    "x_images"        -> xImages _,
+    "x_word_boxes"    -> xWordBoxes _,
     "x_metrics_wer"   -> xMetrics _,
     "x_multimodal"    -> xMultimodal _,
     "q_minhash_lsh"   -> qMinhashLsh _,
@@ -531,7 +571,8 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM e)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS session_value
+        |  sum(CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT))
+        |    / CAST(1000000 AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

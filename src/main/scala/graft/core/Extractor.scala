@@ -25,6 +25,37 @@ object Extractor {
     else ExtractedDoc(row.url, "", 0, "empty", usedFallback = false, Nil, Nil, Nil)
   }
 
+  /** S3 word-box surface: per-word geometry from the PDF text runs — the
+    * reference logs pdfplumber's extract_words() per page
+    * (text_extractor_all.py:177, 187-188). Within a run the per-char
+    * advance is uniform (w / len — the monospaced-geometry contract), so
+    * word splits are exact. PDF only: HTML has no glyph geometry without
+    * a renderer. Pure Row → Seq, safe inside a typed flatMap. */
+  def wordBoxes(row: PageRow): Seq[WordBox] = {
+    val bytes = if (row.html == null) Array.emptyByteArray else row.html
+    if (!PdfParser.isPdf(bytes)) return Nil
+    val pages =
+      try PdfParser.parse(bytes)
+      catch { case _: Exception => Vector.empty }
+    val out = Vector.newBuilder[WordBox]
+    pages.foreach { p =>
+      p.runs.foreach { r =>
+        val t = r.text
+        val n = t.length
+        val cw = if (n == 0) 0.0 else r.w / n
+        var i = 0
+        while (i < n) {
+          while (i < n && t.charAt(i) == ' ') i += 1
+          val s0 = i
+          while (i < n && t.charAt(i) != ' ') i += 1
+          if (i > s0) out += WordBox(p.num, t.substring(s0, i),
+            r.x + s0 * cw, r.x + i * cw, r.y, r.y + r.h)
+        }
+      }
+    }
+    out.result()
+  }
+
   private def extractHtml(row: PageRow, bytes: Array[Byte]): ExtractedDoc = {
     val r = HtmlExtractor.extract(bytes)
     val text = TextAssembly.assemble(r.blocks)

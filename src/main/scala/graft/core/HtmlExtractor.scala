@@ -218,7 +218,7 @@ object HtmlExtractor {
       name match {
         case "img" =>
           if (inHead == 0) {
-            images += ImageRef(1, imageIdx, 0.0, blockIdx.toDouble, 1.0, blockIdx + 1.0, Array.emptyByteArray)
+            images += ImageRef(1, imageIdx, 0.0, blockIdx.toDouble, 1.0, blockIdx + 1.0, 0, 0, Array.emptyByteArray)
             imageIdx += 1
           }
           return

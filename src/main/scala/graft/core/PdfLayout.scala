@@ -68,10 +68,10 @@ object PdfLayout {
           blockIdx += 1
         }
       }
-      var i = 0
-      while (i < p.imageCount) {
-        images += ImageRef(p.num, imageIdx, 0, 0, 0, 0, Array.emptyByteArray)
-        imageIdx += 1; i += 1
+      p.images.foreach { im =>
+        images += ImageRef(p.num, imageIdx, im.x0, im.y0, im.x1, im.y1,
+          im.width, im.height, im.bytes)
+        imageIdx += 1
       }
     }
     PageResult(blocks.result(), tables.result(), images.result())

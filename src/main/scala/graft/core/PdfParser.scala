@@ -33,8 +33,18 @@ object PdfParser {
   final case class TextRun(x: Double, y: Double, w: Double, h: Double,
       size: Double, font: String, text: String, base: Double,
       colorR: Int = 0, colorG: Int = 0, colorB: Int = 0, rise: Double = 0.0)
+  /** One image placement: bbox in top-left page coords from the CTM at
+    * `Do` time (the reference's page.get_image_bbox, text_extractor_all
+    * .py:237), intrinsic dims from the XObject dict, and decoded sample
+    * bytes (CMYK already converted to RGB, :241-244 parity). An image in
+    * /Resources that is never drawn keeps a zero bbox (the reference's
+    * get_images(full=True) still lists it). */
+  final case class PlacedImage(x0: Double, y0: Double, x1: Double, y1: Double,
+      width: Int, height: Int, colorSpace: String, bytes: Array[Byte])
   final case class PdfPage(num: Int, width: Double, height: Double,
-      runs: Vector[TextRun], imageCount: Int)
+      runs: Vector[TextRun], images: Vector[PlacedImage]) {
+    def imageCount: Int = images.length
+  }
 
   /** Style flags from the PostScript font name — the reconstruction of the
     * reference's decode_font_flags surface (text_extractor_all.py:55-62;
@@ -82,9 +92,16 @@ object PdfParser {
     pages.zipWithIndex.map { case (pd, i) =>
       val (w, h) = mediaBox(doc, pd)
       val content = contentBytes(doc, pd)
-      val runs = new ContentInterp(w, h, fontMap(doc, pd)).run(content)
-      val nImg = countImages(doc, pd)
-      PdfPage(i + 1, w, h, runs, nImg)
+      val res = imageResources(doc, pd)
+      val interp = new ContentInterp(w, h, fontMap(doc, pd), res)
+      val runs = interp.run(content)
+      // undrawn resource images keep a zero bbox (get_images(full=True)
+      // lists every resource image whether or not a Do placed it)
+      val undrawn = (res.keySet -- interp.drawnNames).toVector.sorted.map { nm =>
+        val r = res(nm)
+        PlacedImage(0, 0, 0, 0, r.width, r.height, r.colorSpace, r.bytes)
+      }
+      PdfPage(i + 1, w, h, runs, interp.placedImages ++ undrawn)
     }
   }
 
@@ -146,32 +163,44 @@ object PdfParser {
     // of a modern PDF live packed inside compressed streams, invisible to
     // the linear scan above. Decode each ObjStm, read its N (objnum,
     // offset) header pairs, and parse every packed object at /First +
-    // offset. Direct objects win on collision (later incremental updates
-    // are direct).
-    val base = new Doc(objs.toMap)
-    objs.values.toVector.foreach {
-      case PStream(d, raw) if base.dictGet(d, "Type") == PName("ObjStm") =>
-        val n = base.dictGet(d, "N") match { case PNum(v) => v.toInt; case _ => 0 }
-        val first = base.dictGet(d, "First") match { case PNum(v) => v.toInt; case _ => 0 }
-        val data = decode(base, d, raw)
-        val hdr = new Lexer(data, 0)
-        val pairs = Vector.newBuilder[(Int, Int)]
-        var k = 0
-        var ok = true
-        while (ok && k < n) {
-          (hdr.parseValue(), hdr.parseValue()) match {
-            case (PNum(on), PNum(off)) => pairs += ((on.toInt, off.toInt))
-            case _                     => ok = false
+    // offset. /N and /First resolve through the doc (they may be indirect),
+    // and the pass iterates to a fixpoint: an ObjStm whose /N, /First, or
+    // /Length lives inside ANOTHER ObjStm only becomes readable once that
+    // one is unpacked. Pre-existing objects win on collision — correct for
+    // the common layout (newest incremental update is direct); the inverse
+    // case (an update that REPACKS a newer object into an ObjStm) would
+    // need xref-table precedence, which this linear scanner does not model.
+    var progressed = true
+    var rounds = 0
+    while (progressed && rounds < 8) {
+      progressed = false
+      rounds += 1
+      val base = new Doc(objs.toMap)
+      objs.values.toVector.foreach {
+        case PStream(d, raw) if base.dictGet(d, "Type") == PName("ObjStm") =>
+          val n = base.dictGet(d, "N") match { case PNum(v) => v.toInt; case _ => 0 }
+          val first = base.dictGet(d, "First") match { case PNum(v) => v.toInt; case _ => 0 }
+          val data = decode(base, d, raw)
+          val hdr = new Lexer(data, 0)
+          val pairs = Vector.newBuilder[(Int, Int)]
+          var k = 0
+          var ok = true
+          while (ok && k < n) {
+            (hdr.parseValue(), hdr.parseValue()) match {
+              case (PNum(on), PNum(off)) => pairs += ((on.toInt, off.toInt))
+              case _                     => ok = false
+            }
+            k += 1
           }
-          k += 1
-        }
-        pairs.result().foreach { case (objNum, off) =>
-          if (!objs.contains(objNum) && first + off >= 0 && first + off < data.length) {
-            val lex = new Lexer(data, first + off)
-            objs.put(objNum, lex.parseValue())
+          pairs.result().foreach { case (objNum, off) =>
+            if (!objs.contains(objNum) && first + off >= 0 && first + off < data.length) {
+              val lex = new Lexer(data, first + off)
+              objs.put(objNum, lex.parseValue())
+              progressed = true
+            }
           }
-        }
-      case _ =>
+        case _ =>
+      }
     }
     new Doc(objs.toMap)
   }
@@ -463,21 +492,53 @@ object PdfParser {
     } finally inf.end()
   }
 
-  private def countImages(doc: Doc, page: PDict): Int =
+  /** Image XObject resources of a page: resource name → intrinsic dims +
+    * decoded sample bytes. CMYK samples are converted to RGB here, once per
+    * resource, so every placement of the image shares one converted array
+    * (the reference converts ≥4-component pixmaps at save time,
+    * text_extractor_all.py:241-244). */
+  private final case class ImageRes(width: Int, height: Int,
+      colorSpace: String, bytes: Array[Byte])
+
+  private def imageResources(doc: Doc, page: PDict): Map[String, ImageRes] =
     doc.dictGet(page, "Resources") match {
       case r: PDict =>
         doc.dictGet(r, "XObject") match {
           case x: PDict =>
-            x.v.values.count { v =>
+            x.v.flatMap { case (name, v) =>
               doc.resolve(v) match {
-                case PStream(d, _) => doc.dictGet(d, "Subtype") == PName("Image")
-                case _             => false
+                case PStream(d, raw) if doc.dictGet(d, "Subtype") == PName("Image") =>
+                  val w = doc.dictGet(d, "Width") match { case PNum(n) => n.toInt; case _ => 0 }
+                  val h = doc.dictGet(d, "Height") match { case PNum(n) => n.toInt; case _ => 0 }
+                  val cs = doc.dictGet(d, "ColorSpace") match { case PName(c) => c; case _ => "" }
+                  val data = decode(doc, d, raw)
+                  val px = if (cs == "DeviceCMYK") cmykToRgb(data) else data
+                  Some(name -> ImageRes(w, h, cs, px))
+                case _ => None
               }
             }
-          case _ => 0
+          case _ => Map.empty
         }
-      case _ => 0
+      case _ => Map.empty
     }
+
+  /** Naive 8-bit CMYK→RGB: R = (255−C)(255−K)/255 etc. — the standard
+    * uncalibrated conversion (what a pixmap colorspace convert does absent
+    * an ICC profile). Input is 4 bytes/pixel, output 3 bytes/pixel. */
+  def cmykToRgb(d: Array[Byte]): Array[Byte] = {
+    val n = d.length / 4
+    val out = new Array[Byte](n * 3)
+    var i = 0
+    while (i < n) {
+      val c = d(4 * i) & 0xff; val m = d(4 * i + 1) & 0xff
+      val y = d(4 * i + 2) & 0xff; val k = d(4 * i + 3) & 0xff
+      out(3 * i) = ((255 - c) * (255 - k) / 255).toByte
+      out(3 * i + 1) = ((255 - m) * (255 - k) / 255).toByte
+      out(3 * i + 2) = ((255 - y) * (255 - k) / 255).toByte
+      i += 1
+    }
+    out
+  }
 
   // ----- content stream interpreter ---------------------------------------
   /** Executes text operators; emits runs in top-left coordinates.
@@ -491,7 +552,17 @@ object PdfParser {
     * which is what the band classifier and XY-cut need. Identity defaults
     * reproduce the plain Td/Tm-translation behavior exactly. */
   private final class ContentInterp(pageW: Double, pageH: Double,
-      fonts: Map[String, String]) {
+      fonts: Map[String, String],
+      xobjs: Map[String, ImageRes] = Map.empty) {
+    private val imgOut = Vector.newBuilder[PlacedImage]
+    private val drawn = mutable.Set.empty[String]
+    /** Images placed by `Do` during run(), in drawing order. */
+    def placedImages: Vector[PlacedImage] = imgOut.result()
+    def drawnNames: collection.Set[String] = drawn
+    // rotated text (Tm with a 90°-family rotation) is skipped, not emitted
+    // with fabricated axis-aligned geometry — diagonal watermarks would
+    // otherwise pollute the byte-identity surface and perturb XY-cut
+    private var rotated = false
     private var size = 12.0
     private var font = ""
     private var leading = 0.0
@@ -540,7 +611,8 @@ object PdfParser {
 
     private def exec(op: String, st: mutable.ArrayBuffer[PV], out: mutable.Builder[TextRun, Vector[TextRun]]): Unit =
       op match {
-        case "BT" => lineX = 0; lineY = 0; curX = 0; tmA = 1.0; tmD = 1.0
+        case "BT" =>
+          lineX = 0; lineY = 0; curX = 0; tmA = 1.0; tmD = 1.0; rotated = false
         case "ET" =>
         case "Tf" =>
           if (st.nonEmpty) size = num(st.last)
@@ -571,7 +643,12 @@ object PdfParser {
         case "Tm" =>
           if (st.length >= 6) {
             tmA = num(st(st.length - 6)); tmD = num(st(st.length - 3))
-            if (tmA == 0) tmA = 1.0 // rotation/degenerate → keep axis-aligned
+            val tmB = num(st(st.length - 5)); val tmC = num(st(st.length - 4))
+            // a or d zero with b/c nonzero = rotated text (e.g. a diagonal
+            // DRAFT watermark): suppress emission until the next Tm/BT
+            // rather than coercing to wrong axis-aligned geometry
+            rotated = (tmA == 0 || tmD == 0) && (tmB != 0 || tmC != 0)
+            if (tmA == 0) tmA = 1.0 // pure-degenerate → keep axis-aligned
             if (tmD == 0) tmD = 1.0
             lineX = num(st(st.length - 2)); lineY = num(st.last); curX = lineX
           }
@@ -592,6 +669,20 @@ object PdfParser {
             val (a, d, e, f, r, g, b) = gsStack.remove(gsStack.length - 1)
             ctmA = a; ctmD = d; ctmE = e; ctmF = f
             fillR = r; fillG = g; fillB = b
+          }
+        case "Do" => // XObject paint: image bbox = unit square through CTM
+          st.lastOption.foreach {
+            case PName(nm) =>
+              xobjs.get(nm).foreach { im =>
+                drawn += nm
+                val xa = ctmE; val xb = ctmA + ctmE
+                val ya = ctmF; val yb = ctmD + ctmF
+                imgOut += PlacedImage(
+                  math.min(xa, xb), pageH - math.max(ya, yb),
+                  math.max(xa, xb), pageH - math.min(ya, yb),
+                  im.width, im.height, im.colorSpace, im.bytes)
+              }
+            case _ =>
           }
         case "T*" => lineY -= tmD * leading; curX = lineX
         case "Tj" =>
@@ -616,6 +707,7 @@ object PdfParser {
       math.max(0, math.min(255, math.round(c * 255).toInt))
 
     private def emit(sBytes: Array[Byte], out: mutable.Builder[TextRun, Vector[TextRun]]): Unit = {
+      if (rotated) return // rotated runs have no axis-aligned geometry
       // PDFDocEncoding ≈ Latin-1 for our fixture subset
       val s = new String(sBytes, StandardCharsets.ISO_8859_1)
       if (s.isEmpty) return

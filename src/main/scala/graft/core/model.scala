@@ -79,9 +79,20 @@ final case class TableCand(
     x0: Double, y0: Double, x1: Double, y1: Double,
     cells: Seq[TableCell])
 
-/** An embedded image asset (reference S7, text_extractor_all.py:235-248). */
+/** An embedded image asset (reference S7, text_extractor_all.py:235-248):
+  * bbox = the drawn placement (get_image_bbox parity), width/height = the
+  * intrinsic pixel dims from the XObject dict, bytes = decoded samples
+  * (CMYK already converted to RGB, :241-244 parity). HTML images have no
+  * intrinsic dims or payload without a fetch (out of scope, S11). */
 final case class ImageRef(page: Int, idx: Int,
-    x0: Double, y0: Double, x1: Double, y1: Double, bytes: Array[Byte])
+    x0: Double, y0: Double, x1: Double, y1: Double,
+    width: Int, height: Int, bytes: Array[Byte])
+
+/** Per-word geometry record — the reference's pdfplumber extract_words()
+  * surface (text_extractor_all.py:177, 187-188): word text + x0/x1/top/
+  * bottom in top-left page coords. */
+final case class WordBox(page: Int, word: String,
+    x0: Double, x1: Double, top: Double, bottom: Double)
 
 /** Full extraction result for one url — the engine's unit of output.
   * `text` is the byte-identity surface; `extractor` records the fallback

@@ -199,9 +199,13 @@ object FixtureGen {
   def pdfDoc(h: Long): (Array[Byte], String) = {
     val nPages = 1 + pick(mix(h, 35), 3)
     val parts = (0 until nPages).map(p => pdfPage(mix(h, 400 + p)))
-    // every third pdf doc embeds an image XObject on its first page (S7)
+    // every third pdf doc embeds an image XObject on its first page (S7);
+    // half of those are DeviceCMYK to exercise the CMYK→RGB convert path
     val imagePages: Set[Int] = if (pick(mix(h, 36), 3) == 0) Set(0) else Set.empty
-    (buildPdf(parts.map(_._1).toVector, compress = pick(mix(h, 34), 2) == 0, imagePages),
+    val cmykPages: Set[Int] =
+      if (imagePages.nonEmpty && pick(mix(h, 37), 2) == 0) Set(0) else Set.empty
+    (buildPdf(parts.map(_._1).toVector, compress = pick(mix(h, 34), 2) == 0,
+        imagePages, cmykPages),
       parts.map(_._2).filter(_.nonEmpty).mkString("\n"))
   }
 
@@ -290,7 +294,8 @@ object FixtureGen {
     * index is in `imagePages` get a 4×4 gray image XObject in /Resources
     * (the reference's S7 extraction source, text_extractor_all.py:235-243). */
   def buildPdf(contents: Vector[String], compress: Boolean,
-      imagePages: Set[Int] = Set.empty): Array[Byte] = {
+      imagePages: Set[Int] = Set.empty,
+      cmykPages: Set[Int] = Set.empty): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(4096)
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     w("%PDF-1.4\n")
@@ -324,9 +329,12 @@ object FixtureGen {
       out.write(body)
       w("\nendstream endobj\n")
       if (withImg) {
-        val pixels = Array.tabulate[Byte](16)(p => (p * 16).toByte)
+        val cmyk = cmykPages.contains(i)
+        val (cs, pixels) =
+          if (cmyk) ("DeviceCMYK", Array.tabulate[Byte](64)(p => (p * 4).toByte))
+          else ("DeviceGray", Array.tabulate[Byte](16)(p => (p * 16).toByte))
         w(s"${pageObj + 2} 0 obj << /Type /XObject /Subtype /Image /Width 4 /Height 4 " +
-          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${pixels.length} >> stream\n")
+          s"/ColorSpace /$cs /BitsPerComponent 8 /Length ${pixels.length} >> stream\n")
         out.write(pixels)
         w("\nendstream endobj\n")
       }

@@ -226,6 +226,41 @@ class CoreExtractionSpec extends AnyFunSuite {
     assert(pages.head.runs.exists(_.text == "objstm text"))
   }
 
+  test("pdf: ObjStm with indirect /N//First inside another ObjStm (fixpoint unpack)") {
+    // ObjStm 9 holds the page dict, but its /N and /First are indirect refs
+    // to objects 10 and 11 — which are themselves packed inside ObjStm 12.
+    // A single unpack pass cannot read 9; the fixpoint iteration must first
+    // unpack 12 (exposing 10/11), then 9.
+    val packedPage = "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+    val hdr9 = "4 0\n"
+    val stm9 = FixtureGen.deflate((hdr9 + packedPage).getBytes(StandardCharsets.ISO_8859_1))
+    // ObjStm 12 packs "10 0 obj 1" and "11 0 obj <hdr9 length>"
+    val inner = s"1 ${hdr9.length}"
+    val hdr12 = s"10 0 11 2\n" // obj 10 at offset 0, obj 11 at offset 2 ("1 " is 2 chars)
+    val stm12 = FixtureGen.deflate((hdr12 + inner).getBytes(StandardCharsets.ISO_8859_1))
+    val content = "BT /F1 12 Tf 50 600 Td (fixpoint text) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [ 4 0 R ] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    w(s"5 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    w(s"9 0 obj << /Type /ObjStm /N 10 0 R /First 11 0 R " +
+      s"/Filter /FlateDecode /Length ${stm9.length} >> stream\n")
+    out.write(stm9)
+    w("\nendstream endobj\n")
+    w(s"12 0 obj << /Type /ObjStm /N 2 /First ${hdr12.length} " +
+      s"/Filter /FlateDecode /Length ${stm12.length} >> stream\n")
+    out.write(stm12)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R /Size 13 >>\n%%EOF\n")
+    val pages = PdfParser.parse(out.toByteArray)
+    assert(pages.length == 1)
+    assert(pages.head.runs.exists(_.text == "fixpoint text"))
+  }
+
   test("pdf: FlateDecode streams parse identically to raw") {
     val content = "BT /F1 12 Tf 50 600 Td (compressed text) Tj ET"
     val raw = FixtureGen.buildPdf(Vector(content), compress = false)
@@ -246,7 +281,7 @@ class CoreExtractionSpec extends AnyFunSuite {
     assert(math.abs(runs(3).base - (runs(2).base + 12)) < 1e-9)
   }
 
-  test("pdf image XObjects surface as ImageRef rows (S7)") {
+  test("pdf image XObjects surface as ImageRef rows with real bbox/dims/bytes (S7)") {
     val withImg = graft.gen.FixtureGen.buildPdf(
       Vector("BT /F1 12 Tf 50 600 Td (text next to an image) Tj ET"),
       compress = false, imagePages = Set(0))
@@ -254,11 +289,62 @@ class CoreExtractionSpec extends AnyFunSuite {
     assert(pages.head.imageCount == 1)
     val r = PdfLayout.layout(pages)
     assert(r.images.length == 1 && r.images.head.page == 1)
+    val im = r.images.head
+    // fixture draws `q 32 0 0 32 500 100 cm /Im1 Do Q` on a 612x792 page:
+    // unit square through the CTM → x [500,532], y [100,132] bottom-up
+    // → top-left coords y [660,692]; intrinsic 4x4 DeviceGray, 16 bytes
+    assert(im.x0 == 500.0 && im.x1 == 532.0, im)
+    assert(im.y0 == 660.0 && im.y1 == 692.0, im)
+    assert(im.width == 4 && im.height == 4)
+    assert(im.bytes.length == 16)
     // image docs exist in the generated corpus too
     val corpusImgs = graft.gen.FixtureGen.fixtures(200)
       .map(f => Extractor.extract(f.row))
       .filter(d => d.extractor == "pdf" && d.images.nonEmpty)
     assert(corpusImgs.nonEmpty)
+    // and every corpus image carries a real placement + payload
+    corpusImgs.flatMap(_.images).foreach { i =>
+      assert(i.x1 > i.x0 && i.y1 > i.y0 && i.width == 4 && i.bytes.nonEmpty, i)
+    }
+  }
+
+  test("pdf CMYK image samples are converted to RGB (S7 colorspace parity)") {
+    val pdf = graft.gen.FixtureGen.buildPdf(
+      Vector("BT /F1 12 Tf 50 600 Td (cmyk page) Tj ET"),
+      compress = false, imagePages = Set(0), cmykPages = Set(0))
+    val im = PdfParser.parse(pdf).head.images.head
+    // 4x4 CMYK (64 bytes in) → RGB (48 bytes out)
+    assert(im.bytes.length == 48, im.bytes.length)
+    assert(im.colorSpace == "DeviceCMYK")
+    // pixel 0: C=0 M=4 Y=8 K=12 → R=(255-0)(255-12)/255=243, G=239, B=235
+    assert((im.bytes(0) & 0xff) == 243)
+    assert((im.bytes(1) & 0xff) == 239)
+    assert((im.bytes(2) & 0xff) == 235)
+  }
+
+  test("pdf rotated text (Tm 90-degree family) is skipped, not mis-placed") {
+    val content = "BT /F1 12 Tf 0 1 -1 0 300 300 Tm (ROTATED WATERMARK) Tj " +
+      "1 0 0 1 50 600 Tm (upright text) Tj ET"
+    val runs = PdfParser.parse(graft.gen.FixtureGen.buildPdf(
+      Vector(content), compress = false)).head.runs
+    assert(!runs.exists(_.text == "ROTATED WATERMARK"), runs)
+    assert(runs.exists(_.text == "upright text"))
+  }
+
+  test("pdf word boxes: per-word geometry from runs (S3 extract_words parity)") {
+    val pdf = graft.gen.FixtureGen.buildPdf(
+      Vector("BT /F1 10 Tf 100 700 Td (alpha beta) Tj ET"), compress = false)
+    val row = PageRow("u", new java.sql.Timestamp(0), pdf, "", "en")
+    val ws = Extractor.wordBoxes(row)
+    assert(ws.map(_.word) == Seq("alpha", "beta"))
+    // advance = 0.5*10 = 5/char: "alpha" x [100,125], "beta" x [130,150]
+    val a = ws.head; val b = ws(1)
+    assert(math.abs(a.x0 - 100.0) < 1e-9 && math.abs(a.x1 - 125.0) < 1e-9, a)
+    assert(math.abs(b.x0 - 130.0) < 1e-9 && math.abs(b.x1 - 150.0) < 1e-9, b)
+    assert(a.top == b.top && a.bottom > a.top)
+    // html rows yield no word boxes (no glyph geometry without a renderer)
+    assert(Extractor.wordBoxes(PageRow("u2", new java.sql.Timestamp(0),
+      "<html><body><p>hi</p></body></html>".getBytes, "", "en")).isEmpty)
   }
 
   test("fallback chain: empty-text pdf routes to provided text") {

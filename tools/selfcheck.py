@@ -21,8 +21,10 @@ def canon(cols, rows):
         for i in idx:
             v = r[i]
             if isinstance(v, float):
+                # driver-precision compare: shortest-roundtrip repr, NOT %.6g
+                # (%.6g hid a 4th-decimal divergence on values >= 100 in r2)
                 if math.isnan(v): v = "NaN"
-                else: v = f"{v:.6g}"
+                else: v = repr(v)
             vals.append(str(v))
         out.append(tuple(vals))
     return [cols[i] for i in idx], sorted(out)
