@@ -170,6 +170,15 @@ object Bench {
     spark.stop()
     val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    // dev iteration: skip the (minutes-long) extraction scaling phase
+    if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES_ONLY").contains("1")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total0 = results.map(_._2).filter(_ > 0).sum
+      println(s"""{"metric":"total","value":$total0,"unit":"sec","queries":$qs0,""" +
+        s""""sf":"$sfDir","query_errors":$errJson}""")
+      return
+    }
+
     // 2. extraction scaling: same parquet input, N vs 4N cores, one JVM
     // each, ALTERNATED (A/B/A/B) because the sandbox's host CPU share
     // drifts over minutes — each child also samples the pure-ALU control

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.Column
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,6 +23,15 @@ object GraftExprs {
     if (children.forall(_.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"expected string arguments, got ${children.map(_.dataType).mkString(", ")}")
+
+  def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def isFloatVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 }
 
 object ExprEval {
@@ -32,6 +42,54 @@ object ExprEval {
     TextMetrics.similarityRatio(a.toString, b.toString)
   def werEval(a: UTF8String, b: UTF8String): Double =
     TextMetrics.wer(a.toString, b.toString)
+
+  /** Fused cosine: dot + both norms in one pass over the raw ArrayData —
+    * no per-element boxing, no HOF interpretation. Element accessors are
+    * chosen by the statically-known array element types. Summation order
+    * matches the old aggregate(zip_with(...)) formulation element-for-
+    * element, so rounded results are bit-identical. */
+  def cosineArr(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // deterministic hyperplanes are pure functions of (p, dim): cache per
+  // (dim, bits) so executors build each plane set once, not once per row
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  private def planes(dim: Int, bits: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dim.toLong << 32) | bits.toLong,
+      _ => Array.tabulate(bits)(p => graft.ops.Similarity.hyperplane(p, dim)))
+
+  /** All `bits` sign-buckets of the random-hyperplane LSH in ONE pass:
+    * bit p = sign(v · plane_p). Replaces `bits` separate interpreted
+    * aggregate/zip_with dots per row. */
+  def hyperplaneSig(v: ArrayData, dim: Int, bits: Int, isFloat: Boolean): Long = {
+    val ps = planes(dim, bits)
+    val n = math.min(v.numElements(), dim)
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      val plane = ps(p)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * plane(i)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
 }
 
 /** simhash64(text): 64-bit Charikar SimHash over whitespace tokens. */
@@ -89,6 +147,51 @@ case class WordErrorRate(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** graft_cosine(a, b): cosine similarity over two array<float|double>
+  * columns as ONE codegen'd call — the aggregate/zip_with HOF version has
+  * no doGenCode and ran interpreted in every ANN hot path (r2 finding).
+  * Assumes non-null elements (the embedding contract). */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExprs.isVec(left.dataType) && GraftExprs.isVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected array<float|double> arguments, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprEval.cosineArr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      GraftExprs.isFloatVec(left.dataType), GraftExprs.isFloatVec(right.dataType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprEval.cosineArr($a, $b, " +
+      s"${GraftExprs.isFloatVec(left.dataType)}, ${GraftExprs.isFloatVec(right.dataType)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** graft_hyperplane_sig(vec, dim, bits): all sign-bucket bits of the
+  * random-hyperplane LSH signature in one codegen'd pass. */
+case class HyperplaneSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExprs.isVec(first.dataType) && second.dataType == IntegerType &&
+      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected (array<float|double>, int, int), got " +
+        s"${Seq(first, second, third).map(_.dataType).mkString(", ")}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+  override protected def nullSafeEval(v: Any, d: Any, b: Any): Any =
+    ExprEval.hyperplaneSig(v.asInstanceOf[ArrayData], d.asInstanceOf[Int],
+      b.asInstanceOf[Int], GraftExprs.isFloatVec(first.dataType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, d, b) =>
+      s"graft.functions.ExprEval.hyperplaneSig($v, $d, $b, ${GraftExprs.isFloatVec(first.dataType)})")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HyperplaneSig =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column-API front + SQL registration. Call [[functions.register]] once
   * per session (Column builders go through the function registry —
   * `call_function` — since Expression↔Column bridges are sql-private in
@@ -100,6 +203,9 @@ object functions {
   def graft_ratcliff_ratio(a: Column, b: Column): Column =
     call_function("graft_ratcliff_ratio", a, b)
   def graft_wer(a: Column, b: Column): Column = call_function("graft_wer", a, b)
+  def graft_cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def graft_hyperplane_sig(v: Column, dim: Column, bits: Column): Column =
+    call_function("graft_hyperplane_sig", v, dim, bits)
 
   /** Register the functions for SQL use on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -108,5 +214,8 @@ object functions {
     reg.createOrReplaceTempFunction("graft_fingerprint64", es => Fingerprint64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_ratcliff_ratio", es => RatcliffRatio(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_wer", es => WordErrorRate(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_sig",
+      es => HyperplaneSig(es.head, es(1), es(2)), "scala_udf")
   }
 }

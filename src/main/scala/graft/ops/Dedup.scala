@@ -176,8 +176,12 @@ object Dedup {
       .localCheckpoint(true)
     // RDD-derived frames carry no stats, so AQE cannot see that a small
     // dictionary fits in a broadcast — probe the (already materialized)
-    // count and hint explicitly; large dictionaries take the shuffle join.
-    val dictSide = if (dict.count() <= 1000000L) broadcast(dict) else dict
+    // SIZE and hint explicitly; large dictionaries take the shuffle join.
+    // The gate is estimated bytes, not rows: 1M rows of long tokens can be
+    // 100MB+ of driver memory, so count alone under-guards.
+    val dictStats = dict.agg(count(lit(1)), coalesce(sum(length(col("tok"))), lit(0L))).head()
+    val dictBytes = dictStats.getLong(1) + dictStats.getLong(0) * 28L // str+code+row overhead
+    val dictSide = if (dictBytes <= 64L * 1024 * 1024) broadcast(dict) else dict
     val joined = toks.join(dictSide, "tok")
     val aggs = MinhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("code") * a + b, lit(MinhashP))).as(s"h$j")
@@ -348,12 +352,19 @@ object Dedup {
     * aggregate over the blocking column. Both paths produce the identical
     * result set. */
   def jaccardAdaptivePairs(docs: DataFrame, blockCol: String, threshold: Double,
-      maxNaiveBlock: Long = 4096,
+      maxNaiveBlock: Long = 4096, maxNaivePairs: Long = 20_000_000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val maxRow = docs.groupBy(col(blockCol)).count()
-      .agg(max(col("count"))).head()
-    val maxBlock = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxBlock <= maxNaiveBlock)
+    // one tiny aggregate probes BOTH the worst block and the total candidate
+    // count Σ block² — max-block alone let a degenerate vocabulary push the
+    // prefix path (4 extra shuffles) when the naive pair count was trivial
+    val statsRow = docs.groupBy(col(blockCol)).count()
+      .agg(max(col("count")), sum(col("count") * col("count"))).head()
+    val maxBlock = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val sumSqPairs = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val naive = maxBlock <= maxNaiveBlock && sumSqPairs <= maxNaivePairs
+    System.err.println(s"[jaccardAdaptivePairs] maxBlock=$maxBlock " +
+      s"sumSqPairs=$sumSqPairs -> ${if (naive) "naive-blocked" else "prefix-filter"}")
+    if (naive)
       jaccardBlockedPairs(docs, blockCol, threshold, idCol, textCol)
     else
       jaccardPrefixPairs(docs, blockCol, threshold, idCol, textCol)
@@ -365,8 +376,15 @@ object Dedup {
     * identity is exact and the result matches the |union| formulation). */
   def jaccardBlockedPairs(docs: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // tokenize ONCE per doc and materialize: `words` is a lazy projection,
+    // and without the checkpoint the self-join re-tokenizes every doc once
+    // per candidate pair (~block-size times — the r2 2.2× regression).
+    // Tokens are pre-hashed to 64-bit so the per-pair intersect compares
+    // 8-byte longs instead of strings (xxhash64 collisions are ~2⁻⁶⁴ —
+    // far below the 4-decimal jaccard rounding).
     val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_distinct(split(col(textCol), " ")).as("words"))
+      array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("words"))
+      .localCheckpoint(true)
     val a = base.select(col("blk"), col("id").as("id_a"), col("words").as("wa"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("words").as("wb"))
     val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
@@ -394,8 +412,14 @@ object Dedup {
   def jaccardPrefixPairs(docs: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same once-per-doc hashed tokenization as the blocked path: `base` is
+    // consumed three times (token explode + both verify sides) and would
+    // otherwise re-run the tokenizer per consumer. Prefix filtering is
+    // order-agnostic: any consistent global token order (here: frequency,
+    // ties by hash) preserves exact recall.
     val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_distinct(split(col(textCol), " ")).as("words"))
+      array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("words"))
+      .localCheckpoint(true)
     val n = size(col("words"))
     val toks = base.select(col("blk"), col("id"),
       (n - ceil(lit(threshold) * n) + 1).cast("int").as("pl"),

@@ -11,24 +11,28 @@ import org.apache.spark.sql.expressions.Window
   * random-hyperplane LSH (Charikar 2002) — bucket join shrinks candidates
   * by ~2^bits, then exact re-rank inside buckets.
   *
-  * Cosine is pure Catalyst (`zip_with` + `aggregate`) — whole-stage
-  * codegen, no UDF in the hot path.
+  * Cosine and the LSH bucket signature are native Catalyst expressions
+  * with doGenCode ([[graft.functions.CosineSim]] / [[graft.functions
+  * .HyperplaneSig]]) — genuinely inside whole-stage codegen. The earlier
+  * `aggregate`/`zip_with` HOF formulation had no doGenCode and ran
+  * interpreted in every ANN hot path (r2 finding).
   */
 object Similarity {
 
-  /** cos(a, b) as a Column over two array<float/double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  private def reg(df: DataFrame): Unit =
+    graft.functions.functions.register(df.sparkSession)
+
+  /** cos(a, b) as a Column over two array<float/double> columns — resolves
+    * to the native [[graft.functions.CosineSim]]; callers must have
+    * registered the graft functions (all public entry points here do). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.functions.graft_cosine(a, b)
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * `corpus(vec_id, embedding)`, `queries(vec_id, embedding)`.
     * Rank is deterministic: (rounded cosine desc, neighbor id asc). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    reg(corpus)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -48,17 +52,10 @@ object Similarity {
       Dedup.mix64((p.toLong << 32) ^ d.toLong ^ 0x51AB5EEDL).toDouble / Long.MaxValue
     }
 
-  /** Sign-bucket signature column: bit p = sign(v · plane_p). */
-  def lshBucket(v: Column, dim: Int, bits: Int): Column = {
-    val terms = (0 until bits).map { p =>
-      val plane = hyperplane(p, dim)
-      val dot = aggregate(
-        zip_with(v, typedLit(plane.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    terms.reduce(_ + _)
-  }
+  /** Sign-bucket signature column: bit p = sign(v · plane_p) — one native
+    * pass over all planes instead of `bits` interpreted HOF dots. */
+  def lshBucket(v: Column, dim: Int, bits: Int): Column =
+    graft.functions.functions.graft_hyperplane_sig(v, lit(dim), lit(bits))
 
   /** LSH-bucketed approximate top-k: join on bucket, exact re-rank inside.
     * Recall < 1 by construction; the candidate set per query shrinks by
@@ -66,6 +63,7 @@ object Similarity {
     * `probe1` (flip each bit once) to trade compute for recall. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       bits: Int = 8, probe1: Boolean = true): DataFrame = {
+    reg(corpus)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), dim, bits))
     val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -97,6 +95,7 @@ object Similarity {
     * table ever touches the driver. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nProbe: Int = 2, sampleSize: Int = 512): DataFrame = {
+    reg(corpus)
     val centroids = trainCentroids(corpus, dim, nCells, sampleSize)
 
     def cellScores(v: Column): Column = array_sort(
@@ -161,6 +160,7 @@ object Similarity {
     * ~0.8 to ~1 at bits+1 × candidate cost. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, dim: Int,
       bits: Int = 6, probe1: Boolean = true): DataFrame = {
+    reg(embeddings)
     val e = embeddings.select(col("vec_id").as("id"), col("embedding").as("v"))
       .withColumn("bucket0", lshBucket(col("v"), dim, bits))
     val probes =

@@ -65,6 +65,52 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cg.toLowerCase.contains("scalaudf"))
   }
 
+  test("graft_cosine matches the scalar formula and runs codegen'd (Column + SQL)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    register(spark)
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(graft_cosine($"a", $"b")).head().getDouble(0)
+    val want = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - want) < 1e-12, got)
+    // mixed float/double sides (the IVF centroid-literal case)
+    val mixed = df.select(graft_cosine($"a",
+      array(lit(3.0), lit(2.0), lit(1.0)))).head().getDouble(0)
+    assert(math.abs(mixed - want) < 1e-12, mixed)
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT graft_cosine(a, b) FROM vecs").head().getDouble(0)
+    assert(viaSql == got)
+    // null vector → null
+    val n = Seq((null.asInstanceOf[Seq[Float]], Seq(1.0f)))
+      .toDF("a", "b").select(graft_cosine($"a", $"b")).head()
+    assert(n.isNullAt(0))
+    // codegen participation
+    val cg = spark.range(4)
+      .select(array($"id".cast("double"), lit(1.0)).as("a"),
+        array(lit(1.0), $"id".cast("double")).as("b"))
+      .select(graft_cosine($"a", $"b"))
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("graft.functions.ExprEval.cosineArr"), "must call the static evaluator")
+    assert(!cg.toLowerCase.contains("scalaudf"))
+  }
+
+  test("graft_hyperplane_sig matches the per-plane sign buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    register(spark)
+    val dim = 8; val bits = 5
+    val v = Array.tabulate(dim)(i => (i - 3).toFloat / 2.0f)
+    val sig = Seq(Tuple1(v.toSeq)).toDF("v")
+      .select(graft_hyperplane_sig($"v", lit(dim), lit(bits))).head().getLong(0)
+    var want = 0L
+    for (p <- 0 until bits) {
+      val plane = graft.ops.Similarity.hyperplane(p, dim)
+      val dot = v.zip(plane).map { case (x, w) => x.toDouble * w }.sum
+      if (dot >= 0) want |= (1L << p)
+    }
+    assert(sig == want)
+  }
+
   test("type check rejects non-string input with a clear error") {
     import spark.implicits._
     register(spark)

@@ -52,6 +52,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ANN plans contain no interpreted higher-order functions") {
+    // HOFs (aggregate/zip_with/transform) have no doGenCode — the r2 bench
+    // showed them interpreting the hot inner product. All ANN paths must
+    // resolve cosine/bucket to the native graft expressions instead.
+    for (q <- Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_cosine_neardup")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf), "extended").toLowerCase
+      // no HOF dot product anywhere (the r2 hot-path defect)
+      assert(!p.contains("zip_with") && !p.contains("aggregate(lambda"),
+        s"$q plan still computes a vector product via HOFs")
+      assert(p.contains("graft_cosine"), s"$q should use the native cosine")
+      // bounded non-hot HOFs stay: IVF sorts nCells=16 centroid structs
+      // per row; neardup PLANTS perturbed test vectors via transform. The
+      // pure ANN paths must be completely lambda-free.
+      if (q == "q_ann_topk" || q == "q_ann_lsh")
+        assert(!p.contains("lambdafunction"),
+          s"$q plan still contains a higher-order function")
+    }
+  }
+
   test("extraction hot path has zero Exchange (narrow scan→parse)") {
     val pages = graft.gen.PagesTable.pagesDF(spark, 100)
     val p = plan(graft.spark.ExtractJob.extractTexts(spark, pages).toDF(), "simple")
