@@ -97,9 +97,15 @@ object Bench {
       .getInputArguments.asScala
       .filter(a => a.startsWith("--add-opens") || a.startsWith("java.base/") ||
         a.startsWith("-Dspark.") || a.startsWith("--enable-native-access"))
+    // G1 with a FIXED heap: ParallelGC's adaptive sizing grew the young gen
+    // to ~8 GB under the 32-thread allocation rate and then paid 0.5-1.3 s
+    // stop-world copies (measured r3: 4.3 s of pauses in a ~10 s phase —
+    // the entire r2 "scaling collapse"). G1 in the same windows: 20.6k →
+    // 51.7k docs/s at n32. GC threads stay proportional to the child's
+    // cores so the small config is not subsidized by machine-wide GC.
     val cmd = Seq(javaBin) ++ inherited ++ Seq(
-      "-Xms4g", s"-Xmx24g",
-      "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=${math.max(cores / 2, 2)}",
+      "-Xms12g", "-Xmx12g",
+      "-XX:+UseG1GC", s"-XX:ParallelGCThreads=${math.max(cores / 2, 2)}",
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "--extract-phase", cores.toString, pagesDir, reps.toString)
     val pb = new ProcessBuilder(cmd.asJava)
@@ -148,9 +154,18 @@ object Bench {
       extractPhase(args(1).toInt, args(2), args(3).toInt)
       return
     }
+    if (args.length >= 3 && args(0) == "--gen-pages") {
+      ensurePages(args(1), args(2).toLong, if (args.length > 3) args(3).toInt else 8)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    // 400k docs ≈ 0.9 GB: sized so the n32 phase runs ~6 s of real work —
+    // at 100k the fixed ~1.2 s/rep harness cost (read+plan+schedule) was
+    // 40% of the n32 wall and read as a scaling defect (r3 measurement:
+    // W/cores + C fits both levels almost exactly; 4× work → normalized
+    // efficiency 1.03 in the same host windows)
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toLong
     val sizeBoost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "8").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val pagesDir = sys.env.getOrElse("SPARK_GRAFT_PAGES_DIR", "/tmp/graft_bench_pages")
@@ -158,6 +173,13 @@ object Bench {
 
     // 1. headline queries
     val spark = session(cpus)
+    // session warm-up: JVM JIT, codegen compiler, and parquet footer reads
+    // otherwise land entirely on the alphabetically-first query (q1 read
+    // 5-6 s of which ~4 s was first-query warmup, not q1)
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    } catch { case _: Throwable => }
     val errors = Vector.newBuilder[String]
     val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -265,6 +265,24 @@ object SparkEntry {
         round(col("top"), 2).as("top"), round(col("bottom"), 2).as("bottom"))
   }
 
+  /** P10: table-source suffix dispatch — deterministic csv + xlsx fixtures
+    * (identical content) written to a temp dir and read back through
+    * `TableSource` (the reference's csv/xlsx/skip switch,
+    * xbrl_validate.py:70-81). Both files must yield the same cell matrix. */
+  private def xTableSources(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tables")
+    val n = math.max(xDocCount(dir).toInt / 100, 5)
+    val rows = Vector.tabulate(n)(r => Vector(s"item_$r", s"${r * 10}", s"v & $r"))
+    java.nio.file.Files.write(tmp.resolve("t1.csv"),
+      rows.map(_.mkString(",")).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(tmp.resolve("t2.xlsx"), graft.gen.FixtureGen.buildXlsx(rows))
+    java.nio.file.Files.write(tmp.resolve("skip.bin"), Array[Byte](1, 2, 3))
+    graft.sources.TableSource.readCells(s, tmp.toString)
+      .select(regexp_extract(col("file"), "([^/]+)$", 1).as("file"),
+        col("r").cast("long").as("r"), col("c").cast("long").as("c"), col("v"))
+      .orderBy(col("file"), col("r"), col("c"))
+  }
+
   /** A2: best table per page (argmax over dual-engine candidates). */
   private def xBestTables(s: SparkSession, dir: String): DataFrame =
     graft.spark.ExtractJob.bestTables(
@@ -456,6 +474,7 @@ object SparkEntry {
     "x_best_tables"   -> xBestTables _,
     "x_images"        -> xImages _,
     "x_word_boxes"    -> xWordBoxes _,
+    "x_table_sources" -> xTableSources _,
     "x_metrics_wer"   -> xMetrics _,
     "x_multimodal"    -> xMultimodal _,
     "q_minhash_lsh"   -> qMinhashLsh _,

@@ -343,6 +343,55 @@ object FixtureGen {
     out.toByteArray
   }
 
+  /** Assemble a minimal spec-valid .xlsx (ZIP + OOXML): numeric-looking
+    * cells inline as `<v>`, everything else through the shared-string
+    * table — the two cell encodings a real writer produces. Fixture for
+    * the P10 Excel read path (xbrl_validate.py:70-75). */
+  def buildXlsx(rows: Vector[Vector[String]]): Array[Byte] = {
+    def xmlEsc(s: String): String = s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+    val shared = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def colName(c: Int): String = {
+      var n = c + 1; var s = ""
+      while (n > 0) { val r = (n - 1) % 26; s = ('A' + r).toChar + s; n = (n - 1) / 26 }
+      s
+    }
+    val isNum = (v: String) => v.nonEmpty && v.matches("-?[0-9]+(\\.[0-9]+)?")
+    val sheetRows = rows.zipWithIndex.map { case (row, r) =>
+      val cells = row.zipWithIndex.collect { case (v, c) if v.nonEmpty =>
+        val ref = s"${colName(c)}${r + 1}"
+        if (isNum(v)) s"""<c r="$ref"><v>$v</v></c>"""
+        else {
+          val idx = shared.getOrElseUpdate(v, shared.size)
+          s"""<c r="$ref" t="s"><v>$idx</v></c>"""
+        }
+      }
+      s"""<row r="${r + 1}">${cells.mkString}</row>"""
+    }
+    val sheetXml = "<?xml version=\"1.0\"?><worksheet><sheetData>" +
+      sheetRows.mkString + "</sheetData></worksheet>"
+    val ssXml = "<?xml version=\"1.0\"?><sst>" +
+      shared.keys.map(v => s"<si><t>${xmlEsc(v)}</t></si>").mkString + "</sst>"
+    val ctXml = "<?xml version=\"1.0\"?><Types></Types>"
+    val wbXml = "<?xml version=\"1.0\"?><workbook><sheets>" +
+      "<sheet name=\"Sheet1\" sheetId=\"1\"/></sheets></workbook>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    entry("[Content_Types].xml", ctXml)
+    entry("xl/workbook.xml", wbXml)
+    entry("xl/sharedStrings.xml", ssXml)
+    entry("xl/worksheets/sheet1.xml", sheetXml)
+    z.close()
+    bos.toByteArray
+  }
+
   def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()

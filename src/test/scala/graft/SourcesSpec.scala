@@ -6,7 +6,7 @@ import org.scalatest.BeforeAndAfterAll
 import java.nio.file.Files
 import java.nio.charset.StandardCharsets
 
-import graft.sources.RobustCsv
+import graft.sources.{RobustCsv, TableSource, Xlsx}
 
 /** S9 robust CSV source: reference read semantics
   * (error_rate_detection.py:27-55) — header=None, dtype=str, utf-8-sig,
@@ -38,5 +38,37 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // long form for the alignment join
     val cells = RobustCsv.readCells(spark, f.toString).collect()
     assert(cells.exists(r => r.getInt(0) == 2 && r.getInt(1) == 3 && r.getString(2) == "extra"))
+  }
+
+  test("xlsx: shared strings, inline numbers, gaps, entities round-trip (P10)") {
+    val rows = Vector(
+      Vector("Item", "FY24", "FY23"),
+      Vector("revenue & fees", "1234.5", ""),
+      Vector("", "(56)", "78"))
+    val bytes = graft.gen.FixtureGen.buildXlsx(rows)
+    assert(Xlsx.isXlsx(bytes))
+    val got = Xlsx.parse(bytes)
+    assert(got == rows, got)
+    // distributed long form (binaryFile scan → per-file parse)
+    val dir = Files.createTempDirectory("graft-xlsx")
+    Files.write(dir.resolve("t.xlsx"), bytes)
+    val cells = Xlsx.readCells(spark, dir.resolve("t.xlsx").toString).collect()
+    assert(cells.length == rows.map(_.count(_ => true)).sum)
+    assert(cells.exists(r => r.getInt(1) == 1 && r.getInt(2) == 0 &&
+      r.getString(3) == "revenue & fees"))
+    assert(cells.exists(r => r.getInt(1) == 2 && r.getInt(2) == 1 && r.getString(3) == "(56)"))
+  }
+
+  test("table dispatch: csv parses, xlsx parses, other suffixes skipped") {
+    val dir = Files.createTempDirectory("graft-tables")
+    Files.write(dir.resolve("a.csv"), "x,y\n1,2\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("b.xlsx"),
+      graft.gen.FixtureGen.buildXlsx(Vector(Vector("p", "q"))))
+    Files.write(dir.resolve("c.txt"), "ignored".getBytes(StandardCharsets.UTF_8))
+    val df = TableSource.readCells(spark, dir.toString).collect()
+    val files = df.map(_.getString(0)).distinct.sorted
+    assert(files.length == 2 && files(0).endsWith("a.csv") && files(1).endsWith("b.xlsx"), files.toSeq)
+    assert(df.exists(r => r.getString(0).endsWith("a.csv") && r.getString(3) == "y"))
+    assert(df.exists(r => r.getString(0).endsWith("b.xlsx") && r.getString(3) == "q"))
   }
 }
