@@ -127,7 +127,9 @@ object Xlsx {
             case _ => xmlDecode(raw)
           }
           val (r, c) = cellRef(refM)
-          if (r >= 0 && c >= 0) {
+          // Excel's own sheet limits (1,048,576 rows × 16,384 cols) bound
+          // hostile refs; a bogus "ZZZZZ99999999" must not size the grid
+          if (r >= 0 && c >= 0 && r < 1048576 && c < 16384) {
             cells += ((r, c, v))
             if (r > maxR) maxR = r
             if (c > maxC) maxC = c
@@ -137,9 +139,20 @@ object Xlsx {
       }
     }
     if (maxR < 0) return Vector.empty
-    val grid = Array.fill(maxR + 1, maxC + 1)("")
-    cells.foreach { case (r, c, v) => grid(r)(c) = v }
-    grid.map(_.toVector).toVector
+    // dense grid only within budget; a sparse adversarial sheet (few cells
+    // at huge refs) compacts to the DISTINCT row/col ranks instead of
+    // allocating (maxR+1)×(maxC+1) empties
+    if ((maxR + 1).toLong * (maxC + 1).toLong > 4000000L) {
+      val rRank = cells.map(_._1).distinct.sorted.zipWithIndex.toMap
+      val cRank = cells.map(_._2).distinct.sorted.zipWithIndex.toMap
+      val grid = Array.fill(rRank.size, cRank.size)("")
+      cells.foreach { case (r, c, v) => grid(rRank(r))(cRank(c)) = v }
+      grid.map(_.toVector).toVector
+    } else {
+      val grid = Array.fill(maxR + 1, maxC + 1)("")
+      cells.foreach { case (r, c, v) => grid(r)(c) = v }
+      grid.map(_.toVector).toVector
+    }
   }
 
   /** "B3" → (row 2, col 1), 0-based. */

@@ -115,4 +115,49 @@ class FuzzSpec extends AnyFunSuite {
       assert(TextMetrics.similarityRatio(a, a) == 1.0 || a.isEmpty)
     }
   }
+
+  test("xlsx parser never crashes: random bytes, truncated zips, hostile xml") {
+    import graft.sources.Xlsx
+    // random bytes (mostly not zips at all)
+    for (sd <- 0 until 100) {
+      val len = (FixtureGen.mix(911L, sd.toLong).abs % 2048).toInt
+      val bytes = randBytes(sd.toLong + 5000, len)
+      val r = try { Xlsx.parse(bytes); true } catch { case _: Exception => true }
+      assert(r)
+    }
+    // a real xlsx truncated at every 97th byte must not crash
+    val good = FixtureGen.buildXlsx(Vector(Vector("a", "b"), Vector("1", "2")))
+    var cut = 1
+    while (cut < good.length) {
+      try Xlsx.parse(good.take(cut)) catch { case _: Exception => }
+      cut += 97
+    }
+    // hostile sheet xml: unclosed tags, bogus refs, huge shared index
+    def zipOf(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (n, b) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(b.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val hostile = Seq(
+      "<worksheet><sheetData><row r=\"1\"><c r=\"A1\" t=\"s\"><v>99</v></c>",
+      "<worksheet><sheetData><c r=\"ZZZZZ99999999\"><v>1</v>",
+      "<worksheet><sheetData><row><c><v>orphan</v></c></row></sheetData></worksheet>",
+      "<worksheet><sheetData><row r=\"2\"><c r=\"B0\" t=\"s\"><v>x</v></c></row></sheetData></worksheet>",
+      "<c r=\"A1\" t=\"inlineStr\"><is><t>no close")
+    hostile.foreach { xml =>
+      val bytes = zipOf("xl/worksheets/sheet1.xml" -> xml,
+        "xl/sharedStrings.xml" -> "<sst><si><t>only</t></si></sst>")
+      val out = Xlsx.parse(bytes) // must return, never throw
+      assert(out != null)
+    }
+    // shared-string index out of range -> empty cell, not exception
+    val oob = zipOf("xl/worksheets/sheet1.xml" ->
+      "<worksheet><sheetData><row r=\"1\"><c r=\"A1\" t=\"s\"><v>7</v></c></row></sheetData></worksheet>",
+      "xl/sharedStrings.xml" -> "<sst></sst>")
+    assert(Xlsx.parse(oob) == Vector(Vector("")))
+  }
 }
