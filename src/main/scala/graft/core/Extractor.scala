@@ -109,7 +109,14 @@ object Extractor {
   * Golden fixtures assert UTF-8 byte equality of this string per url. */
 object TextAssembly {
   def assemble(blocks: Seq[Block]): String = {
-    val sb = new java.lang.StringBuilder(512)
+    // presize from the exact content length — the doubling-regrowth copies
+    // of an undersized builder were visible in allocation profiles
+    var total = 0
+    blocks.foreach { b =>
+      if (BlockKind.ContentKinds.contains(b.kind)) total += b.text.length + 1
+    }
+    if (total == 0) return ""
+    val sb = new java.lang.StringBuilder(total)
     var first = true
     blocks.foreach { b =>
       if (BlockKind.ContentKinds.contains(b.kind)) {

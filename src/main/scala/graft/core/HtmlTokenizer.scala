@@ -148,9 +148,38 @@ object HtmlTokenizer {
   @inline private def isNameStart(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  /** Common tags, bucketed by length: a region match returns the canonical
+    * constant with ZERO allocation — tag names were one substring per
+    * open/close tag (~600 tiny Strings per document) in profiles. */
+  private val knownByLen: Array[Array[String]] = {
+    val tags = Array("a", "b", "i", "p", "q", "s", "u",
+      "br", "em", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+      "td", "tr", "th", "dl", "dd", "dt", "hr",
+      "div", "img", "nav", "pre", "sub", "sup", "var", "kbd", "del", "ins",
+      "span", "code", "body", "html", "head", "meta", "link", "form", "main", "abbr",
+      "table", "aside", "tbody", "thead", "tfoot", "style", "small", "label", "input",
+      "strong", "script", "header", "footer", "button", "select", "option", "iframe",
+      "section", "article", "caption", "figure",
+      "textarea", "noscript", "blockquote", "figcaption")
+    val m = Array.fill(16)(Array.empty[String])
+    tags.groupBy(_.length).foreach { case (l, ts) => m(l) = ts }
+    m
+  }
+
   /** Lowercase tag name without a full toLowerCase allocation when already
     * lowercase (the common case in real HTML). */
   private def lowerName(s: String, from: Int, to: Int): String = {
+    val len = to - from
+    if (len > 0 && len < 16) {
+      val cands = knownByLen(len)
+      var ci = 0
+      while (ci < cands.length) {
+        val t = cands(ci)
+        if (t.charAt(0) == s.charAt(from) && s.regionMatches(from, t, 0, len))
+          return t
+        ci += 1
+      }
+    }
     var i = from
     var needs = false
     while (i < to && !needs) { val c = s.charAt(i); if (c >= 'A' && c <= 'Z') needs = true; i += 1 }
