@@ -505,7 +505,84 @@ object SparkEntry {
     "q_text_quality"     -> qTextQuality _,
   )
 
+  /** The 8 hyperplanes of the LSH bucket signature as DuckDB VALUES rows —
+    * pure deterministic constants (Similarity.hyperplane), so the oracle
+    * replicates the bucketing EXACTLY: candidates = pairs at Hamming ≤ 1
+    * (xor(qb,cb) & (xor(qb,cb)-1) = 0 covers the multi-probe), then the
+    * same rounded-cosine rank as q_ann_topk. Double literals print in
+    * shortest-roundtrip form and parse back to the identical bits. */
+  private def annLshOracle: String = {
+    val planes = (0 until 8).map { p =>
+      val w = graft.ops.Similarity.hyperplane(p, 64)
+      s"($p, [${w.map(_.toString).mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n")
+    s"""WITH pl(p, w) AS (VALUES $planes),
+       |d AS (SELECT vec_id, p, sum(CAST(embedding[i] AS DOUBLE) * w[i]) AS dot
+       |      FROM embeddings, pl, generate_series(1, 64) t(i)
+       |      GROUP BY vec_id, p),
+       |b AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+       |      FROM d GROUP BY vec_id),
+       |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket AS qb
+       |      FROM embeddings e JOIN b ON e.vec_id = b.vec_id WHERE e.vec_id < 20),
+       |c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket AS cb
+       |      FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+       |cand AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c
+       |         ON query_id <> neighbor_id
+       |         AND ((xor(qb, cb) & (xor(qb, cb) - 1)) = 0)),
+       |s AS (SELECT query_id, neighbor_id,
+       |        round(sum(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))
+       |          / (sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+       |           * sqrt(sum(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 4) AS cos
+       |      FROM cand, generate_series(1, 64) t(i)
+       |      GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM s)
+       |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q_cosine_neardup oracle: rebuild the planted perturbed vectors (same
+    * float-rounded arithmetic — the double-level sin() ulp risk is
+    * absorbed by the FLOAT cast), replicate the 6-bit hyperplane buckets,
+    * take Hamming ≤ 1 pairs, verify rounded cosine ≥ 0.95. */
+  private def cosineNearDupOracle: String = {
+    val planes = (0 until 6).map { p =>
+      val w = graft.ops.Similarity.hyperplane(p, 64)
+      s"($p, [${w.map(_.toString).mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n")
+    s"""WITH pl(p, w) AS (VALUES $planes),
+       |planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list(CAST(CAST(embedding[i] AS DOUBLE)
+       |         + 0.02 * sin(CAST(i - 1 AS DOUBLE)) AS FLOAT) ORDER BY i) AS embedding
+       |  FROM embeddings, generate_series(1, 64) t(i)
+       |  WHERE vec_id % 10 = 0
+       |  GROUP BY vec_id),
+       |e AS (SELECT vec_id, embedding FROM embeddings
+       |      UNION ALL SELECT vec_id, embedding FROM planted),
+       |d AS (SELECT vec_id, p, sum(CAST(embedding[i] AS DOUBLE) * w[i]) AS dot
+       |      FROM e, pl, generate_series(1, 64) t(i)
+       |      GROUP BY vec_id, p),
+       |b AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+       |      FROM d GROUP BY vec_id),
+       |v AS (SELECT e.vec_id, e.embedding, b.bucket FROM e JOIN b ON e.vec_id = b.vec_id),
+       |cand AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |                a.embedding AS va, b2.embedding AS vb
+       |         FROM v a JOIN v b2
+       |         ON a.vec_id < b2.vec_id
+       |         AND ((xor(a.bucket, b2.bucket) & (xor(a.bucket, b2.bucket) - 1)) = 0)),
+       |s AS (SELECT id_a, id_b,
+       |        round(sum(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))
+       |          / (sqrt(sum(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)))
+       |           * sqrt(sum(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))), 4) AS cos
+       |      FROM cand, generate_series(1, 64) t(i)
+       |      GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_cosine_neardup" -> cosineNearDupOracle,
     "q_minhash_sig" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -524,6 +601,7 @@ object SparkEntry {
         |  min((code * 65537 + 86028121) % 2147483647) AS h6,
         |  min((code * 131101 + 104395301) % 2147483647) AS h7
         |FROM j GROUP BY id""".stripMargin,
+    "q_ann_lsh" -> annLshOracle,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
