@@ -581,8 +581,79 @@ object SparkEntry {
        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q_ann_ivf oracle: replicates the ENTIRE deterministic coarse
+    * quantizer in SQL — seeds = first 16 vectors by id, one Lloyd step
+    * over the first 512 (centroid sums via list_sum over a vec_id-ordered
+    * list, matching the Scala trainer's summation order IEEE-exactly;
+    * empty cells fall back to their seed) — then cell assignment
+    * (cos DESC, cell ASC ties like the stable array_sort), 2-cell probe,
+    * dedup, and the same rounded-cosine top-5 rank as q_ann_topk. */
+  private def annIvfOracle: String =
+    """WITH samp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 512),
+      |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding
+      |          FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 16)),
+      |sd AS (SELECT s.vec_id, sc.cell,
+      |         sum(CAST(s.embedding[i] AS DOUBLE) * CAST(sc.embedding[i] AS DOUBLE)) AS dot,
+      |         sum(CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)) AS vv,
+      |         sum(CAST(sc.embedding[i] AS DOUBLE) * CAST(sc.embedding[i] AS DOUBLE)) AS cc
+      |       FROM samp s, seeds sc, generate_series(1, 64) t(i)
+      |       GROUP BY s.vec_id, sc.cell),
+      |assign AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dot / (sqrt(vv) * sqrt(cc)) DESC, cell) AS rn
+      |    FROM sd) WHERE rn = 1),
+      |cent0 AS (SELECT a.cell, i.i AS d,
+      |            list_sum(list(CAST(s.embedding[i.i] AS DOUBLE) ORDER BY s.vec_id))
+      |              / count(*) AS w
+      |          FROM assign a JOIN samp s USING (vec_id)
+      |          CROSS JOIN generate_series(1, 64) i(i)
+      |          GROUP BY a.cell, i.i),
+      |cent AS (SELECT sc.cell, d.i AS d,
+      |           COALESCE(c0.w, CAST(sc.embedding[d.i] AS DOUBLE)) AS w
+      |         FROM seeds sc CROSS JOIN generate_series(1, 64) d(i)
+      |         LEFT JOIN cent0 c0 ON c0.cell = sc.cell AND c0.d = d.i),
+      |cw AS (SELECT cell, sum(w * w) AS ww FROM cent GROUP BY cell),
+      |ev AS (SELECT vec_id,
+      |         sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS vv
+      |       FROM embeddings, generate_series(1, 64) t(i) GROUP BY vec_id),
+      |cd AS (SELECT e.vec_id, ct.cell,
+      |         sum(CAST(e.embedding[ct.d] AS DOUBLE) * ct.w) AS dot
+      |       FROM embeddings e CROSS JOIN cent ct GROUP BY e.vec_id, ct.cell),
+      |score AS (SELECT cd.vec_id, cd.cell, cd.dot / (sqrt(ev.vv) * sqrt(cw.ww)) AS cos
+      |          FROM cd JOIN ev USING (vec_id) JOIN cw USING (cell)),
+      |ccell AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+      |    FROM score) WHERE rn = 1),
+      |qcell AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+      |    FROM score WHERE vec_id < 20) WHERE rn <= 2),
+      |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |         FROM qcell q JOIN ccell c USING (cell)
+      |         WHERE q.vec_id <> c.vec_id
+      |         GROUP BY 1, 2),
+      |pv AS (SELECT ca.query_id, ca.neighbor_id,
+      |         sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)) AS dot,
+      |         sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)) AS qq,
+      |         sum(CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)) AS cc
+      |       FROM cand ca
+      |       JOIN embeddings qe ON qe.vec_id = ca.query_id
+      |       JOIN embeddings ce ON ce.vec_id = ca.neighbor_id,
+      |       generate_series(1, 64) t(i)
+      |       GROUP BY ca.query_id, ca.neighbor_id),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(dot / (sqrt(qq) * sqrt(cc)), 4) AS cos FROM pv),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM s)
+      |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_cosine_neardup" -> cosineNearDupOracle,
+    "q_ann_ivf" -> annIvfOracle,
     "q_minhash_sig" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
