@@ -651,9 +651,172 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** fnv1a(word) as a DuckDB expression: wrapping 64-bit arithmetic via
+    * UBIGINT xor + HUGEINT multiply mod 2^64. list_reduce has no initial-
+    * value form in DuckDB 1.0, so the init is PREPENDED to a homogeneous
+    * UBIGINT list (reduce uses the first element as the seed). Chars are
+    * UTF-16-safe for the BMP corpus (unicode() is per codepoint). */
+  private val fnvWordSql: String =
+    """list_reduce(
+      |        list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |          list_transform(string_split(w, ''), c -> CAST(unicode(c) AS UBIGINT))),
+      |        (h2, c2) -> CAST((CAST(xor(h2, c2) AS HUGEINT) * 1099511628211)
+      |                        % 18446744073709551616 AS UBIGINT))""".stripMargin
+
+  /** q_fingerprint oracle: the rolling Karp-Rabin fold h = h·P + fnv1a(w)
+    * replicated with exact wrapping arithmetic (bit-for-bit vs the native
+    * Fingerprint64 expression). */
+  private def fingerprintOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS UBIGINT),
+       |        list_transform(
+       |          list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0),
+       |          w -> $fnvWordSql)),
+       |      (h, fw) -> CAST((CAST(h AS HUGEINT) * 1099511628211 + CAST(fw AS HUGEINT))
+       |                      % 18446744073709551616 AS UBIGINT)
+       |    ) AS fu
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN fu >= 9223372036854775808
+       |       THEN CAST(fu AS HUGEINT) - 18446744073709551616
+       |       ELSE CAST(fu AS HUGEINT) END AS BIGINT) AS fingerprint
+       |FROM f""".stripMargin
+
+  /** q_simhash_pairs oracle: per-word fnv1a → 64 bit votes → sign bits →
+    * 4×16-bit chunk pigeonhole join → hamming ≤ 3, over the same planted
+    * near-dup union as the Spark query. All integer arithmetic — exact. */
+  private def simhashOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup copy' AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |wf AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0),
+       |      w -> $fnvWordSql)) AS fw
+       |  FROM base),
+       |votes AS (
+       |  SELECT doc_id, b.b AS bit,
+       |    sum(CASE WHEN (fw >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM wf CROSS JOIN generate_series(0, 63) b(b)
+       |  GROUP BY doc_id, b.b),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+       |             ELSE 0 END) AS UBIGINT) AS sig
+       |  FROM votes GROUP BY doc_id),
+       |allsigs AS (
+       |  SELECT b.doc_id, COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig
+       |  FROM (SELECT DISTINCT doc_id FROM base) b LEFT JOIN sigs s USING (doc_id)),
+       |chunks AS (
+       |  SELECT doc_id, sig, c.c AS ci, (sig >> (c.c * 16)) & 65535 AS cv
+       |  FROM allsigs CROSS JOIN generate_series(0, 3) c(c)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |    bit_count(xor(a.sig, b2.sig)) AS hamming
+       |  FROM chunks a JOIN chunks b2
+       |  ON a.ci = b2.ci AND a.cv = b2.cv AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
+  /** 64-bit wrapping multiply by a CONSTANT in DuckDB: HUGEINT would
+    * overflow on a full 64×64 product, so the constant is split into
+    * 32-bit halves — x·C mod 2^64 = (x·C_lo + ((x·C_hi mod 2^32)·2^32))
+    * mod 2^64, every intermediate < 2^97. */
+  private def modmulSql(x: String, c: Long): String = {
+    val hi = c >>> 32
+    val lo = c & 0xFFFFFFFFL
+    s"CAST(((CAST(($x) AS HUGEINT) * $lo + " +
+      s"((CAST(($x) AS HUGEINT) * $hi) % 4294967296) * 4294967296) " +
+      s"% 18446744073709551616) AS UBIGINT)"
+  }
+
+  /** splitmix64 finalizer (Dedup.mix64) as a UBIGINT-domain expression. */
+  private def mix64Sql(inner: String): String = {
+    val z1 = s"CAST((CAST(($inner) AS HUGEINT) + 11400714819323198485) " +
+      s"% 18446744073709551616 AS UBIGINT)"
+    val z2 = modmulSql(s"xor($z1, ($z1) >> 30)", 0xBF58476D1CE4E5B9L)
+    val z3 = modmulSql(s"xor($z2, ($z2) >> 27)", 0x94D049BB133111EBL)
+    s"xor($z3, ($z3) >> 31)"
+  }
+
+  /** q_minhash_lsh oracle: the ENTIRE pipeline — word 3-shingles, fnv1a
+    * shingle hashes, 64 splitmix64-seeded minhashes, 16 band-key folds,
+    * bucket-join candidates, exact shingle-set Jaccard verify — replicated
+    * with exact wrapping integer arithmetic over the same planted-dup
+    * union. ~16 s in DuckDB at sf0.01 (17M mix64 rows) — the one slow
+    * oracle, but every stage is bit-exact. */
+  private def minhashLshOracle: String = {
+    val seedJ = "CAST((CAST(j.j AS HUGEINT) * 11694633085474628615) " +
+      "% 18446744073709551616 AS UBIGINT)"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup copy' AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |words AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
+       |  FROM base),
+       |shl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) = 0 THEN CAST([] AS UBIGINT[])
+       |         WHEN len(ws) < 3 THEN list_transform([array_to_string(ws, ' ')], w -> $fnvWordSql)
+       |         ELSE list_distinct(list_transform(
+       |                list_transform(range(1, len(ws) - 1),
+       |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |                w -> $fnvWordSql))
+       |    END AS shs
+       |  FROM words),
+       |she AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+       |sigr AS (
+       |  SELECT she.doc_id, j.j AS j, min(${mix64Sql(s"xor(she.sh, $seedJ)")}) AS sigv
+       |  FROM she CROSS JOIN generate_series(0, 63) j(j)
+       |  GROUP BY she.doc_id, j.j),
+       |grid AS (SELECT shl.doc_id, j.j AS j FROM shl CROSS JOIN generate_series(0, 63) j(j)),
+       |sig AS (
+       |  SELECT g.doc_id, g.j,
+       |    COALESCE(s.sigv, CAST(9223372036854775807 AS UBIGINT)) AS sigv
+       |  FROM grid g LEFT JOIN sigr s ON g.doc_id = s.doc_id AND g.j = s.j),
+       |bandrows AS (
+       |  SELECT doc_id, j // 4 AS band, list(sigv ORDER BY j) AS sigs
+       |  FROM sig GROUP BY doc_id, j // 4),
+       |keys AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(xor(CAST(14695981039346656037 AS UBIGINT), CAST(band AS UBIGINT)), sigs),
+       |      (h, s) -> ${mix64Sql("xor(h, s)")}) AS band_key
+       |  FROM bandrows),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM keys a JOIN keys b2 ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(sa.shs, sb.shs)) AS inter,
+       |    len(sa.shs) AS na, len(sb.shs) AS nb
+       |  FROM cand c
+       |  JOIN shl sa ON sa.doc_id = c.id_a
+       |  JOIN shl sb ON sb.doc_id = c.id_b),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN na = 0 AND nb = 0 THEN 1.0
+       |         ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS j
+       |  FROM ver)
+       |SELECT id_a, id_b, round(j, 4) AS jaccard
+       |FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_cosine_neardup" -> cosineNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_fingerprint" -> fingerprintOracle,
+    "q_simhash_pairs" -> simhashOracle,
+    "q_minhash_lsh" -> minhashLshOracle,
     "q_minhash_sig" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
