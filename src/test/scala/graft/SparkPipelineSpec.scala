@@ -310,4 +310,31 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SnapshotStore.readCommitted(spark, root).get.count() == 150)
     assert(SnapshotStore.readCommitted(spark, root).get.select($"url").distinct().count() == 150)
   }
+
+  test("distributed image surface: real bbox/dims/payload per placement (S7)") {
+    import spark.implicits._
+    val docs = ExtractJob.extractDocs(spark, PagesTable.pagesDF(spark, N))
+    val imgs = docs.select($"url", org.apache.spark.sql.functions.explode($"images").as("im"))
+      .select($"url", $"im.x0", $"im.x1", $"im.y0", $"im.y1", $"im.width",
+        org.apache.spark.sql.functions.length($"im.bytes").as("nb"))
+      .collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      assert(r.getDouble(2) > r.getDouble(1) && r.getDouble(4) > r.getDouble(3), r) // x1>x0, y1>y0
+      assert(r.getInt(5) == 4 && (r.getInt(6) == 16 || r.getInt(6) == 48), r) // gray or CMYK->RGB
+    }
+  }
+
+  test("distributed word boxes agree with single-node extraction (S3)") {
+    import spark.implicits._
+    val pages = PagesTable.pagesDF(spark, N)
+    val dist = pages.as[graft.core.PageRow]
+      .flatMap(r => graft.core.Extractor.wordBoxes(r).map(w =>
+        (r.url, w.page, w.word, w.x0, w.x1, w.top, w.bottom)))
+      .collect().toSet
+    val local = pages.as[graft.core.PageRow].collect().flatMap(r =>
+      graft.core.Extractor.wordBoxes(r).map(w =>
+        (r.url, w.page, w.word, w.x0, w.x1, w.top, w.bottom))).toSet
+    assert(dist == local && dist.nonEmpty)
+  }
 }
