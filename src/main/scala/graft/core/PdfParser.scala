@@ -570,12 +570,15 @@ object PdfParser {
     private var curX = 0.0
     private var fillR, fillG, fillB = 0 // nonstroking color (span color)
     private var rise = 0.0              // Ts text rise
+    private var charSp = 0.0            // Tc character spacing (text space)
+    private var wordSp = 0.0            // Tw word spacing (per 0x20)
+    private var hScale = 1.0            // Tz horizontal scaling (Th = pct/100)
     // text-matrix scale (Tm a/d; translation lives in lineX/lineY)
     private var tmA, tmD = 1.0
     // CTM: x' = ctmA·x + ctmE ; y' = ctmD·y + ctmF, with a q/Q stack
     private var ctmA, ctmD = 1.0
     private var ctmE, ctmF = 0.0
-    private val gsStack = mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Int, Int, Int)]
+    private val gsStack = mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Int, Int, Int, Double, Double, Double)]
 
     def run(content: Array[Byte]): Vector[TextRun] = {
       val out = Vector.newBuilder[TextRun]
@@ -619,6 +622,9 @@ object PdfParser {
           font = st.collectFirst { case PName(f) => fonts.getOrElse(f, f) }.getOrElse(font)
         case "TL" => if (st.nonEmpty) leading = num(st.last)
         case "Ts" => if (st.nonEmpty) rise = num(st.last)
+        case "Tc" => if (st.nonEmpty) charSp = num(st.last)
+        case "Tw" => if (st.nonEmpty) wordSp = num(st.last)
+        case "Tz" => if (st.nonEmpty) { val p = num(st.last); if (p != 0) hScale = p / 100.0 }
         case "rg" => // nonstroking RGB (each component 0..1)
           if (st.length >= 3) {
             fillR = to255(num(st(st.length - 3)))
@@ -663,12 +669,13 @@ object PdfParser {
             if (d != 0) ctmD *= d
           }
         case "q" =>
-          gsStack += ((ctmA, ctmD, ctmE, ctmF, fillR, fillG, fillB))
+          gsStack += ((ctmA, ctmD, ctmE, ctmF, fillR, fillG, fillB, charSp, wordSp, hScale))
         case "Q" =>
           if (gsStack.nonEmpty) {
-            val (a, d, e, f, r, g, b) = gsStack.remove(gsStack.length - 1)
+            val (a, d, e, f, r, g, b, tc, tw, tz) = gsStack.remove(gsStack.length - 1)
             ctmA = a; ctmD = d; ctmE = e; ctmF = f
             fillR = r; fillG = g; fillB = b
+            charSp = tc; wordSp = tw; hScale = tz
           }
         case "Do" => // XObject paint: image bbox = unit square through CTM
           st.lastOption.foreach {
@@ -690,12 +697,18 @@ object PdfParser {
         case "'" =>
           lineY -= tmD * leading; curX = lineX
           st.lastOption.foreach { case PStr(s) => emit(s, out); case _ => }
+        case "\"" => // aw ac string: set Tw, Tc, then next-line-show
+          if (st.length >= 3) {
+            wordSp = num(st(st.length - 3)); charSp = num(st(st.length - 2))
+          }
+          lineY -= tmD * leading; curX = lineX
+          st.lastOption.foreach { case PStr(s) => emit(s, out); case _ => }
         case "TJ" =>
           st.lastOption.foreach {
             case PArr(items) =>
               items.foreach {
                 case PStr(s) => emit(s, out)
-                case PNum(a) => curX -= a / 1000.0 * size * tmA
+                case PNum(a) => curX -= a / 1000.0 * size * hScale * tmA
                 case _       =>
               }
             case _ =>
@@ -714,7 +727,14 @@ object PdfParser {
       // effective geometry composes the Tm and CTM scales; lineX/lineY/curX
       // are pre-CTM user coordinates (Tm scale already applied via Td/T*)
       val effSize = math.abs(size * tmD * ctmD)
-      val wUser = math.abs(s.length * CharWidthFactor * size * tmA * ctmA)
+      // glyph advance per the spec: tx = (w0·Tfs + Tc + Tw[space]) · Th
+      // (w0·Tfs = the fixed 0.5·size metric model); identity Tc/Tw/Tz
+      // reproduce the original geometry exactly
+      var nSp = 0
+      var si = 0
+      while (si < s.length) { if (s.charAt(si) == ' ') nSp += 1; si += 1 }
+      val advText = (s.length * (CharWidthFactor * size + charSp) + nSp * wordSp) * hScale
+      val wUser = math.abs(advText * tmA * ctmA)
       val xUser = ctmA * curX + ctmE
       // `base` is the LINE baseline (Ts rise excluded): a superscript must
       // stay grouped with its anchor line no matter how large the rise —
@@ -726,7 +746,7 @@ object PdfParser {
       val yTop = base - riseUser - effSize * 0.8   // ascent above RISEN position
       out += TextRun(xUser, yTop, wUser, effSize, effSize, font, s, base,
         fillR, fillG, fillB, rise)
-      curX += s.length * CharWidthFactor * size * tmA
+      curX += advText * tmA
     }
   }
 }

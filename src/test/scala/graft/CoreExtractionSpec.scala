@@ -322,6 +322,29 @@ class CoreExtractionSpec extends AnyFunSuite {
     assert((im.bytes(2) & 0xff) == 235)
   }
 
+  test("pdf text-state spacing: Tc/Tw/Tz and the double-quote operator") {
+    // Tm for absolute placement (Td is relative); Tz resets to 100 after
+    // the scaling segment (text-state params persist across shows)
+    val content = "BT /F1 10 Tf 2 Tc 1 0 0 1 100 700 Tm (ab cd) Tj " +
+      "0 Tc 50 Tz 1 0 0 1 100 600 Tm (wide) Tj " +
+      "100 Tz 12 TL 1 0 0 1 100 500 Tm (first) Tj 3 1 (w x) \" ET"
+    val runs = PdfParser.parse(graft.gen.FixtureGen.buildPdf(
+      Vector(content), compress = false)).head.runs
+    // Tc=2: advance = 5*(0.5*10+2) = 35 (word spacing 0 by default)
+    val a = runs.find(_.text == "ab cd").get
+    assert(math.abs(a.w - 35.0) < 1e-9, a)
+    // Tz=50: advance halves → 4*5*0.5 = 10
+    val b = runs.find(_.text == "wide").get
+    assert(math.abs(b.w - 10.0) < 1e-9, b)
+    // " sets Tw=3 Tc=1, moves to next line (TL=12), then shows:
+    // advance = 3*(5+1) + 1*3 = 21; baseline drops by 12 from "first"
+    val f = runs.find(_.text == "first").get
+    val q = runs.find(_.text == "w x").get
+    assert(math.abs(q.w - 21.0) < 1e-9, q)
+    assert(math.abs(q.base - (f.base + 12)) < 1e-9, (f.base, q.base))
+    // identity defaults: a plain doc is byte-identical (corpus test covers)
+  }
+
   test("pdf rotated text (Tm 90-degree family) is skipped, not mis-placed") {
     val content = "BT /F1 12 Tf 0 1 -1 0 300 300 Tm (ROTATED WATERMARK) Tj " +
       "1 0 0 1 50 600 Tm (upright text) Tj ET"
