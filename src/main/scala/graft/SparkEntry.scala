@@ -601,7 +601,7 @@ object SparkEntry {
       |assign AS (SELECT vec_id, cell FROM (
       |    SELECT vec_id, cell,
       |      row_number() OVER (PARTITION BY vec_id
-      |        ORDER BY dot / (sqrt(vv) * sqrt(cc)) DESC, cell) AS rn
+      |        ORDER BY dot / sqrt(vv * cc) DESC, cell) AS rn
       |    FROM sd) WHERE rn = 1),
       |cent0 AS (SELECT a.cell, i.i AS d,
       |            list_sum(list(CAST(s.embedding[i.i] AS DOUBLE) ORDER BY s.vec_id))
@@ -746,7 +746,9 @@ object SparkEntry {
   }
 
   /** q_minhash_lsh oracle: the ENTIRE pipeline — word 3-shingles, fnv1a
-    * shingle hashes, 64 splitmix64-seeded minhashes, 16 band-key folds,
+    * shingle hashes, 64 splitmix64-seeded minhashes (the Scala min is over
+    * SIGNED Longs: replicated by flipping the sign bit before/after the
+    * unsigned UBIGINT min), 16 band-key folds,
     * bucket-join candidates, exact shingle-set Jaccard verify — replicated
     * with exact wrapping integer arithmetic over the same planted-dup
     * union. ~16 s in DuckDB at sf0.01 (17M mix64 rows) — the one slow
@@ -774,7 +776,10 @@ object SparkEntry {
        |  FROM words),
        |she AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
        |sigr AS (
-       |  SELECT she.doc_id, j.j AS j, min(${mix64Sql(s"xor(she.sh, $seedJ)")}) AS sigv
+       |  SELECT she.doc_id, j.j AS j,
+       |    xor(min(xor(${mix64Sql(s"xor(she.sh, $seedJ)")},
+       |            CAST(9223372036854775808 AS UBIGINT))),
+       |        CAST(9223372036854775808 AS UBIGINT)) AS sigv
        |  FROM she CROSS JOIN generate_series(0, 63) j(j)
        |  GROUP BY she.doc_id, j.j),
        |grid AS (SELECT shl.doc_id, j.j AS j FROM shl CROSS JOIN generate_series(0, 63) j(j)),

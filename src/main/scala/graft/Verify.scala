@@ -38,9 +38,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // filtered dev runs must not SHRINK an existing oracle map — a stale
+    // outDir would then selfcheck only the filtered subset and silently
+    // mask regressions in every other query
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    if (only.isEmpty || !Files.exists(oraclePath)) {
+      val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(oraclePath, json)
+    }
     spark.stop()
   }
 }

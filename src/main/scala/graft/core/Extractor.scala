@@ -29,13 +29,16 @@ object Extractor {
     * reference logs pdfplumber's extract_words() per page
     * (text_extractor_all.py:177, 187-188). Within a run the per-char
     * advance is uniform (w / len — the monospaced-geometry contract), so
-    * word splits are exact. PDF only: HTML has no glyph geometry without
-    * a renderer. Pure Row → Seq, safe inside a typed flatMap. */
+    * word splits are exact under the fixture geometry contract (Tc=Tw=0,
+    * Tz=100); with nonzero Tc/Tw the run-level width still holds but the
+    * per-word split becomes the uniform approximation. PDF only: HTML has
+    * no glyph geometry without a renderer. Pure Row → Seq, safe inside a
+    * typed flatMap. Image payloads are NOT decoded on this path. */
   def wordBoxes(row: PageRow): Seq[WordBox] = {
     val bytes = if (row.html == null) Array.emptyByteArray else row.html
     if (!PdfParser.isPdf(bytes)) return Nil
     val pages =
-      try PdfParser.parse(bytes)
+      try PdfParser.parse(bytes, decodeImages = false)
       catch { case _: Exception => Vector.empty }
     val out = Vector.newBuilder[WordBox]
     pages.foreach { p =>

@@ -85,14 +85,18 @@ object PdfParser {
     def dictGet(d: PDict, k: String): PV = resolve(d.v.getOrElse(k, PNull))
   }
 
-  /** Parse a whole PDF byte array into ordered pages with text runs. */
-  def parse(bytes: Array[Byte]): Vector[PdfPage] = {
+  /** Parse a whole PDF byte array into ordered pages with text runs.
+    * `decodeImages = false` skips inflating/converting image payloads
+    * (dims and placements stay real, bytes come back empty) — text-only
+    * consumers like [[graft.core.Extractor.wordBoxes]] must not pay the
+    * full image decompression cost per parse. */
+  def parse(bytes: Array[Byte], decodeImages: Boolean = true): Vector[PdfPage] = {
     val doc = scanObjects(bytes)
     val pages = collectPages(doc)
     pages.zipWithIndex.map { case (pd, i) =>
       val (w, h) = mediaBox(doc, pd)
       val content = contentBytes(doc, pd)
-      val res = imageResources(doc, pd)
+      val res = imageResources(doc, pd, decodeImages)
       val interp = new ContentInterp(w, h, fontMap(doc, pd), res)
       val runs = interp.run(content)
       // undrawn resource images keep a zero bbox (get_images(full=True)
@@ -172,32 +176,40 @@ object PdfParser {
     // need xref-table precedence, which this linear scanner does not model.
     var progressed = true
     var rounds = 0
+    val unpacked = mutable.Set.empty[Int] // ObjStms fully processed — never
+    // re-inflated on later rounds (the fixpoint loop otherwise decodes the
+    // bulk of a compressed PDF once per round)
     while (progressed && rounds < 8) {
       progressed = false
       rounds += 1
       val base = new Doc(objs.toMap)
-      objs.values.toVector.foreach {
-        case PStream(d, raw) if base.dictGet(d, "Type") == PName("ObjStm") =>
+      objs.toVector.foreach {
+        case (stmId, PStream(d, raw))
+            if !unpacked.contains(stmId) && base.dictGet(d, "Type") == PName("ObjStm") =>
           val n = base.dictGet(d, "N") match { case PNum(v) => v.toInt; case _ => 0 }
           val first = base.dictGet(d, "First") match { case PNum(v) => v.toInt; case _ => 0 }
-          val data = decode(base, d, raw)
-          val hdr = new Lexer(data, 0)
-          val pairs = Vector.newBuilder[(Int, Int)]
-          var k = 0
-          var ok = true
-          while (ok && k < n) {
-            (hdr.parseValue(), hdr.parseValue()) match {
-              case (PNum(on), PNum(off)) => pairs += ((on.toInt, off.toInt))
-              case _                     => ok = false
+          if (n > 0) {
+            val data = decode(base, d, raw)
+            val hdr = new Lexer(data, 0)
+            val pairs = Vector.newBuilder[(Int, Int)]
+            var k = 0
+            var ok = true
+            while (ok && k < n) {
+              (hdr.parseValue(), hdr.parseValue()) match {
+                case (PNum(on), PNum(off)) => pairs += ((on.toInt, off.toInt))
+                case _                     => ok = false
+              }
+              k += 1
             }
-            k += 1
-          }
-          pairs.result().foreach { case (objNum, off) =>
-            if (!objs.contains(objNum) && first + off >= 0 && first + off < data.length) {
-              val lex = new Lexer(data, first + off)
-              objs.put(objNum, lex.parseValue())
-              progressed = true
+            pairs.result().foreach { case (objNum, off) =>
+              if (!objs.contains(objNum) && first + off >= 0 && first + off < data.length) {
+                val lex = new Lexer(data, first + off)
+                objs.put(objNum, lex.parseValue())
+                progressed = true
+              }
             }
+            unpacked += stmId // header read → done; n == 0 (unresolved /N)
+            // streams stay pending and retry once more objects surface
           }
         case _ =>
       }
@@ -500,7 +512,8 @@ object PdfParser {
   private final case class ImageRes(width: Int, height: Int,
       colorSpace: String, bytes: Array[Byte])
 
-  private def imageResources(doc: Doc, page: PDict): Map[String, ImageRes] =
+  private def imageResources(doc: Doc, page: PDict,
+      decodeImages: Boolean): Map[String, ImageRes] =
     doc.dictGet(page, "Resources") match {
       case r: PDict =>
         doc.dictGet(r, "XObject") match {
@@ -511,8 +524,12 @@ object PdfParser {
                   val w = doc.dictGet(d, "Width") match { case PNum(n) => n.toInt; case _ => 0 }
                   val h = doc.dictGet(d, "Height") match { case PNum(n) => n.toInt; case _ => 0 }
                   val cs = doc.dictGet(d, "ColorSpace") match { case PName(c) => c; case _ => "" }
-                  val data = decode(doc, d, raw)
-                  val px = if (cs == "DeviceCMYK") cmykToRgb(data) else data
+                  val px =
+                    if (!decodeImages) Array.emptyByteArray
+                    else {
+                      val data = decode(doc, d, raw)
+                      if (cs == "DeviceCMYK") cmykToRgb(data) else data
+                    }
                   Some(name -> ImageRes(w, h, cs, px))
                 case _ => None
               }

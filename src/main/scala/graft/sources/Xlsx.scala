@@ -141,8 +141,10 @@ object Xlsx {
     if (maxR < 0) return Vector.empty
     // dense grid only within budget; a sparse adversarial sheet (few cells
     // at huge refs) compacts to the DISTINCT row/col ranks instead of
-    // allocating (maxR+1)×(maxC+1) empties
-    if ((maxR + 1).toLong * (maxC + 1).toLong > 4000000L) {
+    // allocating (maxR+1)×(maxC+1) empties. 16M cells keeps every
+    // realistic table dense (the compaction rewrites coordinates, so it
+    // must only ever fire on hostile refs).
+    if ((maxR + 1).toLong * (maxC + 1).toLong > 16000000L) {
       val rRank = cells.map(_._1).distinct.sorted.zipWithIndex.toMap
       val cRank = cells.map(_._2).distinct.sorted.zipWithIndex.toMap
       val grid = Array.fill(rRank.size, cRank.size)("")
@@ -200,8 +202,11 @@ object Xlsx {
             val code = (if (e.startsWith("#x") || e.startsWith("#X"))
               scala.util.Try(Integer.parseInt(e.substring(2), 16))
             else scala.util.Try(e.substring(1).toInt)).getOrElse(-1)
-            if (code >= 0) { sb.appendCodePoint(code); i = semi + 1 }
-            else { sb.append(ch); i += 1 }
+            // appendCodePoint throws above U+10FFFF and on surrogates —
+            // hostile refs must not fail the Spark task
+            if (code >= 0 && code <= 0x10FFFF && !(code >= 0xD800 && code <= 0xDFFF)) {
+              sb.appendCodePoint(code); i = semi + 1
+            } else { sb.append(ch); i += 1 }
           case _ => sb.append(ch); i += 1
         }
       } else { sb.append(ch); i += 1 }
@@ -221,8 +226,12 @@ object Xlsx {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
+        // per-file failure tolerance (the reference's try/skip per file,
+        // xbrl_validate.py:68-81): one malformed workbook must not fail
+        // the whole job — it contributes zero cells
+        val rows = try parse(bytes) catch { case _: Exception => Vector.empty }
         for {
-          (row, r) <- parse(bytes).zipWithIndex
+          (row, r) <- rows.zipWithIndex
           (v, c) <- row.zipWithIndex
         } yield (p, r, c, v)
       }
@@ -232,16 +241,16 @@ object Xlsx {
 
 /** Extension dispatch over a tables directory — the reference's suffix
   * switch with per-file failure tolerance (xbrl_validate.py:68-81):
-  * `.csv` → RobustCsv, `.xlsx` → Xlsx, anything else skipped. */
+  * `.csv` → RobustCsv, `.xlsx` → Xlsx, anything else skipped. Legacy
+  * `.xls` (OLE2 binary, not a ZIP) is explicitly SKIPPED, not silently
+  * parsed to nothing — no OLE2 codec exists offline (declared limit). */
 object TableSource {
   def readCells(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fs = new java.io.File(dir).listFiles()
     val names = if (fs == null) Array.empty[String] else fs.map(_.getPath).sorted
     val csvs = names.filter(_.toLowerCase.endsWith(".csv"))
-    val xlsxs = names.filter { n =>
-      val l = n.toLowerCase; l.endsWith(".xlsx") || l.endsWith(".xls")
-    }
+    val xlsxs = names.filter(_.toLowerCase.endsWith(".xlsx"))
     val parts = Seq.newBuilder[DataFrame]
     csvs.foreach { p =>
       parts += RobustCsv.readCells(spark, p)

@@ -65,6 +65,9 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.write(dir.resolve("b.xlsx"),
       graft.gen.FixtureGen.buildXlsx(Vector(Vector("p", "q"))))
     Files.write(dir.resolve("c.txt"), "ignored".getBytes(StandardCharsets.UTF_8))
+    // legacy OLE2 .xls is a declared-unsupported format: skipped, not
+    // routed into the ZIP parser to silently yield nothing
+    Files.write(dir.resolve("d.xls"), Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte))
     val df = TableSource.readCells(spark, dir.toString).collect()
     val files = df.map(_.getString(0)).distinct.sorted
     assert(files.length == 2 && files(0).endsWith("a.csv") && files(1).endsWith("b.xlsx"), files.toSeq)
