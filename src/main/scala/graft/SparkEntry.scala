@@ -283,6 +283,22 @@ object SparkEntry {
       .orderBy(col("file"), col("r"), col("c"))
   }
 
+  /** S8 for real: numeric facts parsed from deterministic XBRL instance
+    * documents (parse_xbrl_instance parity, xbrl_validate.py:40-56). */
+  private def xXbrlFacts(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xbrl")
+    val nDocs = math.max(xDocCount(dir).toInt / 200, 2)
+    (0 until nDocs).foreach { i =>
+      java.nio.file.Files.write(tmp.resolve(f"inst_$i%03d.xml"),
+        graft.gen.FixtureGen.buildXbrl(1000L + i, nFacts = 20)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    graft.sources.XbrlInstance.readFacts(s, tmp.toString)
+      .select(regexp_extract(col("file"), "([^/]+)$", 1).as("file"),
+        col("concept"), round(col("value"), 2).as("value"))
+      .orderBy(col("file"), col("concept"), col("value"))
+  }
+
   /** A2: best table per page (argmax over dual-engine candidates). */
   private def xBestTables(s: SparkSession, dir: String): DataFrame =
     graft.spark.ExtractJob.bestTables(
@@ -475,6 +491,7 @@ object SparkEntry {
     "x_images"        -> xImages _,
     "x_word_boxes"    -> xWordBoxes _,
     "x_table_sources" -> xTableSources _,
+    "x_xbrl_facts"    -> xXbrlFacts _,
     "x_metrics_wer"   -> xMetrics _,
     "x_multimodal"    -> xMultimodal _,
     "q_minhash_lsh"   -> qMinhashLsh _,

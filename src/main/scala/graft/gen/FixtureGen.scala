@@ -392,6 +392,39 @@ object FixtureGen {
     bos.toByteArray
   }
 
+  /** Deterministic XBRL-style instance document (xbrl_validate.py:40-56
+    * source): namespaced numeric facts with thousands separators and
+    * signs, plus the reference parser's faithful quirks — date strings do
+    * NOT match the numeric regex, a bare year DOES. */
+  def buildXbrl(h: Long, nFacts: Int = 20): String = {
+    def grouped(v: Long): String = {
+      val s = math.abs(v).toString
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < s.length) {
+        if (i > 0 && (s.length - i) % 3 == 0) sb.append(',')
+        sb.append(s.charAt(i)); i += 1
+      }
+      (if (v < 0) "-" else "") + sb.toString
+    }
+    val sb = new java.lang.StringBuilder()
+    sb.append("<?xml version=\"1.0\"?>\n")
+    sb.append("<xbrl xmlns:us-gaap=\"http://fasb.org/us-gaap/2024\">\n")
+    sb.append("<context id=\"c1\"><period><startDate>2024-01-29</startDate>")
+    sb.append("<endDate>2025-01-26</endDate></period></context>\n")
+    var i = 0
+    while (i < nFacts) {
+      val mag = 1L << (10 + pick(mix(h, 600 + i), 30))
+      val v0 = (mix(h, 650 + i) & (mag - 1)) + mag
+      val v = if (i % 5 == 0) -v0 else v0
+      val name = s"Fact${i % 7}Metric"
+      sb.append(s"""<us-gaap:$name contextRef="c1" decimals="0">${grouped(v)}</us-gaap:$name>\n""")
+      i += 1
+    }
+    sb.append("<note>not a number</note>\n<year>2024</year>\n</xbrl>\n")
+    sb.toString
+  }
+
   def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()

@@ -59,6 +59,31 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cells.exists(r => r.getInt(1) == 2 && r.getInt(2) == 1 && r.getString(3) == "(56)"))
   }
 
+  test("xbrl instance facts: numeric leaves only, commas stripped, dup-preserving (S8)") {
+    import graft.sources.XbrlInstance
+    val xml = graft.gen.FixtureGen.buildXbrl(42L, nFacts = 12)
+    val facts = XbrlInstance.parseFacts(xml)
+    // 12 planted facts + the faithful quirk: bare <year>2024</year> counts,
+    // dates (hyphenated) and prose do not
+    assert(facts.length == 13, facts.length)
+    assert(facts.count(_.concept == "year") == 1)
+    assert(!facts.exists(_.concept == "note"))
+    assert(!facts.exists(_.concept == "startDate"))
+    // concept is the LOCAL name (prefix stripped), negatives survive
+    assert(facts.exists(f => f.concept == "Fact0Metric" && f.value < 0))
+    assert(facts.forall(f => !f.concept.contains(":")))
+    // hand case: comma-grouped value parses to the exact double
+    val one = XbrlInstance.parseFacts(
+      """<x><a:Rev c="u">26,974,000,000</a:Rev><b>1.5</b><c>12-31</c></x>""")
+    assert(one == Vector(XbrlInstance.Fact("Rev", 2.6974e10),
+      XbrlInstance.Fact("b", 1.5)))
+    // distributed form
+    val dir = Files.createTempDirectory("graft-xbrl")
+    Files.write(dir.resolve("f1.xml"), xml.getBytes(StandardCharsets.UTF_8))
+    val df = graft.sources.XbrlInstance.readFacts(spark, dir.toString).collect()
+    assert(df.length == 13)
+  }
+
   test("table dispatch: csv parses, xlsx parses, other suffixes skipped") {
     val dir = Files.createTempDirectory("graft-tables")
     Files.write(dir.resolve("a.csv"), "x,y\n1,2\n".getBytes(StandardCharsets.UTF_8))
