@@ -85,6 +85,10 @@ object HtmlTokenizer {
     val n = s.length
     var i = 0
     var runStart = 0
+    // memoized position of the next '&' at/after the scan point: entities
+    // are rare, so an uncached indexOf('&') from every text run would
+    // re-scan far past the next tag each time (measured regression)
+    var ampNext = -1
 
     @inline def flushRun(end: Int): Unit =
       if (end > runStart) sink.textChunk(s, runStart, end)
@@ -137,7 +141,18 @@ object HtmlTokenizer {
         i += adv
         runStart = i
       } else {
-        i += 1
+        // bulk-skip the plain-text run to the next markup char: the JDK's
+        // single-char indexOf is SIMD-intrinsified, so this replaces the
+        // dominant per-char branch loop over document text. Scan from i+1:
+        // the CURRENT char may itself be a lone trailing '<' (the `i+1<n`
+        // guard above rejected it) and indexOf(i) would return i forever.
+        var lt = s.indexOf('<', i + 1)
+        if (lt < 0) lt = n
+        if (ampNext <= i) {
+          ampNext = s.indexOf('&', i + 1)
+          if (ampNext < 0) ampNext = n
+        }
+        i = math.min(lt, ampNext)
       }
     }
     flushRun(n)
