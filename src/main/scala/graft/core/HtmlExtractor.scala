@@ -146,11 +146,16 @@ object HtmlExtractor {
         val c = s.charAt(i)
         if (isWsChar(c)) {
           if (buf.length() > 0) pendingSpace = true
+          i += 1
         } else {
           if (pendingSpace) { buf.append(' '); pendingSpace = false }
-          buf.append(c)
+          // append the whole non-ws segment at once (bulk arraycopy)
+          // instead of one char per call
+          var j = i + 1
+          while (j < end && !isWsChar(s.charAt(j))) j += 1
+          buf.append(s, i, j)
+          i = j
         }
-        i += 1
       }
     }
     private var ctxNav, ctxHeader, ctxFooter, ctxAside = false

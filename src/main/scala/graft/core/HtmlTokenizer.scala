@@ -260,7 +260,11 @@ object HtmlTokenizer {
           while (p < n && isSpace(s.charAt(p))) p += 1
           if (p < n && s.charAt(p) == '>') { e = p + 1; done2 = true }
           else e += 1
-        } else e += 1
+        } else {
+          // raw content never tokenizes — jump straight to the next '<'
+          val nx = s.indexOf('<', e + 1)
+          e = if (nx < 0) n else nx
+        }
       }
       sink.endTag(name)
       return e
