@@ -396,6 +396,35 @@ object SparkEntry {
     graft.ops.TextAnalysis.fingerprints(t(s, dir, "documents"))
       .select(col("doc_id"), col("fingerprint"))
 
+  /** Grouping sets: ROLLUP over (returnflag, linestatus) — subtotal and
+    * grand-total rows with NULL group keys, the classic OLAP cube slice. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Pivot: per-user-cohort event counts, one column per event type
+    * (explicit value list — deterministic schema at any scale). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((col("user_id") % 100).as("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Exact interpolated percentiles per source (Spark `percentile` ==
+    * DuckDB `quantile_cont` — both linear interpolation on the sorted
+    * values, so the rounded results hash-match). */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+        round(expr("percentile(n_chars, 0.99)"), 4).as("p99_chars"),
+        count(lit(1)).as("n"))
+
   /** Gap-based sessionization over the events stream (30-min timeout). */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -520,6 +549,9 @@ object SparkEntry {
     "q_scalar_funcs"     -> qScalarFuncs _,
     "q_jaccard_pairs"    -> qJaccardPairs _,
     "q_text_quality"     -> qTextQuality _,
+    "q_rollup"           -> qRollup _,
+    "q_pivot"            -> qPivot _,
+    "q_percentiles"      -> qPercentiles _,
   )
 
   /** The 8 hyperplanes of the LSH bucket signature as DuckDB VALUES rows —
@@ -839,6 +871,25 @@ object SparkEntry {
     "q_fingerprint" -> fingerprintOracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_minhash_lsh" -> minhashLshOracle,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 100 AS cohort,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_percentiles" ->
+      """SELECT source,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99_chars,
+        |  count(*) AS n
+        |FROM documents GROUP BY source""".stripMargin,
     "q_minhash_sig" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
