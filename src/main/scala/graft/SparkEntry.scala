@@ -425,6 +425,13 @@ object SparkEntry {
         round(expr("percentile(n_chars, 0.99)"), 4).as("p99_chars"),
         count(lit(1)).as("n"))
 
+  /** KMV bottom-k distinct-token sketch per source — a custom Catalyst
+    * AGGREGATE (bounded O(k) state, map-side partial merge) whose estimate
+    * the DuckDB oracle reproduces exactly from the shared fnv1a hash. */
+  private def qKmvDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kmvDistinctTokens(t(s, dir, "documents"), "source", k = 64)
+      .orderBy(col("source"))
+
   /** Gap-based sessionization over the events stream (30-min timeout). */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -552,6 +559,7 @@ object SparkEntry {
     "q_rollup"           -> qRollup _,
     "q_pivot"            -> qPivot _,
     "q_percentiles"      -> qPercentiles _,
+    "q_kmv_distinct"     -> qKmvDistinct _,
   )
 
   /** The 8 hyperplanes of the LSH bucket signature as DuckDB VALUES rows —
@@ -871,6 +879,24 @@ object SparkEntry {
     "q_fingerprint" -> fingerprintOracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_minhash_lsh" -> minhashLshOracle,
+    "q_kmv_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT source, $fnvWordSql AS h
+         |  FROM (SELECT source,
+         |          unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+         |        FROM documents)),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM toks),
+         |nd AS (SELECT source, count(*) AS nd_total FROM toks GROUP BY source),
+         |kth AS (SELECT source, h AS kth FROM r WHERE rn = 64)
+         |SELECT nd.source,
+         |  least(nd.nd_total, 64) AS n_kept,
+         |  round(CASE WHEN nd.nd_total < 64 THEN CAST(nd.nd_total AS DOUBLE)
+         |        ELSE 63.0 * 18446744073709551616.0 / CAST(kth.kth AS DOUBLE) END,
+         |    2) AS distinct_est
+         |FROM nd LEFT JOIN kth ON nd.source = kth.source
+         |ORDER BY nd.source""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

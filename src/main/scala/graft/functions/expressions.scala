@@ -192,6 +192,116 @@ case class HyperplaneSig(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** graft_fnv1a64(text): the FNV-1a fold over UTF-16 units — shared with
+  * the DuckDB oracle machinery, so sketch inputs hash identically on both
+  * engines. */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftExprs.requireString(child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fnv1a64"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.ops.Dedup.fnv1a(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Dedup.fnv1a($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** graft_bottomk(hash, k): the K-Minimum-Values (bottom-k) sketch state —
+  * the k smallest DISTINCT hash values in UNSIGNED order, as a sorted
+  * array. A TypedImperativeAggregate with bounded O(k) state that
+  * partial-aggregates map-side and merges associatively — the custom-
+  * aggregate tier of the operator preference order (scalar Expression <
+  * aggregate < LogicalPlan). KMV distinct estimate = (k−1)·2⁶⁴ / kth
+  * (Bar-Yossef et al., RANDOM 2002). */
+case class BottomKUnsigned(child: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  private lazy val k: Int = kExpr.eval(null) match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other   => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType && kExpr.foldable &&
+      (kExpr.dataType == IntegerType || kExpr.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected (bigint, int literal), got ${child.dataType}, ${kExpr.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bottomk"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](BottomKUnsigned.UnsignedOrder)
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    buf.add(v)
+    if (buf.size > k) buf.pollLast() // drop the unsigned-largest
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKUnsigned =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKUnsigned =
+    copy(inputAggBufferOffset = newOffset)
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKUnsigned =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+object BottomKUnsigned {
+  /** Serializable — the expression ships to executors with its task. */
+  val UnsignedOrder: java.util.Comparator[java.lang.Long] =
+    new java.util.Comparator[java.lang.Long] with Serializable {
+      override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+        java.lang.Long.compareUnsigned(a, b)
+    }
+}
+
 /** Column-API front + SQL registration. Call [[functions.register]] once
   * per session (Column builders go through the function registry —
   * `call_function` — since Expression↔Column bridges are sql-private in
@@ -206,6 +316,8 @@ object functions {
   def graft_cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def graft_hyperplane_sig(v: Column, dim: Column, bits: Column): Column =
     call_function("graft_hyperplane_sig", v, dim, bits)
+  def graft_fnv1a64(c: Column): Column = call_function("graft_fnv1a64", c)
+  def graft_bottomk(h: Column, k: Column): Column = call_function("graft_bottomk", h, k)
 
   /** Register the functions for SQL use on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -217,5 +329,8 @@ object functions {
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_sig",
       es => HyperplaneSig(es.head, es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_fnv1a64", es => Fnv1a64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bottomk",
+      es => BottomKUnsigned(es.head, es(1)).toAggregateExpression(), "scala_udf")
   }
 }

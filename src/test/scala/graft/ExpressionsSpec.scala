@@ -111,6 +111,30 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sig == want)
   }
 
+  test("graft_bottomk: unsigned bottom-k matches brute force across partitions; partial-aggregates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    register(spark)
+    // values spanning both sides of 2^63 — unsigned order differs from signed
+    val vals = (0 until 500).map(i => graft.ops.Dedup.mix64(i.toLong))
+    val df = vals.toDF("h").repartition(7) // force a multi-partition merge
+    val got = df.agg(graft_bottomk(col("h"), lit(16))).head()
+      .getSeq[Long](0)
+    val want = vals.distinct.sortBy(v => v ^ Long.MinValue).take(16) // unsigned sort
+    assert(got == want, s"got=$got")
+    // fewer distinct values than k → all of them, sorted
+    val small = Seq(5L, -1L, 5L, 3L).toDF("h")
+      .agg(graft_bottomk(col("h"), lit(16))).head().getSeq[Long](0)
+    assert(small == Seq(3L, 5L, -1L)) // -1 is unsigned max
+    // map-side partial aggregation (bounded state merges associatively)
+    val plan = df.groupBy(col("h") % 2).agg(graft_bottomk(col("h"), lit(4)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_bottomk"), plan.take(800))
+    // fnv1a expression matches the scalar evaluator
+    val f = Seq("alpha").toDF("a").select(graft_fnv1a64($"a")).head().getLong(0)
+    assert(f == graft.ops.Dedup.fnv1a("alpha"))
+  }
+
   test("type check rejects non-string input with a clear error") {
     import spark.implicits._
     register(spark)
