@@ -432,6 +432,13 @@ object SparkEntry {
     graft.ops.Sketches.kmvDistinctTokens(t(s, dir, "documents"), "source", k = 64)
       .orderBy(col("source"))
 
+  /** KMV sketch SET OPERATIONS: pairwise union-size + Jaccard estimates
+    * between source sketches — corpus-overlap estimation from O(k) state
+    * per group, no second data pass. */
+  private def qKmvOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kmvOverlap(t(s, dir, "documents"), "source", k = 64)
+      .orderBy(col("g_a"), col("g_b"))
+
   /** Gap-based sessionization over the events stream (30-min timeout). */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -560,6 +567,7 @@ object SparkEntry {
     "q_pivot"            -> qPivot _,
     "q_percentiles"      -> qPercentiles _,
     "q_kmv_distinct"     -> qKmvDistinct _,
+    "q_kmv_overlap"      -> qKmvOverlap _,
   )
 
   /** The 8 hyperplanes of the LSH bucket signature as DuckDB VALUES rows —
@@ -897,6 +905,32 @@ object SparkEntry {
          |    2) AS distinct_est
          |FROM nd LEFT JOIN kth ON nd.source = kth.source
          |ORDER BY nd.source""".stripMargin,
+    "q_kmv_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT source, $fnvWordSql AS h
+         |  FROM (SELECT source,
+         |          unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+         |        FROM documents)),
+         |srcs AS (SELECT DISTINCT source FROM toks),
+         |pairs AS (SELECT a.source AS g_a, b.source AS g_b
+         |          FROM srcs a, srcs b WHERE a.source < b.source),
+         |u AS (SELECT p.g_a, p.g_b, t.h,
+         |        max(CASE WHEN t.source = p.g_a THEN 1 ELSE 0 END) AS in_a,
+         |        max(CASE WHEN t.source = p.g_b THEN 1 ELSE 0 END) AS in_b
+         |      FROM pairs p JOIN toks t ON t.source IN (p.g_a, p.g_b)
+         |      GROUP BY p.g_a, p.g_b, t.h),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn FROM u),
+         |agg AS (SELECT g_a, g_b,
+         |          count(*) AS nd,
+         |          max(CASE WHEN rn = 64 THEN h END) AS kth,
+         |          count(*) FILTER (WHERE rn <= 64) AS n_kept,
+         |          count(*) FILTER (WHERE rn <= 64 AND in_a = 1 AND in_b = 1) AS n_both
+         |        FROM r GROUP BY g_a, g_b)
+         |SELECT g_a, g_b, CAST(n_kept AS BIGINT) AS n_union_kept,
+         |  round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |        ELSE 63.0 * 18446744073709551616.0 / CAST(kth AS DOUBLE) END, 2) AS union_est,
+         |  round(CAST(n_both AS DOUBLE) / n_kept, 4) AS jaccard_est
+         |FROM agg ORDER BY g_a, g_b""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
