@@ -269,9 +269,19 @@ object SparkEntry {
     * (identical content) written to a temp dir and read back through
     * `TableSource` (the reference's csv/xlsx/skip switch,
     * xbrl_validate.py:70-81). Both files must yield the same cell matrix. */
+  /** Deterministic reusable fixture directory: repeated invocations (bench
+    * reps, verify reruns) rewrite the same files instead of leaking a new
+    * temp directory per call. */
+  private def fixtureDir(name: String, n: Int): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_fixture_${name}_$n")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
   private def xTableSources(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_tables")
     val n = math.max(xDocCount(dir).toInt / 100, 5)
+    val tmp = fixtureDir("tables", n)
     val rows = Vector.tabulate(n)(r => Vector(s"item_$r", s"${r * 10}", s"v & $r"))
     java.nio.file.Files.write(tmp.resolve("t1.csv"),
       rows.map(_.mkString(",")).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -286,8 +296,8 @@ object SparkEntry {
   /** S8 for real: numeric facts parsed from deterministic XBRL instance
     * documents (parse_xbrl_instance parity, xbrl_validate.py:40-56). */
   private def xXbrlFacts(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_xbrl")
     val nDocs = math.max(xDocCount(dir).toInt / 200, 2)
+    val tmp = fixtureDir("xbrl", nDocs)
     (0 until nDocs).foreach { i =>
       java.nio.file.Files.write(tmp.resolve(f"inst_$i%03d.xml"),
         graft.gen.FixtureGen.buildXbrl(1000L + i, nFacts = 20)
@@ -411,7 +421,9 @@ object SparkEntry {
       .groupBy((col("user_id") % 100).as("cohort"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // scope the fill to the pivoted columns: an unscoped fill would also
+      // rewrite a NULL cohort KEY to 0 and merge it into the real cohort 0
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
 
   /** Exact interpolated percentiles per source (Spark `percentile` ==
     * DuckDB `quantile_cont` — both linear interpolation on the sorted
@@ -881,6 +893,15 @@ object SparkEntry {
        |FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** UBIGINT → DOUBLE mirroring Spark's TWO-step conversion exactly:
+    * Spark computes fp(signed) + 2⁶⁴ (two roundings) for values ≥ 2⁶³; a
+    * single-rounded CAST(UBIGINT AS DOUBLE) can differ by one ulp at a
+    * half-ulp tie (double-rounding anomaly). */
+  private def unsignedDblSql(c: String): String =
+    s"(CASE WHEN $c >= 9223372036854775808 " +
+      s"THEN CAST(CAST($c AS HUGEINT) - 18446744073709551616 AS DOUBLE) " +
+      s"+ 18446744073709551616.0 ELSE CAST($c AS DOUBLE) END)"
+
   def oracleSql: Map[String, String] = Map(
     "q_cosine_neardup" -> cosineNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
@@ -901,7 +922,7 @@ object SparkEntry {
          |SELECT nd.source,
          |  least(nd.nd_total, 64) AS n_kept,
          |  round(CASE WHEN nd.nd_total < 64 THEN CAST(nd.nd_total AS DOUBLE)
-         |        ELSE 63.0 * 18446744073709551616.0 / CAST(kth.kth AS DOUBLE) END,
+         |        ELSE 63.0 * 18446744073709551616.0 / ${unsignedDblSql("kth.kth")} END,
          |    2) AS distinct_est
          |FROM nd LEFT JOIN kth ON nd.source = kth.source
          |ORDER BY nd.source""".stripMargin,
@@ -928,7 +949,7 @@ object SparkEntry {
          |        FROM r GROUP BY g_a, g_b)
          |SELECT g_a, g_b, CAST(n_kept AS BIGINT) AS n_union_kept,
          |  round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-         |        ELSE 63.0 * 18446744073709551616.0 / CAST(kth AS DOUBLE) END, 2) AS union_est,
+         |        ELSE 63.0 * 18446744073709551616.0 / ${unsignedDblSql("kth")} END, 2) AS union_est,
          |  round(CAST(n_both AS DOUBLE) / n_kept, 4) AS jaccard_est
          |FROM agg ORDER BY g_a, g_b""".stripMargin,
     "q_rollup" ->

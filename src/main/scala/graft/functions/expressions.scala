@@ -240,6 +240,10 @@ case class BottomKUnsigned(child: Expression, kExpr: Expression,
     new java.util.TreeSet[java.lang.Long](BottomKUnsigned.UnsignedOrder)
 
   private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    // early reject: once the sketch is full, almost every row's hash is
+    // unsigned-larger than the current kth — one comparison, no boxing,
+    // no TreeSet insert+pollLast churn
+    if (buf.size >= k && java.lang.Long.compareUnsigned(v, buf.last()) >= 0) return
     buf.add(v)
     if (buf.size > k) buf.pollLast() // drop the unsigned-largest
   }

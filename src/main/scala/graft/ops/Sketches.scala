@@ -17,6 +17,23 @@ object Sketches {
 
   val TwoPow64: Double = 1.8446744073709552e19
 
+  import org.apache.spark.sql.Column
+
+  /** (n_kept, estimate) from a bottom-k array column — ONE definition so
+    * the distinct and overlap estimators (and their DuckDB oracles) stay
+    * in lock-step. The unsigned-double conversion is fp(signed)+2⁶⁴ (two
+    * roundings); the oracles mirror the identical two-step arithmetic. */
+  private[ops] def kmvEstimate(bk: Column, k: Int): (Column, Column) = {
+    val kth = get(bk, lit(k - 1))
+    val kthU = when(kth < 0, kth.cast("double") + lit(TwoPow64))
+      .otherwise(kth.cast("double"))
+    val nKept = size(bk)
+    val est = round(
+      when(nKept < k, nKept.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(TwoPow64) / kthU), 2)
+    (nKept, est)
+  }
+
   /** Per-group bottom-k sketches of the token-hash sets: (groupCol, bk). */
   def kmvSketches(docs: DataFrame, groupCol: String, k: Int = 64,
       textCol: String = "text"): DataFrame = {
@@ -34,18 +51,10 @@ object Sketches {
     * distinct tokens. */
   def kmvDistinctTokens(docs: DataFrame, groupCol: String, k: Int = 64,
       textCol: String = "text"): DataFrame = {
-    kmvSketches(docs, groupCol, k, textCol)
-      // kth smallest as an UNSIGNED double (2⁶⁴ is exactly representable)
-      .withColumn("kth", get(col("bk"), lit(k - 1)))
-      .withColumn("kth_u",
-        when(col("kth") < 0, col("kth").cast("double") + lit(TwoPow64))
-          .otherwise(col("kth").cast("double")))
-      .select(col(groupCol),
-        size(col("bk")).cast("long").as("n_kept"),
-        round(
-          when(size(col("bk")) < k, size(col("bk")).cast("double"))
-            .otherwise(lit((k - 1).toDouble) * lit(TwoPow64) / col("kth_u")),
-          2).as("distinct_est"))
+    val sk = kmvSketches(docs, groupCol, k, textCol)
+    val (nKept, est) = kmvEstimate(col("bk"), k)
+    sk.select(col(groupCol), nKept.cast("long").as("n_kept"),
+      est.as("distinct_est"))
   }
 
   /** Pairwise set-operation estimates between group sketches — the KMV
@@ -64,23 +73,16 @@ object Sketches {
     // unsigned sort of signed longs = signed sort of sign-flipped values
     def flip(c: org.apache.spark.sql.Column) =
       transform(c, x => x.bitwiseXOR(lit(Long.MinValue)))
-    a.join(b, col("g_a") < col("g_b")) // tiny: one row per group pair
+    val joined = a.join(b, col("g_a") < col("g_b")) // tiny: one row per group pair
       .withColumn("union_k",
         transform(slice(array_sort(flip(array_union(col("bk_a"), col("bk_b")))), 1, k),
           x => x.bitwiseXOR(lit(Long.MinValue))))
-      .withColumn("n_kept", size(col("union_k")))
-      .withColumn("kth", get(col("union_k"), lit(k - 1)))
-      .withColumn("kth_u",
-        when(col("kth") < 0, col("kth").cast("double") + lit(TwoPow64))
-          .otherwise(col("kth").cast("double")))
       .withColumn("n_both", size(
         array_intersect(array_intersect(col("union_k"), col("bk_a")), col("bk_b"))))
-      .select(col("g_a"), col("g_b"),
-        col("n_kept").cast("long").as("n_union_kept"),
-        round(
-          when(col("n_kept") < k, col("n_kept").cast("double"))
-            .otherwise(lit((k - 1).toDouble) * lit(TwoPow64) / col("kth_u")),
-          2).as("union_est"),
-        round(col("n_both").cast("double") / col("n_kept"), 4).as("jaccard_est"))
+    val (nKept, est) = kmvEstimate(col("union_k"), k)
+    joined.select(col("g_a"), col("g_b"),
+      nKept.cast("long").as("n_union_kept"),
+      est.as("union_est"),
+      round(col("n_both").cast("double") / nKept, 4).as("jaccard_est"))
   }
 }

@@ -40,7 +40,7 @@ object XbrlInstance {
         val e = xml.indexOf('>', lt + 1)
         i = if (e < 0) n else e + 1
       } else { // start tag
-        val gt = xml.indexOf('>', lt + 1)
+        val gt = tagEnd(xml, lt + 1) // respects '>' inside quoted attrs
         if (gt < 0) { i = n }
         else {
           val selfClosing = xml.charAt(gt - 1) == '/'
@@ -49,9 +49,10 @@ object XbrlInstance {
           while (te < gt && !Character.isWhitespace(xml.charAt(te)) && xml.charAt(te) != '/') te += 1
           val tag = xml.substring(lt + 1, te)
           if (!selfClosing && tag.nonEmpty) {
-            // elem.text = the run up to the NEXT tag (child or close)
-            val next = xml.indexOf('<', gt + 1)
-            val text = xml.substring(gt + 1, if (next < 0) n else next)
+            // elem.text with ElementTree parser semantics: comments are
+            // stripped (text around them merges), CDATA content inlines,
+            // entities decode — all BEFORE the first real child/close tag
+            val text = immediateText(xml, gt + 1)
             val txt = text.replace(",", "").trim
             if (txt.nonEmpty && NumericRe.matches(txt)) {
               val local = tag.substring(tag.indexOf(':') + 1) // localname
@@ -64,6 +65,50 @@ object XbrlInstance {
       }
     }
     out.result()
+  }
+
+  /** Position of the '>' ending the tag that starts at `from`, skipping
+    * '>' characters inside quoted attribute values (legal XML:
+    * title="a > b"). Returns -1 when the tag never closes. */
+  private def tagEnd(xml: String, from: Int): Int = {
+    var i = from
+    val n = xml.length
+    while (i < n) {
+      val c = xml.charAt(i)
+      if (c == '"' || c == '\'') {
+        val e = xml.indexOf(c, i + 1)
+        i = if (e < 0) n else e + 1
+      } else if (c == '>') return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** The element's immediate text starting at `from` (just past the start
+    * tag's '>'), merged across comments and CDATA like ElementTree's
+    * parser does, with entities decoded; stops at the first real child or
+    * closing tag. */
+  private def immediateText(xml: String, from: Int): String = {
+    val n = xml.length
+    val sb = new java.lang.StringBuilder()
+    var i = from
+    var done = false
+    while (!done && i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) { sb.append(xml, i, n); done = true }
+      else {
+        sb.append(xml, i, lt)
+        if (xml.startsWith("<!--", lt)) {
+          val e = xml.indexOf("-->", lt + 4)
+          i = if (e < 0) n else e + 3 // comment stripped; text merges
+        } else if (xml.startsWith("<![CDATA[", lt)) {
+          val e = xml.indexOf("]]>", lt + 9)
+          sb.append(xml, lt + 9, if (e < 0) n else e) // content inlines
+          i = if (e < 0) n else e + 3
+        } else done = true // real child or closing tag
+      }
+    }
+    Xlsx.xmlDecode(sb.toString)
   }
 
   /** Distributed form over a path/glob of instance documents:

@@ -77,6 +77,17 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       """<x><a:Rev c="u">26,974,000,000</a:Rev><b>1.5</b><c>12-31</c></x>""")
     assert(one == Vector(XbrlInstance.Fact("Rev", 2.6974e10),
       XbrlInstance.Fact("b", 1.5)))
+    // ElementTree parser semantics (verified against Python ET): '>' in a
+    // quoted attribute doesn't end the tag; comments are stripped so text
+    // merges; CDATA content inlines; character references decode
+    val tricky = XbrlInstance.parseFacts(
+      """<x><g:Rev title="a > b" u="i">5,000</g:Rev>""" +
+        """<a><!--c-->7</a><b><![CDATA[9]]></b><c>1&#44;000</c>""" +
+        """<d>1<!--mid-->2</d></x>""")
+    assert(tricky == Vector(
+      XbrlInstance.Fact("Rev", 5000.0), XbrlInstance.Fact("a", 7.0),
+      XbrlInstance.Fact("b", 9.0), XbrlInstance.Fact("c", 1000.0),
+      XbrlInstance.Fact("d", 12.0)), tricky)
     // distributed form
     val dir = Files.createTempDirectory("graft-xbrl")
     Files.write(dir.resolve("f1.xml"), xml.getBytes(StandardCharsets.UTF_8))
