@@ -141,4 +141,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val total = rows.map(_.getAs[Long]("docs")).sum
     assert(total == 120, s"expected the first two closed windows to hold 120 docs, got $total")
   }
+
+  test("KMV sketch aggregates incrementally across micro-batches (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.functions.register(spark)
+    val stream = MemoryStream[(String, String)]
+    val sketched = stream.toDS().toDF("src", "text")
+      .select($"src", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+      .filter(org.apache.spark.sql.functions.length($"tok") > 0)
+      .select($"src", graft.functions.functions.graft_fnv1a64($"tok").as("h"))
+      .groupBy($"src")
+      .agg(graft.functions.functions.graft_bottomk($"h",
+        org.apache.spark.sql.functions.lit(8)).as("bk"))
+    val q = sketched.writeStream.format("memory").queryName("kmv_mem")
+      .outputMode("complete").start()
+    stream.addData(("a", "w1 w2 w3"), ("b", "x1 x2"))
+    q.processAllAvailable()
+    stream.addData(("a", "w4 w5"), ("b", "x1 x1"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kmv_mem").as[(String, Seq[Long])].collect().toMap
+    // the streaming state merged both batches: a has 5 distinct tokens,
+    // b has 3 (x1 deduped), each sketch equals the batch-computed one
+    def want(ws: Seq[String]) = ws.map(graft.ops.Dedup.fnv1a)
+      .distinct.sortBy(_ ^ Long.MinValue).take(8)
+    assert(got("a") == want(Seq("w1", "w2", "w3", "w4", "w5")), got("a"))
+    assert(got("b") == want(Seq("x1", "x2")), got("b"))
+  }
 }
