@@ -160,4 +160,23 @@ class FuzzSpec extends AnyFunSuite {
       "xl/sharedStrings.xml" -> "<sst></sst>")
     assert(Xlsx.parse(oob) == Vector(Vector("")))
   }
+
+  test("xbrl scanner never crashes or hangs: random bytes, unclosed tags, hostile attrs") {
+    import graft.sources.XbrlInstance
+    for (sd <- 0 until 100) {
+      val len = (FixtureGen.mix(333L, sd.toLong).abs % 2048).toInt
+      val txt = new String(randBytes(sd.toLong + 9000, len),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      XbrlInstance.parseFacts(txt) // must return, never throw or loop
+    }
+    val hostile = Seq(
+      "<a b=\"unclosed>5</a>",
+      "<a>1<!--never closed",
+      "<a><![CDATA[9",
+      "<x><<><>>>7</x>",
+      "<a b='>'>42</a>")
+    hostile.foreach(h => XbrlInstance.parseFacts(h))
+    assert(XbrlInstance.parseFacts("<a b='>'>42</a>") ==
+      Vector(XbrlInstance.Fact("a", 42.0)))
+  }
 }

@@ -71,6 +71,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("KMV sketch query partial-aggregates map-side (one k-long array per group crosses the shuffle)") {
+    val p = plan(SparkEntry.queries("q_kmv_distinct")(spark, sf), "simple")
+    assert(p.contains("partial_graft_bottomk"), p.take(1500))
+  }
+
   test("extraction hot path has zero Exchange (narrow scan→parse)") {
     val pages = graft.gen.PagesTable.pagesDF(spark, 100)
     val p = plan(graft.spark.ExtractJob.extractTexts(spark, pages).toDF(), "simple")
