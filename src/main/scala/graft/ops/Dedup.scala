@@ -272,16 +272,23 @@ object Dedup {
     // the actual work. Checkpointing keeps each round's plan flat.
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    // checkpointed (RDD-backed) frames carry no stats, so AQE never
+    // broadcasts them — probe the endpoint count ONCE and hint the label
+    // side explicitly when it fits, removing every per-round shuffle of
+    // the (much larger) edge set; big graphs keep the shuffle join
+    val nEndpoints = labels.count()
+    val bcast = nEndpoints <= 2000000L
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     var prevSum = labelSum(labels)
     var iter = 0
-    var done = prevSum.signum() == 0 && labels.isEmpty // no edges at all
+    var done = nEndpoints == 0 // no edges at all
     while (!done && iter < maxIter) {
       // one min-propagation hop along edges...
-      val viaEdges = edges.join(labels, edges("src") === labels("id"))
+      val viaEdges = edges.join(side(labels), edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
       val hop = labels.unionByName(viaEdges)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
@@ -290,7 +297,7 @@ object Dedup {
       // a reachable endpoint id, so chasing it doubles the effective hop —
       // convergence in O(log component) rounds instead of O(diameter)
       val next = hop.as("a")
-        .join(hop.select(col("id").as("jid"), col("lbl").as("jlbl")),
+        .join(side(hop.select(col("id").as("jid"), col("lbl").as("jlbl"))),
           col("a.lbl") === col("jid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
@@ -307,7 +314,7 @@ object Dedup {
     edges.unpersist()
     require(done, s"dedupClusters did not converge in $maxIter rounds")
     docs.select(col(idCol).as("id")).distinct()
-      .join(labels, Seq("id"), "left")
+      .join(side(labels), Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
