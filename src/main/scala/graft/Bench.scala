@@ -179,15 +179,27 @@ object Bench {
     try {
       spark.range(1000000L).selectExpr("sum(id)").count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+      // fixture generation must never land inside a timed query
+      SparkEntry.ensureFixtures(spark, sfDir)
     } catch { case _: Throwable => }
     val errors = Vector.newBuilder[String]
     val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a failed query must NOT masquerade as a fast one: record -1 and list
       // it in `errors` (a swallowed exception used to read as 0.00 s)
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => errors += name; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // best-of-2, plus a third rep for slow queries: r3's single-shot
+      // values produced three phantom 6-9× "regressions" (one bad host
+      // window each) that cost a full adjudication cycle
+      val t = try {
+        val t1 = once(); val t2 = once()
+        val best2 = math.min(t1, t2)
+        if (best2 > 2.0) math.min(best2, once()) else best2
+      } catch { case _: Throwable => errors += name; -1.0 }
+      name -> t
     }
     spark.stop()
     val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -206,7 +218,10 @@ object Bench {
     // drifts over minutes — each child also samples the pure-ALU control
     // in its own window for fair normalization.
     ensurePages(pagesDir, benchDocs, sizeBoost)
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    // 5 rounds (was 3): r3's per-round raw efficiencies (0.912/0.817/0.559)
+    // showed monotone host-share decay — a 5-round median is robust to one
+    // bad tail window
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val lowSamples = Vector.newBuilder[(Double, Double, Double)]
     val highSamples = Vector.newBuilder[(Double, Double, Double)]
     var round = 0

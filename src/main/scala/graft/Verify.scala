@@ -18,6 +18,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    try SparkEntry.ensureFixtures(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[verify] fixture gen: ${e.getMessage}") }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

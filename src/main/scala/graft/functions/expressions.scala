@@ -227,9 +227,19 @@ case class BottomKUnsigned(child: Expression, kExpr: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType && kExpr.foldable &&
-      (kExpr.dataType == IntegerType || kExpr.dataType == LongType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+      (kExpr.dataType == IntegerType || kExpr.dataType == LongType)) {
+      // validate k at ANALYSIS time: k <= 0 would otherwise pass and then
+      // throw NoSuchElementException on the empty TreeSet at runtime
+      // (add() calls buf.last() when size >= k) — ADVICE r3
+      val kv = kExpr.eval(null) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long    => l.longValue
+        case _                    => -1L
+      }
+      if (kv >= 1L && kv <= 1000000L) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_bottomk: k must be in [1, 1000000], got $kv")
+    } else TypeCheckResult.TypeCheckFailure(
       s"expected (bigint, int literal), got ${child.dataType}, ${kExpr.dataType}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -275,9 +275,13 @@ object Dedup {
     // checkpointed (RDD-backed) frames carry no stats, so AQE never
     // broadcasts them — probe the endpoint count ONCE and hint the label
     // side explicitly when it fits, removing every per-round shuffle of
-    // the (much larger) edge set; big graphs keep the shuffle join
+    // the (much larger) edge set; big graphs keep the shuffle join.
+    // Gate on estimated BYTES like the minhash-dict path (ADVICE r3): a
+    // broadcast hash relation costs ~48 B per (long, long) row with map
+    // overhead, and it re-broadcasts twice per round (labels + hop) — a
+    // raw 2M-row gate allowed ~100 MB per round of driver pressure.
     val nEndpoints = labels.count()
-    val bcast = nEndpoints <= 2000000L
+    val bcast = nEndpoints * 48L <= (32L << 20)
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)

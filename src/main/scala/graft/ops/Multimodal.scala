@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * frame-sample transforms.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape — the
-  * mapInPandas analogue done with typed mapPartitions) is REAL and tested;
-  * the codec itself is a STUB: this container ships no image/audio
-  * libraries, so `decodeStub` parses our deterministic fake header format
-  * instead of JPEG/PNG/WAV. Swap `decodeStub` for a real codec binding
-  * and nothing else changes.
+  * mapInPandas analogue done with typed mapPartitions) is REAL and tested.
+  * The codec is REAL for raster images the JDK ships readers for
+  * (PNG/BMP/GIF via `javax.imageio` — offline-safe, no external libs):
+  * [[decodeImage]] fully decodes the pixel grid and checksums it, so the
+  * metadata provably comes from a decode, not a header sniff. Audio/video
+  * payloads keep the deterministic GRFT fake format ([[decodeStub]] —
+  * this container ships no audio/video codecs); swap that one function
+  * for a real binding and nothing else changes.
   */
 object Multimodal {
 
@@ -41,7 +44,72 @@ object Multimodal {
     bb.array()
   }
 
-  /** ??? in spirit: the real codec goes here. Deterministic stub decode. */
+  /** Real raster decode via JDK ImageIO (PNG/BMP/GIF). Returns None when
+    * the payload's magic is not a supported raster format. The checksum is
+    * fnv1a over the DECODED row-major ARGB pixels — it can only be right
+    * if the full pixel grid was actually decoded. */
+  def decodeImage(assetId: Long, payload: Array[Byte]): Option[AssetMeta] = {
+    if (payload == null || payload.length < 8) return None
+    val isPng = payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    val isBmp = payload(0) == 'B' && payload(1) == 'M'
+    val isGif = payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8'
+    if (!isPng && !isBmp && !isGif) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return Some(AssetMeta(assetId,
+        if (isPng) "png" else if (isBmp) "bmp" else "gif",
+        0, 0, 0, payload.length.toLong, 0L, valid = false))
+      Some(AssetMeta(assetId,
+        if (isPng) "png" else if (isBmp) "bmp" else "gif",
+        img.getWidth, img.getHeight, 1, payload.length.toLong,
+        pixelChecksum(img), valid = true))
+    } catch { case _: Exception => None }
+  }
+
+  /** fnv1a-64 over row-major packed ARGB ints (big-endian byte order). */
+  def pixelChecksum(img: java.awt.image.BufferedImage): Long = {
+    var ck = 0xcbf29ce484222325L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        var sh = 24
+        while (sh >= 0) { ck = (ck ^ ((p >>> sh) & 0xFF)) * 0x100000001b3L; sh -= 8 }
+        x += 1
+      }
+      y += 1
+    }
+    ck
+  }
+
+  /** Encode a deterministic synthetic image as real PNG bytes (FixtureGen
+    * for the raster path — ImageIO's own encoder, so the bytes are a true
+    * PNG stream incl. zlib-compressed IDAT). */
+  def makePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = Dedup.mix64(id ^ (y.toLong << 20) ^ x.toLong)
+        img.setRGB(x, y, (v & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Codec dispatch: real raster decode first, GRFT fake-format fallback
+    * for the (offline-stubbed) audio/video families. */
+  def decode(assetId: Long, payload: Array[Byte]): AssetMeta =
+    decodeImage(assetId, payload).getOrElse(decodeStub(assetId, payload))
+
+  /** Deterministic stub decode of the GRFT fake header format — the
+    * declared audio/video stand-in (no A/V codec libs in this container). */
   def decodeStub(assetId: Long, payload: Array[Byte]): AssetMeta = {
     if (payload == null || payload.length < 17 ||
         payload(0) != 'G' || payload(1) != 'R' || payload(2) != 'F' || payload(3) != 'T')
@@ -66,7 +134,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // per-batch codec init would go here
-          batch.iterator.map(r => decodeStub(r.assetId, r.payload))
+          batch.iterator.map(r => decode(r.assetId, r.payload))
         }
       }
   }

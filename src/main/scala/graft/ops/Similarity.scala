@@ -23,10 +23,16 @@ object Similarity {
     graft.functions.functions.register(df.sparkSession)
 
   /** cos(a, b) as a Column over two array<float/double> columns — resolves
-    * to the native [[graft.functions.CosineSim]]; callers must have
-    * registered the graft functions (all public entry points here do). */
-  def cosine(a: Column, b: Column): Column =
+    * to the native [[graft.functions.CosineSim]]. Registers the graft
+    * functions on the active session first (ADVICE r3: an external caller
+    * without a prior `functions.register` hit an unresolved-function
+    * analysis error); callers building Columns off-session should still
+    * register explicitly. */
+  def cosine(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.functions.register)
     graft.functions.functions.graft_cosine(a, b)
+  }
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * `corpus(vec_id, embedding)`, `queries(vec_id, embedding)`.

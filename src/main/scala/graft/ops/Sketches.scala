@@ -66,8 +66,17 @@ object Sketches {
     * decidable from the sketches alone — no second pass over the data.
     * Output: (g_a, g_b, n_union_kept, union_est, jaccard_est). */
   def kmvOverlap(docs: DataFrame, groupCol: String, k: Int = 64,
-      textCol: String = "text"): DataFrame = {
-    val sk = kmvSketches(docs, groupCol, k, textCol)
+      textCol: String = "text", maxGroups: Int = 4096): DataFrame = {
+    // The pair enumeration below is O(G²) BY CONSTRUCTION (every group pair
+    // gets an overlap estimate — that is the query's output), so G must be
+    // sketch-sized, not data-sized. Guard it: 4096 groups = 8.4M output
+    // rows × k longs is the most a driver-facing overlap matrix can want.
+    val sk = kmvSketches(docs, groupCol, k, textCol).localCheckpoint(true)
+    val nGroups = sk.count()
+    require(nGroups <= maxGroups,
+      s"kmvOverlap enumerates all group pairs (O(G²) output): $nGroups groups " +
+        s"exceeds maxGroups=$maxGroups — aggregate to coarser groups or raise " +
+        "maxGroups deliberately")
     val a = sk.select(col(groupCol).as("g_a"), col("bk").as("bk_a"))
     val b = sk.select(col(groupCol).as("g_b"), col("bk").as("bk_b"))
     // unsigned sort of signed longs = signed sort of sign-flipped values

@@ -25,6 +25,33 @@ object Xlsx {
     bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
       bytes(2) == 3 && bytes(3) == 4
 
+  /** Max uncompressed bytes accepted for any one zip entry: a small
+    * hostile deflate bomb can expand to GBs — overflow is treated like
+    * any other malformed-file skip instead of OOMing the executor
+    * (ADVICE r3). 256 MB is far above any real worksheet XML. */
+  val MaxEntryBytes: Int = 256 << 20
+
+  /** readAllBytes with a hard cap; null when the entry inflates past it. */
+  private def readBounded(in: java.io.InputStream, cap: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(64 << 10)
+    val chunk = new Array[Byte](64 << 10)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      if (bos.size.toLong + n > cap) return null
+      bos.write(chunk, 0, n)
+      n = in.read(chunk)
+    }
+    bos.toByteArray
+  }
+
+  /** Sort key for `xl/worksheets/sheetN.xml`: the numeric suffix when it
+    * parses (so sheet2 < sheet10 — raw string order picks sheet10 when
+    * sheet1 was deleted, ADVICE r3), lexicographic fallback otherwise. */
+  private def sheetOrder(name: String): (Long, String) = {
+    val m = "^xl/worksheets/sheet(\\d+)\\.xml$".r.findFirstMatchIn(name)
+    m.map(g => (g.group(1).toLong, name)).getOrElse((Long.MaxValue, name))
+  }
+
   /** Parse one xlsx byte array into a row-major string matrix. */
   def parse(bytes: Array[Byte]): Vector[Vector[String]] = {
     var sharedXml: String = null
@@ -35,13 +62,18 @@ object Xlsx {
       var e = zin.getNextEntry
       while (e != null) {
         val name = e.getName
-        if (name == "xl/sharedStrings.xml")
-          sharedXml = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
-        else if (name.startsWith("xl/worksheets/sheet") && name.endsWith(".xml") &&
-          (sheetName == null || name < sheetName)) {
-          // first sheet by name order (sheet1.xml < sheet2.xml ...)
+        if (name == "xl/sharedStrings.xml") {
+          val b = readBounded(zin, MaxEntryBytes)
+          if (b == null) return Vector.empty // deflate bomb → malformed skip
+          sharedXml = new String(b, StandardCharsets.UTF_8)
+        } else if (name.startsWith("xl/worksheets/sheet") && name.endsWith(".xml") &&
+          (sheetName == null ||
+            implicitly[Ordering[(Long, String)]].lt(sheetOrder(name), sheetOrder(sheetName)))) {
+          // lowest-numbered sheet wins (workbook default sheet)
+          val b = readBounded(zin, MaxEntryBytes)
+          if (b == null) return Vector.empty
           sheetName = name
-          sheetXml = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+          sheetXml = new String(b, StandardCharsets.UTF_8)
         }
         e = zin.getNextEntry
       }

@@ -135,6 +135,16 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f == graft.ops.Dedup.fnv1a("alpha"))
   }
 
+  test("graft_bottomk: k <= 0 fails at ANALYSIS, not with an empty-TreeSet crash (ADVICE r3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(1L, 2L).toDF("h")
+    val e = intercept[Exception] { df.agg(graft_bottomk(col("h"), lit(0))).collect() }
+    assert(e.getMessage.contains("k must be in"), e.getMessage)
+    val e2 = intercept[Exception] { df.agg(graft_bottomk(col("h"), lit(-3))).collect() }
+    assert(e2.getMessage.contains("k must be in"), e2.getMessage)
+  }
+
   test("type check rejects non-string input with a clear error") {
     import spark.implicits._
     register(spark)

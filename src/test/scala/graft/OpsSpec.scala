@@ -261,6 +261,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan == ((256, 192)))
   }
 
+  test("multimodal: real PNG decode — dims and checksum come from the decoded pixel grid") {
+    import spark.implicits._
+    val png = Multimodal.makePng(7L, 19, 13)
+    // a true PNG stream (magic + ImageIO-encoded IDAT), decoded back by the JDK codec
+    val m0 = Multimodal.decode(7L, png)
+    assert(m0.format == "png" && m0.width == 19 && m0.height == 13 && m0.valid && m0.nFrames == 1)
+    // byte-exact: independently re-decode and recompute the pixel checksum...
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(m0.checksum == Multimodal.pixelChecksum(img))
+    // ...and every decoded pixel equals the pre-encode synthetic pattern
+    for (y <- 0 until 13; x <- 0 until 19) {
+      val v = (Dedup.mix64(7L ^ (y.toLong << 20) ^ x.toLong) & 0xFFFFFF).toInt
+      assert((img.getRGB(x, y) & 0xFFFFFF) == v, s"pixel ($x,$y)")
+    }
+    // through the Spark batch path, mixed with a stub (audio) asset
+    val assets = Seq((7L, png), (8L, Multimodal.fakeAsset(8L, "aud", 10, 10, 1)))
+      .toDF("assetId", "payload")
+    val m = Multimodal.decodeBatches(spark, assets).collect().map(a => a.assetId -> a).toMap
+    assert(m(7L).format == "png" && m(7L).checksum == m0.checksum && m(7L).valid)
+    assert(m(8L).format == "aud")
+  }
+
+  test("kmvOverlap: O(G²) group-pair guard rejects data-sized group counts") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"g$i", "alpha beta gamma"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sketches.kmvOverlap(docs, "source", k = 8, maxGroups = 10).count()
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // under the cap it still works
+    val ok = graft.ops.Sketches.kmvOverlap(
+      docs.filter($"doc_id" < 4), "source", k = 8, maxGroups = 10).count()
+    assert(ok == 6L) // C(4,2)
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)

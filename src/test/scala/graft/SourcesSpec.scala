@@ -59,6 +59,22 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cells.exists(r => r.getInt(1) == 2 && r.getInt(2) == 1 && r.getString(3) == "(56)"))
   }
 
+  test("xlsx: lowest-NUMBERED sheet wins — sheet2 beats sheet10 when sheet1 was deleted (ADVICE r3)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    }
+    def sheet(v: String) = s"""<?xml version="1.0"?><worksheet><sheetData>""" +
+      s"""<row r="1"><c r="A1"><v>$v</v></c></row></sheetData></worksheet>"""
+    // lexicographic order would pick sheet10 ('1' < '2'); numeric must pick sheet2
+    entry("xl/worksheets/sheet10.xml", sheet("10"))
+    entry("xl/worksheets/sheet2.xml", sheet("2"))
+    z.close()
+    assert(Xlsx.parse(bos.toByteArray) == Vector(Vector("2")))
+  }
+
   test("xbrl instance facts: numeric leaves only, commas stripped, dup-preserving (S8)") {
     import graft.sources.XbrlInstance
     val xml = graft.gen.FixtureGen.buildXbrl(42L, nFacts = 12)

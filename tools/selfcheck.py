@@ -4,7 +4,7 @@ runs each oracle_sql.json query in DuckDB over the sf parquet tables and
 compares (schema-insensitively: columns sorted by name, rows sorted,
 values rounded-string) against the Spark parquet dumped by graft.Verify."""
 import sys, json, glob, math
-import duckdb, pyarrow.parquet as pq
+import duckdb, pyarrow as pa, pyarrow.parquet as pq
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -29,6 +29,21 @@ def canon(cols, rows):
         out.append(tuple(vals))
     return [cols[i] for i in idx], sorted(out)
 
+def norm_type(t):
+    """Normalize an arrow type to the equivalence class the driver's typed
+    hash effectively distinguishes. All int widths -> int64 (Spark/DuckDB
+    agree on value bits); any DECIMAL is an error marker: DuckDB window/agg
+    sums of ints return HUGEINT -> arrow decimal128, which hash-mismatches
+    Spark's int64 even when values are bit-identical (the 3-round-old
+    q_sessionize red). Oracles must CAST such outputs to BIGINT."""
+    if pa.types.is_integer(t): return "int64"
+    if pa.types.is_decimal(t): return "DECIMAL!"
+    if pa.types.is_floating(t): return "float64"
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return str(t)
+
 fail = 0
 for name, sql in sorted(oracle.items()):
     try:
@@ -38,9 +53,19 @@ for name, sql in sorted(oracle.items()):
             print(f"[MISS ] {name}: no spark output"); fail += 1; continue
         scols, srows = canon(t.column_names, [list(r) for r in zip(*[c.to_pylist() for c in t.columns])] if t.num_rows else [])
         d = con.sql(sql)
+        darrow = d.arrow()
         dcols, drows = canon(d.columns, d.fetchall())
         if scols != dcols:
             print(f"[SCHEMA] {name}: spark={scols} duck={dcols}"); fail += 1; continue
+        stypes = {f.name: norm_type(f.type) for f in t.schema}
+        dtypes = {f.name: norm_type(f.type) for f in darrow.schema}
+        tdiff = sorted(c for c in stypes
+                       if "DECIMAL" in dtypes.get(c, "") or "DECIMAL" in stypes[c]
+                       or stypes[c] != dtypes.get(c))
+        if tdiff:
+            print(f"[TYPE ] {name}: " + "; ".join(
+                f"{c}: spark={stypes[c]} duck={dtypes.get(c)}" for c in tdiff))
+            fail += 1; continue
         if srows != drows:
             diff = [(a,b) for a,b in zip(srows,drows) if a!=b][:3]
             print(f"[ROWS ] {name}: spark={len(srows)} duck={len(drows)} first-diffs={diff}"); fail += 1; continue
