@@ -17,9 +17,17 @@ package graft.core
   */
 object Extractor {
 
-  def extract(row: PageRow): ExtractedDoc = {
+  def extract(row: PageRow): ExtractedDoc = extract(row, decodeImages = true)
+
+  /** `decodeImages = false` is the TEXT-ONLY fast path: image XObjects are
+    * still placed (bbox, intrinsic dims, count — the ExtractedText surface
+    * is identical) but their payload streams are never inflated or
+    * CMYK-converted. At 100 TB, inflating pixels a query never reads is
+    * pure waste; only the tree consumers that export payload bytes
+    * (x_images / exports) pass true. */
+  def extract(row: PageRow, decodeImages: Boolean): ExtractedDoc = {
     val bytes = if (row.html == null) Array.emptyByteArray else row.html
-    if (PdfParser.isPdf(bytes)) extractPdf(row, bytes)
+    if (PdfParser.isPdf(bytes)) extractPdf(row, bytes, decodeImages)
     else if (bytes.nonEmpty) extractHtml(row, bytes)
     else if (row.text != null && row.text.nonEmpty) providedText(row, usedFallback = false)
     else ExtractedDoc(row.url, "", 0, "empty", usedFallback = false, Nil, Nil, Nil)
@@ -68,9 +76,10 @@ object Extractor {
       ExtractedDoc(row.url, text, 1, "html", usedFallback = false, r.blocks, r.tables, r.images)
   }
 
-  private def extractPdf(row: PageRow, bytes: Array[Byte]): ExtractedDoc = {
+  private def extractPdf(row: PageRow, bytes: Array[Byte],
+      decodeImages: Boolean = true): ExtractedDoc = {
     val pages =
-      try PdfParser.parse(bytes)
+      try PdfParser.parse(bytes, decodeImages)
       catch { case _: Exception => Vector.empty }
     val r = PdfLayout.layout(pages)
     val text = TextAssembly.assemble(r.blocks)

@@ -75,7 +75,10 @@ object ExtractJob {
         val pid = TaskContext.getPartitionId()
         val t0 = System.nanoTime()
         it.map { row =>
-          val d = Extractor.extract(row)
+          // text-only fast path: never inflate image payloads this surface
+          // can't emit (identical text/counts; r3's richer fixture PDFs made
+          // payload decode ~6× of the flagship query's cost)
+          val d = Extractor.extract(row, decodeImages = false)
           ExtractedText(d.url, d.text, row.lang, d.nPages, d.extractor, d.usedFallback,
             d.blocks.length, d.tables.length, d.images.length,
             if (row.html == null) 0L else row.html.length.toLong,
