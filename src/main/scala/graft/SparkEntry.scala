@@ -590,7 +590,77 @@ object SparkEntry {
       graft.spark.ExtractJob.extractTexts(s, pagesFixture(s, xDocCount(dir) / 4)),
       runId = "verify", snapshotId = 1L)
 
+  // ---------------------------------------------------------------------
+  // Round-4 training-pipeline additions: PII scrub, deterministic splits
+  // and samples, benchmark decontamination, BM25 selection scoring,
+  // Gopher repetition stats, greedy sequence packing. All DuckDB-oracled.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic planted PII (the driver corpus has none): one email,
+    * one IPv4, one phone per doc, a second email on every 5th doc. Both
+    * engines construct the identical text. */
+  private def withPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+        col("doc_id") % 256, lit(".7 or +1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 5 === 0, lit(" second.contact@test.org"))
+          .otherwise(lit(""))).as("text"))
+
+  /** PII detection + redaction counts over the planted corpus. */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scrub.scrub(withPii(t(s, dir, "documents")))
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+        col("clean_text"))
+
+  /** Deterministic 80/10/10 train/val/test assignment by salted fnv1a. */
+  private def qTrainSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.hashSplit(t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("split"))
+
+  /** Deterministic Bernoulli(0.25) sample (hash-threshold). */
+  private def qHashSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.hashSample(t(s, dir, "documents"), p = 0.25)
+      .select(col("doc_id"), col("source"))
+
+  /** Deterministic stratified sample: hash-smallest 5 docs per source. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.stratifiedSample(t(s, dir, "documents"), "source", k = 5)
+      .select(col("doc_id"), col("source"))
+
+  /** Benchmark decontamination: 3-shingle overlap of every doc against
+    * the "benchmark" subset (doc_id % 97 == 0). */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Contamination.overlap(docs, docs.filter(col("doc_id") % 97 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rational-idf BM25 against a fixed probe-term set. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ranking.bm25(t(s, dir, "documents"),
+      Seq("spark", "join", "window", "vector", "stream"))
+
+  /** Gopher-style repetition statistics. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.repetitionStats(t(s, dir, "documents"))
+
+  /** Greedy sequence packing into 200-token bins per source shard. */
+  private def qPackBins(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packGreedy(t(s, dir, "documents"), budget = 200)
+      .orderBy(col("source"), col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub"        -> qPiiScrub _,
+    "q_train_split"      -> qTrainSplit _,
+    "q_hash_sample"      -> qHashSample _,
+    "q_stratified_sample" -> qStratifiedSample _,
+    "q_contamination"    -> qContamination _,
+    "q_bm25"             -> qBm25 _,
+    "q_repetition"       -> qRepetition _,
+    "q_pack_bins"        -> qPackBins _,
     "x_extract_text"  -> xExtractText _,
     "x_validate"      -> xValidate _,
     "x_exports"       -> xExports _,
@@ -957,7 +1027,167 @@ object SparkEntry {
       s"THEN CAST(CAST($c AS HUGEINT) - 18446744073709551616 AS DOUBLE) " +
       s"+ 18446744073709551616.0 ELSE CAST($c AS DOUBLE) END)"
 
+  /** splitmix64-finalized salted fnv1a of 'salt:doc_id' as a UBIGINT
+    * expression (mirrors Splits.hashCol: graft_mix64(graft_fnv1a64(...))
+    * over the same ASCII string). */
+  private def saltedHashSql(salt: String): String =
+    mix64Sql(s"list_transform(['$salt:' || CAST(doc_id AS VARCHAR)], w -> $fnvWordSql)[1]")
+
+  /** q_pii_scrub oracle: identical planted-PII construction, identical
+    * RE2-safe patterns, global regexp_replace. */
+  private def piiScrubOracle: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val phone = "(\\+1-)?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com at 10.0.'
+       |      || (doc_id % 256) || '.7 or +1-555-'
+       |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || (CASE WHEN doc_id % 5 = 0 THEN ' second.contact@test.org' ELSE '' END)
+       |      AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$ipv4')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$ipv4', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS clean_text
+       |FROM p""".stripMargin
+  }
+
+  /** q_train_split oracle: exact unsigned thresholds from the SAME
+    * arithmetic path (Splits.splitThresholds). */
+  private def trainSplitOracle: String = {
+    val ts = graft.ops.Splits.splitThresholds(Seq(0.8, 0.1, 0.1))
+    s"""WITH h AS (SELECT doc_id, source, ${saltedHashSql("split")} AS hu FROM documents)
+       |SELECT doc_id, source,
+       |  CASE WHEN hu < CAST('${ts(0)}' AS UBIGINT) THEN 'train'
+       |       WHEN hu < CAST('${ts(1)}' AS UBIGINT) THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM h""".stripMargin
+  }
+
+  private def hashSampleOracle: String = {
+    val t = graft.ops.Splits.thresholdU64(0.25)
+    s"""WITH h AS (SELECT doc_id, source, ${saltedHashSql("sample")} AS hu FROM documents)
+       |SELECT doc_id, source FROM h WHERE hu < CAST('$t' AS UBIGINT)""".stripMargin
+  }
+
+  private def stratifiedSampleOracle: String =
+    s"""WITH h AS (SELECT doc_id, source, ${saltedHashSql("strat")} AS hu FROM documents),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source ORDER BY hu, doc_id) AS rk
+       |      FROM h)
+       |SELECT doc_id, source FROM r WHERE rk <= 5""".stripMargin
+
+  /** q_contamination oracle: the minhash oracle's exact 3-shingle fnv1a
+    * construction, then plain overlap counting. */
+  private def contaminationOracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
+       |  FROM documents),
+       |shl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) = 0 THEN CAST([] AS UBIGINT[])
+       |         WHEN len(ws) < 3 THEN list_transform([array_to_string(ws, ' ')], w -> $fnvWordSql)
+       |         ELSE list_distinct(list_transform(
+       |                list_transform(range(1, len(ws) - 1),
+       |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |                w -> $fnvWordSql))
+       |    END AS shs
+       |  FROM words),
+       |bench AS (SELECT DISTINCT unnest(shs) AS sh FROM shl WHERE doc_id % 97 = 0),
+       |docsh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+       |tot AS (SELECT doc_id, count(*) AS ns FROM docsh GROUP BY 1),
+       |hit AS (SELECT d.doc_id, count(*) AS nc FROM docsh d JOIN bench USING (sh) GROUP BY 1)
+       |SELECT s.doc_id,
+       |  CAST(COALESCE(t2.ns, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(h2.nc, 0) AS BIGINT) AS n_contaminated,
+       |  round(CAST(COALESCE(h2.nc, 0) AS DOUBLE)
+       |    / CAST(greatest(COALESCE(t2.ns, 0), 1) AS DOUBLE), 4) AS contamination_frac
+       |FROM (SELECT DISTINCT doc_id FROM documents) s
+       |LEFT JOIN tot t2 USING (doc_id)
+       |LEFT JOIN hit h2 USING (doc_id)""".stripMargin
+
+  /** q_bm25 oracle: the rational-idf BM25 with every IEEE operation in
+    * the Spark expression's exact order (no log, no set-ordered sum). */
+  private def bm25Oracle: String = {
+    val terms = Seq("spark", "join", "window", "vector", "stream")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n       |             ")
+    val scoreTerms = terms.zipWithIndex.map { case (t, i) =>
+      s"(((s.n - s.df$i + 0.5)/(s.df$i + 0.5) + 1) * " +
+        s"(CAST(len(list_filter(f.ws, x -> x = '$t')) AS DOUBLE) * CAST(2.2 AS DOUBLE))) / " +
+        s"(CAST(len(list_filter(f.ws, x -> x = '$t')) AS DOUBLE) + CAST(1.2 AS DOUBLE) * " +
+        s"(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * f.dl / (s.sumdl / s.n)))"
+    }.mkString("\n       |   + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |             CAST(sum(len(ws)) AS DOUBLE) AS sumdl,
+       |             $dfCols
+       |      FROM d),
+       |f AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM d)
+       |SELECT f.doc_id, CAST(f.dl AS BIGINT) AS dl,
+       | round($scoreTerms, 4) AS bm25
+       |FROM f, s""".stripMargin
+  }
+
+  private def repetitionOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |wc AS (SELECT doc_id, w, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2),
+       |wagg AS (SELECT doc_id, sum(c) AS nw, count(*) AS nd, max(c) AS topw
+       |         FROM wc GROUP BY 1),
+       |bg AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+       |       FROM d WHERE len(ws) >= 2),
+       |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bagg AS (SELECT doc_id, max(c) AS topb, sum(c) AS nbi FROM bc GROUP BY 1)
+       |SELECT w.doc_id,
+       |  CAST(w.nw AS BIGINT) AS n_words,
+       |  CAST(w.nd AS BIGINT) AS n_distinct_words,
+       |  round(1 - CAST(w.nd AS DOUBLE) / CAST(w.nw AS DOUBLE), 4) AS dup_word_frac,
+       |  round(CAST(w.topw AS DOUBLE) / CAST(w.nw AS DOUBLE), 4) AS top_word_frac,
+       |  round(CAST(COALESCE(b2.topb, 0) AS DOUBLE)
+       |    / CAST(greatest(COALESCE(b2.nbi, 0), 1) AS DOUBLE), 4) AS top_bigram_frac,
+       |  (round(1 - CAST(w.nd AS DOUBLE) / CAST(w.nw AS DOUBLE), 4) > 0.7
+       |   OR round(CAST(COALESCE(b2.topb, 0) AS DOUBLE)
+       |        / CAST(greatest(COALESCE(b2.nbi, 0), 1) AS DOUBLE), 4) > 0.18) AS repetitive
+       |FROM wagg w LEFT JOIN bagg b2 USING (doc_id)""".stripMargin
+
+  /** q_pack_bins oracle: the greedy fold as a recursive CTE over the
+    * per-source row sequence (bin state carried row to row). */
+  private def packBinsOracle: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |rec AS (
+       |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.source, t.doc_id, t.ntok, t.rn,
+       |    CASE WHEN r.fill + t.ntok > 200 THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill + t.ntok > 200 THEN t.ntok ELSE r.fill + t.ntok END
+       |  FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+       |SELECT source, doc_id, ntok AS n_tokens, CAST(bin AS BIGINT) AS bin_id
+       |FROM rec""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_pii_scrub" -> piiScrubOracle,
+    "q_train_split" -> trainSplitOracle,
+    "q_hash_sample" -> hashSampleOracle,
+    "q_stratified_sample" -> stratifiedSampleOracle,
+    "q_contamination" -> contaminationOracle,
+    "q_bm25" -> bm25Oracle,
+    "q_repetition" -> repetitionOracle,
+    "q_pack_bins" -> packBinsOracle,
     "q_cosine_neardup" -> cosineNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_fingerprint" -> fingerprintOracle,

@@ -207,6 +207,24 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_mix64(h): the splitmix64 finalizer over a bigint — full-avalanche
+  * mixing for hash values whose raw distribution is skewed (fnv1a of short
+  * strings concentrates below ~0.8·2⁶⁴, which broke unsigned-threshold
+  * splits). Shared with the DuckDB oracle's mix64Sql. */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected bigint, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.ops.Dedup.mix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Dedup.mix64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
 /** graft_bottomk(hash, k): the K-Minimum-Values (bottom-k) sketch state —
   * the k smallest DISTINCT hash values in UNSIGNED order, as a sorted
   * array. A TypedImperativeAggregate with bounded O(k) state that
@@ -331,6 +349,7 @@ object functions {
   def graft_hyperplane_sig(v: Column, dim: Column, bits: Column): Column =
     call_function("graft_hyperplane_sig", v, dim, bits)
   def graft_fnv1a64(c: Column): Column = call_function("graft_fnv1a64", c)
+  def graft_mix64(c: Column): Column = call_function("graft_mix64", c)
   def graft_bottomk(h: Column, k: Column): Column = call_function("graft_bottomk", h, k)
 
   /** Register the functions for SQL use on an existing session. */
@@ -344,6 +363,7 @@ object functions {
     reg.createOrReplaceTempFunction("graft_hyperplane_sig",
       es => HyperplaneSig(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fnv1a64", es => Fnv1a64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_mix64", es => Mix64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bottomk",
       es => BottomKUnsigned(es.head, es(1)).toAggregateExpression(), "scala_udf")
   }

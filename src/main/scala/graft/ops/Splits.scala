@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * Everything keys off the shared fnv1a-64 content hash (the same
+  * function the dedup/sketch oracles replicate in SQL), NOT `rand()`:
+  * a training split must be (a) reproducible run-over-run, (b) stable
+  * under repartitioning, and (c) recomputable by an independent engine
+  * for audit. All operators here are narrow (hash + compare per row —
+  * zero shuffle), so they cost one scan at 100 TB and compose with any
+  * downstream filter pushdown.
+  *
+  * Unsigned threshold trick: a hash h is "below fraction p" iff
+  * (h XOR MIN_LONG) < (floor(p·2⁶⁴) XOR MIN_LONG) — unsigned comparison
+  * via sign-bit flip, no floating point in the decision, so boundaries
+  * are exact and engine-independent.
+  */
+object Splits {
+
+  /** floor(p·2⁶⁴) as the unsigned threshold, computed in BigDecimal so
+    * the boundary is exact (a double product would wobble at the ulp).
+    * Public so an external oracle can embed the SAME integer literal. */
+  def thresholdU64(p: Double): BigInt = {
+    require(p >= 0.0 && p <= 1.0, s"fraction must be in [0,1], got $p")
+    val two64 = BigInt(1) << 64
+    val t = (BigDecimal(p) * BigDecimal(two64)).toBigInt
+    // clamp inside the unsigned domain; p == 1.0 is special-cased by callers
+    t.min(two64 - 1)
+  }
+
+  /** Signed-domain image of an unsigned threshold (sign-bit flip). */
+  private def flipped(u: BigInt): Long = (u - (BigInt(1) << 63)).toLong
+
+  /** splitmix64-finalized fnv1a of 'salt:id'. The finalizer matters:
+    * raw fnv1a of short strings concentrates below ~0.8·2⁶⁴ (measured:
+    * a 0.8/0.1/0.1 split came out 0.95/0.05/0.00), so threshold splits
+    * need full-avalanche output. */
+  private def hashCol(df: DataFrame, salt: String, idCol: String): Column = {
+    graft.functions.functions.register(df.sparkSession)
+    graft.functions.functions.graft_mix64(
+      graft.functions.functions.graft_fnv1a64(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+  }
+
+  /** Deterministic train/val/test (or any weighted) assignment: the id's
+    * salted hash lands in cumulative unsigned ranges. Weights need not
+    * sum to 1; they are normalized. */
+  /** The exact unsigned cut points hashSplit uses for `weights` (all but
+    * the last bucket, which is the `otherwise`). ONE arithmetic path for
+    * the operator and any external verifier. */
+  def splitThresholds(weights: Seq[Double]): Seq[BigInt] = {
+    val total = weights.sum
+    weights.scanLeft(0.0)(_ + _).tail.init.map(c => thresholdU64(c / total))
+  }
+
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+      weights: Seq[Double] = Seq(0.8, 0.1, 0.1),
+      names: Seq[String] = Seq("train", "val", "test"),
+      salt: String = "split"): DataFrame = {
+    require(weights.length == names.length && weights.nonEmpty)
+    val h = hashCol(docs, salt, idCol).bitwiseXOR(lit(Long.MinValue))
+    // descending when-chain over the cumulative upper bounds
+    val expr = splitThresholds(weights).zip(names.init)
+      .foldRight(lit(names.last): Column) {
+        case ((upper, name), rest) =>
+          when(h < lit(flipped(upper)), lit(name)).otherwise(rest)
+      }
+    docs.withColumn("split", expr)
+  }
+
+  /** Deterministic Bernoulli(p) sample: keep rows whose salted hash falls
+    * below floor(p·2⁶⁴). Stable across runs/partitionings; different salts
+    * give independent samples. */
+  def hashSample(docs: DataFrame, p: Double, idCol: String = "doc_id",
+      salt: String = "sample"): DataFrame =
+    if (p >= 1.0) docs
+    else {
+      val h = hashCol(docs, salt, idCol).bitwiseXOR(lit(Long.MinValue))
+      docs.filter(h < lit(flipped(thresholdU64(p))))
+    }
+
+  /** Deterministic stratified sample: exactly the hash-smallest `k` rows
+    * per group (a per-stratum deterministic "reservoir"). One shuffle on
+    * the group key; candidates are cut to k per group map-side by the
+    * window rank, so only (k × groups) rows survive. */
+  def stratifiedSample(docs: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id", salt: String = "strat"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = hashCol(docs, salt, idCol).bitwiseXOR(lit(Long.MinValue))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+}

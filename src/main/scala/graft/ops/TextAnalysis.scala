@@ -92,4 +92,42 @@ object TextAnalysis {
     docs.withColumn("fingerprint",
       graft.functions.functions.graft_fingerprint64(col(textCol)))
   }
+
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1: fraction
+    * of duplicated words / most-common-ngram mass): per doc —
+    * n_words, n_distinct_words, dup_word_frac, top_word_frac,
+    * top_bigram_frac, and a `repetitive` flag. Relational shape: two
+    * explode→groupBy passes whose shuffles carry (doc_id, token-hash)
+    * pairs; at corpus scale this is the same cost class as tokenized
+    * dedup, and partial aggregation collapses the per-doc counts
+    * map-side. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("rid"), tokensCol(col(textCol)).as("ws"))
+    val words = base.select(col("rid"), explode(col("ws")).as("w"))
+      .groupBy(col("rid"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("rid"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_w"))
+    val bigrams = base.select(col("rid"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy(col("rid"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("rid"))
+      .agg(max(col("c")).as("top_b"), sum(col("c")).as("n_bi"))
+    words.join(bigrams, Seq("rid"), "left")
+      .select(col("rid").as(idCol),
+        col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) - col("n_distinct_words").cast("double")
+          / col("n_words").cast("double"), 4).as("dup_word_frac"),
+        round(col("top_w").cast("double") / col("n_words").cast("double"), 4)
+          .as("top_word_frac"),
+        round(coalesce(col("top_b"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_bi"), lit(0L)), lit(1L)).cast("double"), 4)
+          .as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("dup_word_frac") > 0.7 || col("top_bigram_frac") > 0.18)
+  }
 }

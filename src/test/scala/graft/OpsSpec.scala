@@ -297,6 +297,106 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok == 6L) // C(4,2)
   }
 
+  test("pii scrub: detects and redacts emails, ipv4, phones") {
+    import spark.implicits._
+    val d = docsDF(Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or box 10.20.30.40 tel +1-555-204-1234"),
+      (2L, "two mails a@b.io c@d.net and bare 555-123-4567"),
+      (3L, "nothing here")))
+    val r = graft.ops.Scrub.scrub(d)
+      .select($"doc_id", $"n_emails", $"n_ipv4", $"n_phones", $"clean_text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 1 && r(1L).getLong(2) == 1 && r(1L).getLong(3) == 1)
+    assert(r(1L).getString(4) == "mail me at <EMAIL> or box <IP> tel <PHONE>")
+    assert(r(2L).getLong(1) == 2 && r(2L).getLong(3) == 1)
+    assert(r(3L).getLong(1) == 0 && r(3L).getLong(2) == 0 && r(3L).getLong(3) == 0)
+    assert(r(3L).getString(4) == "nothing here")
+  }
+
+  test("hash split/sample: deterministic, disjoint, nested, stratified-k") {
+    import spark.implicits._
+    val d = (0L until 2000L).map(i => (i, s"src${i % 7}", "t"))
+      .toDF("doc_id", "source", "text")
+    val sp = graft.ops.Splits.hashSplit(d)
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    // total coverage, deterministic re-run, sane fractions
+    assert(sp.length == 2000)
+    val byName = sp.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName("train") > 1400 && byName("train") < 1800, byName.toString)
+    assert(byName.values.sum == 2000)
+    val sp2 = graft.ops.Splits.hashSplit(d)
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    assert(sp.sortBy(_._1).toSeq == sp2.sortBy(_._1).toSeq)
+    // Bernoulli samples nest: threshold(0.1) < threshold(0.3), same salt
+    val s1 = graft.ops.Splits.hashSample(d, 0.1).select($"doc_id").as[Long].collect().toSet
+    val s3 = graft.ops.Splits.hashSample(d, 0.3).select($"doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3) && s1.nonEmpty && s3.size < 2000)
+    assert(graft.ops.Splits.hashSample(d, 1.0).count() == 2000)
+    // stratified: exactly k per group, deterministic
+    val st = graft.ops.Splits.stratifiedSample(d, "source", k = 4)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(st.values.toSet == Set(4L) && st.size == 7)
+  }
+
+  test("contamination: benchmark members fully flagged, disjoint docs zero") {
+    import spark.implicits._
+    val corpus = docsDF(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical to benchmark doc
+      (3L, "one two three four five six seven")))
+    val bench = docsDF(Seq((1L, "alpha beta gamma delta epsilon zeta")))
+    val r = graft.ops.Contamination.overlap(corpus, bench)
+      .select($"doc_id", $"n_shingles", $"n_contaminated", $"contamination_frac")
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._4 == 1.0 && r(2L)._4 == 1.0)
+    assert(r(3L)._3 == 0L && r(3L)._4 == 0.0)
+    assert(r(3L)._2 == 5L) // 7 words -> 5 3-shingles
+  }
+
+  test("bm25: rational idf ranks term-dense docs higher at equal length") {
+    import spark.implicits._
+    val d = docsDF(Seq(
+      (1L, "spark spark spark pad pad pad"),
+      (2L, "spark pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad")))
+    val r = graft.ops.Ranking.bm25(d, Seq("spark"))
+      .select($"doc_id", $"dl", $"bm25").as[(Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == 6L)
+    assert(r(1L)._3 > r(2L)._3 && r(2L)._3 > r(3L)._3)
+    assert(r(3L)._3 == 0.0)
+  }
+
+  test("repetition stats: gopher fractions on a crafted doc") {
+    import spark.implicits._
+    val d = docsDF(Seq((1L, "a a a b")))
+    val r = graft.ops.TextAnalysis.repetitionStats(d).head()
+    assert(r.getAs[Long]("n_words") == 4L)
+    assert(r.getAs[Long]("n_distinct_words") == 2L)
+    assert(r.getAs[Double]("dup_word_frac") == 0.5)
+    assert(r.getAs[Double]("top_word_frac") == 0.75)
+    assert(r.getAs[Double]("top_bigram_frac") == 0.6667) // "a a" twice of 3
+    assert(r.getAs[Boolean]("repetitive"))
+  }
+
+  test("sequence packing: greedy per-group bins, oversized doc isolated") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val d = Seq(
+      ("g1", 1L, words(100)), ("g1", 2L, words(90)), ("g1", 3L, words(50)),
+      ("g1", 4L, words(250)), ("g1", 5L, words(10)),
+      ("g2", 6L, words(200))).toDF("source", "doc_id", "text")
+    val r = graft.ops.Packing.packGreedy(d, budget = 200)
+      .select($"doc_id", $"bin_id").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L), r.toString)
+    val stats = graft.ops.Packing.packStats(
+      graft.ops.Packing.packGreedy(d, budget = 200), budget = 200)
+      .select($"source", $"bin_id", $"n_docs", $"used").as[(String, Long, Long, Long)]
+      .collect().toSet
+    assert(stats.contains(("g1", 0L, 2L, 190L)))
+    assert(stats.contains(("g1", 2L, 1L, 250L)))
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)
