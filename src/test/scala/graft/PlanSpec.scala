@@ -117,6 +117,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
   }
 
+  test("splits and pii scrub are narrow: zero Exchange in the plan") {
+    // split/sample/scrub must stay one codegen'd scan at 100 TB — a shuffle
+    // here would mean hashing or regexp got planned as a wide op
+    for (q <- Seq("q_train_split", "q_hash_sample", "q_pii_scrub")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf), "simple")
+      assert(!p.contains("Exchange"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("ScalaUDF"), s"$q plans an interpreted UDF: ${p.take(1500)}")
+    }
+  }
+
+  test("contamination broadcasts the benchmark shingle side") {
+    val p = plan(SparkEntry.queries("q_contamination")(spark, sf), "simple")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("bm25 scoring pass is shuffle-free (stats folded as literals)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Ranking.bm25(d, Seq("spark", "join")), "simple")
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
+  test("sequence packing has exactly one Exchange (the group repartition)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Packing.packGreedy(d, budget = 200), "simple")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p.take(1500))
+  }
+
   test("exact dedup shuffles only hash+length, not the text") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.Dedup.exact(d), "formatted")

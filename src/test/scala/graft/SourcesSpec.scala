@@ -75,6 +75,18 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Xlsx.parse(bos.toByteArray) == Vector(Vector("2")))
   }
 
+  test("xlsx: deflate bomb (tiny zip, 300 MB inflated) is a malformed-skip, not an OOM (ADVICE r3)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    val chunk = new Array[Byte](1 << 20) // zeros compress ~1000:1
+    for (_ <- 0 until 300) z.write(chunk)
+    z.closeEntry(); z.close()
+    val bomb = bos.toByteArray
+    assert(bomb.length < (2 << 20), s"bomb should be tiny, was ${bomb.length}")
+    assert(Xlsx.parse(bomb) == Vector.empty) // capped read → skip
+  }
+
   test("xbrl instance facts: numeric leaves only, commas stripped, dup-preserving (S8)") {
     import graft.sources.XbrlInstance
     val xml = graft.gen.FixtureGen.buildXbrl(42L, nFacts = 12)
