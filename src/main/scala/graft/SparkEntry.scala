@@ -652,6 +652,13 @@ object SparkEntry {
     graft.ops.Packing.packGreedy(t(s, dir, "documents"), budget = 200)
       .orderBy(col("source"), col("doc_id"))
 
+  /** Approximate quantiles from a bottom-k uniform sample (mergeable O(k)
+    * state — the scale path where exact percentile would sort the group). */
+  private def qSketchQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.sampleQuantiles(t(s, dir, "documents"),
+      "source", "n_chars", k = 16)
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub"        -> qPiiScrub _,
     "q_train_split"      -> qTrainSplit _,
@@ -661,6 +668,7 @@ object SparkEntry {
     "q_bm25"             -> qBm25 _,
     "q_repetition"       -> qRepetition _,
     "q_pack_bins"        -> qPackBins _,
+    "q_sketch_quantiles" -> qSketchQuantiles _,
     "x_extract_text"  -> xExtractText _,
     "x_validate"      -> xValidate _,
     "x_exports"       -> xExports _,
@@ -1179,7 +1187,26 @@ object SparkEntry {
        |SELECT source, doc_id, ntok AS n_tokens, CAST(bin AS BIGINT) AS bin_id
        |FROM rec""".stripMargin
 
+  /** q_sketch_quantiles oracle: same mix64∘fnv1a row hash, k smallest per
+    * group (hash-tie → min value, mirroring BottomKSample's merge rule),
+    * then quantile_cont == Spark's exact `percentile` on the sample. */
+  private def sketchQuantilesOracle: String =
+    s"""WITH h AS (SELECT source, CAST(n_chars AS DOUBLE) AS v,
+       |             ${saltedHashSql("qsample")} AS hu
+       |           FROM documents),
+       |d AS (SELECT source, hu, min(v) AS v FROM h GROUP BY 1, 2),
+       |rk AS (SELECT source, hu, v,
+       |         row_number() OVER (PARTITION BY source ORDER BY hu) AS rn
+       |       FROM d),
+       |smp AS (SELECT source, v FROM rk WHERE rn <= 16)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_sample,
+       |  round(quantile_cont(v, 0.5), 4) AS q50_est,
+       |  round(quantile_cont(v, 0.9), 4) AS q90_est,
+       |  round(quantile_cont(v, 0.99), 4) AS q99_est
+       |FROM smp GROUP BY source""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_sketch_quantiles" -> sketchQuantilesOracle,
     "q_pii_scrub" -> piiScrubOracle,
     "q_train_split" -> trainSplitOracle,
     "q_hash_sample" -> hashSampleOracle,

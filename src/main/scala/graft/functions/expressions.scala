@@ -334,6 +334,122 @@ object BottomKUnsigned {
     }
 }
 
+/** graft_bottomk_sample(hash, value, k): bottom-k SAMPLING sketch — the
+  * values carried by the k unsigned-smallest distinct hash keys (Cohen &
+  * Kaplan, "Summarizing data using bottom-k sketches", PODC 2007). When
+  * the hash is a full-avalanche function of a row identity, the carried
+  * values are a uniform k-sample of the group, so quantile/mean estimates
+  * follow from the sample alone. O(k) state, map-side partial merge,
+  * associative; hash ties keep the SMALLEST value so merge order never
+  * changes the result. Returns the sampled values ordered by hash
+  * (deterministic, engine-reproducible). */
+case class BottomKSample(hashExpr: Expression, valueExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Double]] {
+
+  private lazy val k: Int = kExpr.eval(null) match {
+    case i: java.lang.Integer => i.intValue
+    case l: java.lang.Long    => l.intValue
+    case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hashExpr.dataType == LongType && valueExpr.dataType == DoubleType &&
+      kExpr.foldable &&
+      (kExpr.dataType == IntegerType || kExpr.dataType == LongType)) {
+      val kv = kExpr.eval(null) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long    => l.longValue
+        case _                    => -1L
+      }
+      if (kv >= 1L && kv <= 1000000L) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_bottomk_sample: k must be in [1, 1000000], got $kv")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"expected (bigint, double, int literal), got ${hashExpr.dataType}, " +
+        s"${valueExpr.dataType}, ${kExpr.dataType}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bottomk_sample"
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Double] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Double](BottomKUnsigned.UnsignedOrder)
+
+  private def add(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      h: Long, v: Double): Unit = {
+    if (buf.size >= k) {
+      val last = buf.lastKey()
+      val cmp = java.lang.Long.compareUnsigned(h, last)
+      if (cmp > 0) return // unsigned-larger than the kth: reject
+      if (cmp == 0) { // hash tie on the boundary: keep the smaller value
+        val cur = buf.get(last)
+        if (v < cur) buf.put(last, v)
+        return
+      }
+    }
+    val cur = buf.get(h)
+    if (cur == null) {
+      buf.put(h, v)
+      if (buf.size > k) buf.pollLastEntry()
+    } else if (v < cur) buf.put(h, v) // tie rule: min value wins
+  }
+
+  override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val h = hashExpr.eval(input)
+    val v = valueExpr.eval(input)
+    if (h != null && v != null)
+      add(buf, h.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      other: java.util.TreeMap[java.lang.Long, java.lang.Double])
+      : java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); add(buf, e.getKey, e.getValue) }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Any = {
+    val arr = new Array[Double](buf.size)
+    val it = buf.values().iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); bb.putLong(e.getKey); bb.putDouble(e.getValue) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.put(bb.getLong, bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override def children: Seq[Expression] = Seq(hashExpr, valueExpr, kExpr)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKSample =
+    copy(hashExpr = newChildren(0), valueExpr = newChildren(1), kExpr = newChildren(2))
+}
+
 /** Column-API front + SQL registration. Call [[functions.register]] once
   * per session (Column builders go through the function registry —
   * `call_function` — since Expression↔Column bridges are sql-private in
@@ -351,6 +467,8 @@ object functions {
   def graft_fnv1a64(c: Column): Column = call_function("graft_fnv1a64", c)
   def graft_mix64(c: Column): Column = call_function("graft_mix64", c)
   def graft_bottomk(h: Column, k: Column): Column = call_function("graft_bottomk", h, k)
+  def graft_bottomk_sample(h: Column, v: Column, k: Column): Column =
+    call_function("graft_bottomk_sample", h, v, k)
 
   /** Register the functions for SQL use on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -366,5 +484,7 @@ object functions {
     reg.createOrReplaceTempFunction("graft_mix64", es => Mix64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bottomk",
       es => BottomKUnsigned(es.head, es(1)).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bottomk_sample",
+      es => BottomKSample(es.head, es(1), es(2)).toAggregateExpression(), "scala_udf")
   }
 }

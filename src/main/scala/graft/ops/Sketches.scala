@@ -57,6 +57,34 @@ object Sketches {
       est.as("distinct_est"))
   }
 
+  /** Approximate per-group quantiles from a bottom-k UNIFORM SAMPLE
+    * (Cohen & Kaplan, PODC 2007): each row's identity hashes through
+    * mix64∘fnv1a (full avalanche — raw fnv1a of short strings is NOT
+    * uniform in the high bits); the k hash-smallest rows per group are a
+    * uniform sample, and the interpolated percentile of the sample
+    * estimates the group quantile. Mergeable O(k) state per group (the
+    * [[graft.functions.BottomKSample]] TypedImperativeAggregate,
+    * map-side partials), so a 100-TB group costs one shuffle of k doubles
+    * — and unlike t-digest/GK the result is EXACTLY reproducible by an
+    * independent engine from the shared hash.
+    * Output: (groupCol, n_sample, q50_est, q90_est, q99_est). */
+  def sampleQuantiles(docs: DataFrame, groupCol: String, valueCol: String,
+      idCol: String = "doc_id", k: Int = 64): DataFrame = {
+    graft.functions.functions.register(docs.sparkSession)
+    val h = graft.functions.functions.graft_mix64(
+      graft.functions.functions.graft_fnv1a64(
+        concat(lit("qsample:"), col(idCol).cast("string"))))
+    docs.groupBy(col(groupCol))
+      .agg(graft.functions.functions
+        .graft_bottomk_sample(h, col(valueCol).cast("double"), lit(k)).as("smp"))
+      .select(col(groupCol), explode(col("smp")).as("v"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(v, 0.5)"), 4).as("q50_est"),
+        round(expr("percentile(v, 0.9)"), 4).as("q90_est"),
+        round(expr("percentile(v, 0.99)"), 4).as("q99_est"))
+  }
+
   /** Pairwise set-operation estimates between group sketches — the KMV
     * union/Jaccard construction (Beyer et al., SIGMOD 2007): the union
     * sketch is the bottom-k of the merged sketches, ρ = the fraction of

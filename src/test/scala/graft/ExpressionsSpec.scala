@@ -135,6 +135,36 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f == graft.ops.Dedup.fnv1a("alpha"))
   }
 
+  test("graft_bottomk_sample: carries values of the k hash-smallest rows; merges across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    register(spark)
+    // (hash, value) rows; hashes span both sides of 2^63
+    val rows = (0 until 300).map(i => (graft.ops.Dedup.mix64(i.toLong), i.toDouble * 2.5))
+    val df = rows.toDF("h", "v").repartition(7)
+    val got = df.agg(graft_bottomk_sample(col("h"), col("v"), lit(12)))
+      .head().getSeq[Double](0)
+    val want = rows.sortBy(r => r._1 ^ Long.MinValue).take(12).map(_._2)
+    assert(got == want, s"got=$got")
+    // hash tie: min value wins regardless of arrival/merge order
+    val tied = Seq((5L, 9.0), (5L, 3.0), (5L, 7.0), (1L, 2.0)).toDF("h", "v").repartition(3)
+    val t2 = tied.agg(graft_bottomk_sample(col("h"), col("v"), lit(1)))
+      .head().getSeq[Double](0)
+    assert(t2 == Seq(2.0)) // h=1 is the smallest hash; its value carried
+    val t3 = tied.agg(graft_bottomk_sample(col("h"), col("v"), lit(2)))
+      .head().getSeq[Double](0)
+    assert(t3 == Seq(2.0, 3.0)) // tie on h=5 keeps min value 3.0
+    // map-side partial aggregation in the plan
+    val plan = df.groupBy(col("h") % 2).agg(graft_bottomk_sample(col("h"), col("v"), lit(4)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_bottomk_sample"), plan.take(800))
+    // k <= 0 rejected at analysis
+    val e = intercept[Exception] {
+      df.agg(graft_bottomk_sample(col("h"), col("v"), lit(0))).collect()
+    }
+    assert(e.getMessage.contains("k must be in"), e.getMessage)
+  }
+
   test("graft_bottomk: k <= 0 fails at ANALYSIS, not with an empty-TreeSet crash (ADVICE r3)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

@@ -397,6 +397,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.contains(("g1", 2L, 1L, 250L)))
   }
 
+  test("sample quantiles: estimate equals exact percentile of the hash-sample; small groups exact") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, if (i < 100) "a" else "b", "t", i * 3.0))
+      .toDF("doc_id", "source", "text", "score")
+    val r = graft.ops.Sketches.sampleQuantiles(d, "source", "score", k = 16)
+      .select($"source", $"n_sample", $"q50_est")
+      .as[(String, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r("a")._2 == 16L && r("b")._2 == 16L)
+    // recompute the expected sample by hand with the same hash chain
+    def hu(i: Long) = graft.ops.Dedup.mix64(graft.ops.Dedup.fnv1a(s"qsample:$i")) ^ Long.MinValue
+    val sampleA = (0L until 100L).sortBy(hu).take(16).map(_ * 3.0).sorted
+    // exact interpolated median of the 16-value sample
+    val med = (sampleA(7) + sampleA(8)) / 2.0
+    assert(math.abs(r("a")._3 - med) < 1e-6, s"got ${r("a")._3} want $med")
+    // a group smaller than k is carried whole -> estimates are EXACT
+    val tiny = (0L until 5L).map(i => (i, "g", "t", i.toDouble)).toDF("doc_id", "source", "text", "score")
+    val rt = graft.ops.Sketches.sampleQuantiles(tiny, "source", "score", k = 16)
+      .select($"n_sample", $"q50_est").as[(Long, Double)].head()
+    assert(rt == ((5L, 2.0)))
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)

@@ -170,4 +170,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("a") == want(Seq("w1", "w2", "w3", "w4", "w5")), got("a"))
     assert(got("b") == want(Seq("x1", "x2")), got("b"))
   }
+
+  test("bottom-k SAMPLE sketch merges streaming state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, col}
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.functions.register(spark)
+    val stream = MemoryStream[(String, Long, Double)]
+    val h = graft.functions.functions.graft_mix64(
+      graft.functions.functions.graft_fnv1a64(
+        concat(lit("qsample:"), col("id").cast("string"))))
+    val sketched = stream.toDS().toDF("src", "id", "v")
+      .groupBy($"src")
+      .agg(graft.functions.functions.graft_bottomk_sample(h, $"v", lit(4)).as("smp"))
+    val q = sketched.writeStream.format("memory").queryName("bks_mem")
+      .outputMode("complete").start()
+    stream.addData(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
+    q.processAllAvailable()
+    stream.addData(("a", 4L, 40.0), ("a", 5L, 50.0), ("a", 6L, 60.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bks_mem").as[(String, Seq[Double])].collect().toMap
+    def hu(i: Long) = graft.ops.Dedup.mix64(graft.ops.Dedup.fnv1a(s"qsample:$i")) ^ Long.MinValue
+    val want = (1L to 6L).sortBy(hu).take(4).map(_ * 10.0)
+    assert(got("a") == want, s"got ${got("a")} want $want")
+  }
 }
