@@ -40,8 +40,10 @@ object Bench {
     * timed runs — the metric is extraction, not generation). */
   private def ensurePages(dir: String, nDocs: Long, sizeBoost: Int): Unit = {
     val countFile = new java.io.File(s"$dir/_graft_count")
+    // marker carries the generator version so stale corpora regenerate
+    val tag = s"$nDocs-$sizeBoost-v${graft.gen.FixtureGen.Version}"
     val ok = new java.io.File(s"$dir/_SUCCESS").exists() && countFile.exists() &&
-      scala.util.Try(java.nio.file.Files.readString(countFile.toPath).trim == s"$nDocs-$sizeBoost")
+      scala.util.Try(java.nio.file.Files.readString(countFile.toPath).trim == tag)
         .getOrElse(false)
     if (ok) return
     val spark = session(Runtime.getRuntime.availableProcessors())
@@ -49,7 +51,7 @@ object Bench {
       graft.gen.PagesTable.pagesDF(spark, nDocs,
         Runtime.getRuntime.availableProcessors() * 4, sizeBoost)
         .write.mode("overwrite").parquet(dir)
-      java.nio.file.Files.writeString(countFile.toPath, s"$nDocs-$sizeBoost")
+      java.nio.file.Files.writeString(countFile.toPath, tag)
     } finally spark.stop()
   }
 
@@ -179,14 +181,24 @@ object Bench {
     try {
       spark.range(1000000L).selectExpr("sum(id)").count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
-      // fixture generation must never land inside a timed query
-      SparkEntry.ensureFixtures(spark, sfDir)
     } catch { case _: Throwable => }
+    // fixture generation must never land inside a timed query — and its
+    // failure must be LOUD: silently falling back to inline generation
+    // would reproduce the exact timing bias this exists to remove
+    try SparkEntry.ensureFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture generation FAILED (timed queries will regenerate inline): $e")
+    }
     val errors = Vector.newBuilder[String]
     val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
       // a failed query must NOT masquerade as a fast one: record -1 and list
       // it in `errors` (a swallowed exception used to read as 0.00 s)
       def once(): Double = {
+        // drop cross-query memos (shared docs / pair graph): every rep must
+        // time the OPERATOR, not a warm localCheckpoint from a prior query
+        // or rep — min-of-reps would otherwise hide a 10x regression in the
+        // memoized stage (review r4)
+        SparkEntry.resetSharedState()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9

@@ -179,11 +179,18 @@ object SparkEntry {
     * computes exactly this frame). */
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-  private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => graft.ops.Dedup
-        .jaccardAdaptivePairs(t(s, dir, "documents"), "source", threshold = 0.8)
-        .localCheckpoint(true))
+  private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(s), dir)
+    val cached = pairsMemo.get(key)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else {
+      pairsMemo.remove(key)
+      pairsMemo.computeIfAbsent(key,
+        _ => graft.ops.Dedup
+          .jaccardAdaptivePairs(t(s, dir, "documents"), "source", threshold = 0.8)
+          .localCheckpoint(true))
+    }
+  }
 
   /** Full dedup chain (exact → MinHash/LSH pairs → connected components →
     * representatives) over a corpus with planted exact + near duplicates.
@@ -242,12 +249,17 @@ object SparkEntry {
   private def pagesFixture(s: SparkSession, n: Long): DataFrame = {
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_pages_fixture_$n")
     val marker = dir.resolve("_graft_count")
+    // marker includes the GENERATOR VERSION: a warm fixture written by an
+    // older build must regenerate, or greens prove nothing about the new
+    // generator (review r4). Single-process assumption (the driver runs
+    // Verify/Bench sequentially); concurrent writers would race overwrite.
+    val tag = s"$n-v${graft.gen.FixtureGen.Version}"
     val ok = java.nio.file.Files.exists(dir.resolve("_SUCCESS")) &&
       java.nio.file.Files.exists(marker) &&
-      scala.util.Try(java.nio.file.Files.readString(marker).trim == n.toString).getOrElse(false)
+      scala.util.Try(java.nio.file.Files.readString(marker).trim == tag).getOrElse(false)
     if (!ok) {
       graft.gen.PagesTable.pagesDF(s, n).write.mode("overwrite").parquet(dir.toString)
-      java.nio.file.Files.writeString(marker, n.toString)
+      java.nio.file.Files.writeString(marker, tag)
     }
     s.read.parquet(dir.toString)
   }
@@ -261,9 +273,28 @@ object SparkEntry {
     * session never reuses checkpointed RDDs from a stopped context. */
   private val docsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), Dataset[graft.core.ExtractedDoc]]()
-  private def sharedDocs(s: SparkSession, n: Long): Dataset[graft.core.ExtractedDoc] =
-    docsMemo.computeIfAbsent((System.identityHashCode(s), n),
-      _ => graft.spark.ExtractJob.extractDocs(s, pagesFixture(s, n)).localCheckpoint(true))
+  private def sharedDocs(s: SparkSession, n: Long): Dataset[graft.core.ExtractedDoc] = {
+    val key = (System.identityHashCode(s), n)
+    val cached = docsMemo.get(key)
+    // identityHashCode is not unique across a session's lifetime: a memo
+    // entry whose checkpointed RDDs belong to a STOPPED context must be
+    // recomputed, never served (review r4)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else {
+      docsMemo.remove(key)
+      docsMemo.computeIfAbsent(key,
+        _ => graft.spark.ExtractJob.extractDocs(s, pagesFixture(s, n)).localCheckpoint(true))
+    }
+  }
+
+  /** Drop all cross-query memo state (Bench calls this before every timed
+    * rep so per-query numbers measure the OPERATOR, not a warm memo; it
+    * also prevents dead-context Dataset references accumulating in
+    * long-lived JVMs). */
+  def resetSharedState(): Unit = {
+    docsMemo.clear()
+    pairsMemo.clear()
+  }
 
   /** Pre-materialize every pages fixture a verify/bench run will read, so
     * generation cost never lands inside a timed query. */

@@ -26,6 +26,13 @@ import java.sql.Timestamp
   */
 object FixtureGen {
 
+  /** Generator version — BUMP THIS whenever fixture GENERATION changes in
+    * any observable way. It is baked into every on-disk fixture marker
+    * (SparkEntry.pagesFixture, Bench.ensurePages): without it a warm
+    * /tmp fixture from an older build silently serves the OLD corpus and
+    * every downstream green proves nothing about the new generator. */
+  val Version = 4
+
   val Seed = 0x5EED5EED5EEDL
   val Epoch = 1704067200000L // 2024-01-01T00:00:00Z, fixed
 

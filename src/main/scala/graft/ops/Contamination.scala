@@ -38,16 +38,21 @@ object Contamination {
 
     // distinct benchmark shingles: small side, broadcast by construction
     val benchSh = broadcast(
-      shingled(benchmark, idCol, benchTextCol).select(col("sh")).distinct())
+      shingled(benchmark, idCol, benchTextCol).select(col("sh")).distinct()
+        .withColumn("hit", lit(1)))
 
-    val docSh = shingled(docs, idCol, textCol)
-    val hits = docSh.join(benchSh, Seq("sh"), "left_semi")
-      .groupBy(col("sid")).agg(count(lit(1)).as("n_contaminated"))
-    val totals = docSh.groupBy(col("sid")).agg(count(lit(1)).as("n_shingles"))
+    // ONE pass over the corpus shingles: broadcast left join marks hits,
+    // a single partial-aggregating groupBy counts totals and hits together
+    // (the two-aggregation form scanned and shingled the corpus twice —
+    // review r4)
+    val counts = shingled(docs, idCol, textCol)
+      .join(benchSh, Seq("sh"), "left")
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
 
     docs.select(col(idCol).cast("long").as("sid")).distinct()
-      .join(totals, Seq("sid"), "left")
-      .join(hits, Seq("sid"), "left")
+      .join(counts, Seq("sid"), "left")
       .select(col("sid").as(idCol),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),

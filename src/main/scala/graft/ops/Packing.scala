@@ -28,7 +28,9 @@ object Packing {
     import spark.implicits._
     val slim = docs.select(col(groupCol).cast("string").as("g"),
         col(idCol).cast("long").as("id"),
-        size(split(col(textCol), " ")).cast("long").as("ntok"))
+        // null text → 0 tokens: size(split(null)) is null (or -1 under the
+        // legacy flag), which would corrupt the fill accounting
+        size(split(coalesce(col(textCol), lit("")), " ")).cast("long").as("ntok"))
       .repartition(col("g"))
       .sortWithinPartitions(col("g"), col("id"))
     slim.as[(String, Long, Long)].mapPartitions { it =>

@@ -38,7 +38,7 @@ object Ranking {
   def bm25(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32, "terms must be 1..32")
-    val toks = split(col(textCol), " ")
+    val toks = split(coalesce(col(textCol), lit("")), " ") // null-safe
     val dl = size(toks).cast("double")
 
     def tf(term: String): Column =
@@ -49,8 +49,9 @@ object Ranking {
     // IEEE division — bit-identical on any engine.
     val aggCols = Seq(
       count(lit(1)).as("n"),
-      sum(size(split(col(textCol), " ")).cast("long")).as("sumdl")) ++
-      terms.map(t => sum(when(array_contains(split(col(textCol), " "), t), 1L)
+      sum(size(split(coalesce(col(textCol), lit("")), " ")).cast("long")).as("sumdl")) ++
+      terms.map(t => sum(when(array_contains(
+        split(coalesce(col(textCol), lit("")), " "), t), 1L)
         .otherwise(0L)).as(s"df_$t"))
     val statsRow = docs.agg(aggCols.head, aggCols.tail: _*).head()
     val n = statsRow.getAs[Long]("n").toDouble

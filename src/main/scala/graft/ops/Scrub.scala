@@ -29,7 +29,7 @@ object Scrub {
     * (n_emails, n_ipv4, n_phones, clean_text). Redaction order is fixed
     * (emails, then IPs, then phones) so the output is deterministic. */
   def scrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+    val t = coalesce(col(textCol), lit("")) // null-safe: counts 0, not null
     docs
       .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long"))
       .withColumn("n_ipv4", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long"))

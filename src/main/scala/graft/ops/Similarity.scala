@@ -29,8 +29,15 @@ object Similarity {
     * analysis error); callers building Columns off-session should still
     * register explicitly. */
   def cosine(a: Column, b: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.functions.register)
+    // register only when missing: per-call re-registration wrote the whole
+    // registry on every Column construction (review r4). getActiveSession
+    // is thread-local — callers building Columns off the Spark thread must
+    // still call functions.register(session) explicitly.
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      if (!s.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")))
+        graft.functions.functions.register(s)
+    }
     graft.functions.functions.graft_cosine(a, b)
   }
 

@@ -49,7 +49,10 @@ object Xlsx {
     * sheet1 was deleted, ADVICE r3), lexicographic fallback otherwise. */
   private def sheetOrder(name: String): (Long, String) = {
     val m = "^xl/worksheets/sheet(\\d+)\\.xml$".r.findFirstMatchIn(name)
-    m.map(g => (g.group(1).toLong, name)).getOrElse((Long.MaxValue, name))
+    // toLongOption: a hostile >19-digit suffix must not throw out of the
+    // never-throw scanner contract
+    m.flatMap(g => g.group(1).toLongOption).map((_, name))
+      .getOrElse((Long.MaxValue, name))
   }
 
   /** Parse one xlsx byte array into a row-major string matrix. */

@@ -53,8 +53,12 @@ for name, sql in sorted(oracle.items()):
             print(f"[MISS ] {name}: no spark output"); fail += 1; continue
         scols, srows = canon(t.column_names, [list(r) for r in zip(*[c.to_pylist() for c in t.columns])] if t.num_rows else [])
         d = con.sql(sql)
+        # ONE execution: fetch arrow, derive both the type map and the rows
+        # from it (relations are lazy — .arrow() then .fetchall() would run
+        # every oracle twice, ~2x wall on the 16 s minhash oracle)
         darrow = d.arrow()
-        dcols, drows = canon(d.columns, d.fetchall())
+        drows_raw = [list(r) for r in zip(*[c.to_pylist() for c in darrow.columns])] if darrow.num_rows else []
+        dcols, drows = canon(darrow.column_names, drows_raw)
         if scols != dcols:
             print(f"[SCHEMA] {name}: spark={scols} duck={dcols}"); fail += 1; continue
         stypes = {f.name: norm_type(f.type) for f in t.schema}
