@@ -418,6 +418,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rt == ((5L, 2.0)))
   }
 
+  test("sequence packing invariants over a randomized corpus (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // deterministic seed
+    val budget = 128
+    val docs = (0L until 600L).map { i =>
+      val n = 1 + rnd.nextInt(200) // some docs exceed the budget
+      (s"g${i % 5}", i, (1 to n).map(_ => "w").mkString(" "))
+    }
+    val d = docs.toDF("source", "doc_id", "text")
+    val out = graft.ops.Packing.packGreedy(d, budget)
+      .select($"source", $"doc_id", $"n_tokens", $"bin_id")
+      .as[(String, Long, Long, Long)].collect()
+    // 1. every doc exactly once
+    assert(out.length == 600 && out.map(_._2).distinct.length == 600)
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      val seq = rows.sortBy(_._2)
+      // 2. bins start at 0, non-decreasing, step <= 1
+      assert(seq.head._4 == 0L, g)
+      seq.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 - a._4 >= 0 && b._4 - a._4 <= 1, s"$g: ${a._2}->${b._2}")
+      case _ => }
+      // 3. bin totals respect the budget unless a single oversized doc
+      seq.groupBy(_._4).foreach { case (bin, ds) =>
+        val total = ds.map(_._3).sum
+        assert(total <= budget || ds.length == 1, s"$g bin $bin total $total")
+      }
+      // 4. greedy: the first doc of bin b would have overflowed bin b-1
+      val fills = seq.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+      seq.sliding(2).foreach { case Array(a, b) =>
+        if (b._4 == a._4 + 1) assert(fills(a._4) + b._3 > budget,
+          s"$g: bin ${b._4} opened although ${fills(a._4)} + ${b._3} <= $budget")
+      case _ => }
+    }
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)
