@@ -399,7 +399,15 @@ object Dedup {
     val a = base.select(col("blk"), col("id").as("id_a"), col("words").as("wa"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("words").as("wb"))
     val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+    // LENGTH prefilter (AllPairs size bound): J(A,B) ≥ t forces
+    // min(|A|,|B|) ≥ t·max(|A|,|B|) — an integer compare that prunes most
+    // pairs BEFORE the per-pair set intersection. The 1e-9 slack keeps the
+    // bound conservative under float rounding (a boundary pair like
+    // |A|=40,|B|=50,t=0.8 is exactly reachable and must survive to the
+    // exact verify; extra survivors are harmless).
+    val sizeOk = least(size(col("wa")), size(col("wb"))).cast("double") >=
+      lit(threshold) * greatest(size(col("wa")), size(col("wb"))).cast("double") - lit(1e-9)
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b") && sizeOk)
       .withColumn("jac",
         inter / (size(col("wa")) + size(col("wb")) - inter))
       .filter(col("jac") >= threshold)
@@ -449,9 +457,14 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val sides = base.select(col("id"), col("words"))
     val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+    // same conservative length bound as the blocked path: prune before the
+    // expensive intersection, never at the exactness boundary
+    val sizeOk = least(size(col("wa")), size(col("wb"))).cast("double") >=
+      lit(threshold) * greatest(size(col("wa")), size(col("wb"))).cast("double") - lit(1e-9)
     cands
       .join(sides.select(col("id").as("id_a"), col("words").as("wa")), Seq("id_a"))
       .join(sides.select(col("id").as("id_b"), col("words").as("wb")), Seq("id_b"))
+      .filter(sizeOk)
       .withColumn("jac",
         inter / (size(col("wa")) + size(col("wb")) - inter))
       .filter(col("jac") >= threshold)
