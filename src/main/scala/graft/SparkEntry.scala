@@ -1075,9 +1075,12 @@ object SparkEntry {
   /** q_pii_scrub oracle: identical planted-PII construction, identical
     * RE2-safe patterns, global regexp_replace. */
   private def piiScrubOracle: String = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-    val phone = "(\\+1-)?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    // the ops.Scrub patterns verbatim (single definition; both engines
+    // receive the identical regex — DuckDB string literals don't process
+    // backslashes, so interpolation is 1:1)
+    val email = graft.ops.Scrub.EmailRe
+    val ipv4 = graft.ops.Scrub.Ipv4Re
+    val phone = graft.ops.Scrub.PhoneRe
     s"""WITH p AS (
        |  SELECT doc_id,
        |    text || ' contact user' || doc_id || '@example.com at 10.0.'

@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Scrub {
 
-  /** RFC-ish email — deliberately the pragmatic corpus-scrub form. */
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** RFC-ish email — deliberately the pragmatic corpus-scrub form.
+    * BOUNDED quantifiers (RFC caps: local ≤64, domain ≤255, TLD ≤24):
+    * an unbounded `[...]+@` backtracks O(run²) on a long local-part-shaped
+    * run with no '@' — a single adversarial 100 KB doc cost ~10¹⁰ regex
+    * steps. Bounds make the scan effectively linear and are RE2-safe, so
+    * the SQL verifier keeps the identical pattern. */
+  val EmailRe = "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24}"
 
   /** Dotted-quad IPv4 (syntactic; octet range not enforced — scrubbing
     * over-approximates on purpose). */

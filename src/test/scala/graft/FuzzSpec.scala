@@ -161,6 +161,51 @@ class FuzzSpec extends AnyFunSuite {
     assert(Xlsx.parse(oob) == Vector(Vector("")))
   }
 
+  test("pii regexes stay near-linear on adversarial runs (no catastrophic backtracking)") {
+    // a 200 KB local-part-shaped run with NO '@': the unbounded form of the
+    // email regex backtracked O(run²) here (~10^10 steps); the bounded form
+    // must scan it in milliseconds
+    val run = "a" * 200000
+    val digits = "1" * 200000
+    val dots = "1.2.3." * 30000
+    for (s <- Seq(run, digits, dots)) {
+      val t0 = System.nanoTime()
+      val p1 = java.util.regex.Pattern.compile(graft.ops.Scrub.EmailRe).matcher(s)
+      while (p1.find()) ()
+      val p2 = java.util.regex.Pattern.compile(graft.ops.Scrub.Ipv4Re).matcher(s)
+      while (p2.find()) ()
+      val p3 = java.util.regex.Pattern.compile(graft.ops.Scrub.PhoneRe).matcher(s)
+      while (p3.find()) ()
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(ms < 2000.0, f"adversarial scan took $ms%.0f ms")
+    }
+    // bounded pattern still matches normal emails
+    assert(java.util.regex.Pattern.compile(graft.ops.Scrub.EmailRe)
+      .matcher("a contact x.y+z@sub.example.org here").find())
+  }
+
+  test("image decoder never crashes on hostile raster bytes") {
+    import graft.ops.Multimodal
+    for (s <- 0 until 100) {
+      val body = randBytes(s.toLong, 512)
+      // valid PNG/BMP/GIF magic + garbage body: ImageIO must be contained
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++ body
+      val bmp = Array[Byte]('B', 'M') ++ body
+      val gif = "GIF89a".getBytes ++ body
+      for (payload <- Seq(png, bmp, gif)) {
+        val m = Multimodal.decode(s.toLong, payload)
+        assert(m.assetId == s.toLong) // returned, didn't throw
+      }
+      // truncated real PNG: cut a valid stream at every 16th byte
+      val real = Multimodal.makePng(s.toLong, 8, 8)
+      var cut = 1
+      while (cut < real.length) {
+        Multimodal.decode(s.toLong, real.take(cut))
+        cut += 16
+      }
+    }
+  }
+
   test("xbrl scanner never crashes or hangs: random bytes, unclosed tags, hostile attrs") {
     import graft.sources.XbrlInstance
     for (sd <- 0 until 100) {
