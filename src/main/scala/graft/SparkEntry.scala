@@ -179,18 +179,12 @@ object SparkEntry {
     * computes exactly this frame). */
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-  private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(s), dir)
-    val cached = pairsMemo.get(key)
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-    else {
-      pairsMemo.remove(key)
-      pairsMemo.computeIfAbsent(key,
-        _ => graft.ops.Dedup
-          .jaccardAdaptivePairs(t(s, dir, "documents"), "source", threshold = 0.8)
-          .localCheckpoint(true))
-    }
-  }
+  private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.compute((System.identityHashCode(s), dir), (_, cur) =>
+      if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
+      else graft.ops.Dedup
+        .jaccardAdaptivePairs(t(s, dir, "documents"), "source", threshold = 0.8)
+        .localCheckpoint(true))
 
   /** Full dedup chain (exact → MinHash/LSH pairs → connected components →
     * representatives) over a corpus with planted exact + near duplicates.
@@ -273,25 +267,33 @@ object SparkEntry {
     * session never reuses checkpointed RDDs from a stopped context. */
   private val docsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), Dataset[graft.core.ExtractedDoc]]()
-  private def sharedDocs(s: SparkSession, n: Long): Dataset[graft.core.ExtractedDoc] = {
-    val key = (System.identityHashCode(s), n)
-    val cached = docsMemo.get(key)
-    // identityHashCode is not unique across a session's lifetime: a memo
-    // entry whose checkpointed RDDs belong to a STOPPED context must be
-    // recomputed, never served (review r4)
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-    else {
-      docsMemo.remove(key)
-      docsMemo.computeIfAbsent(key,
-        _ => graft.spark.ExtractJob.extractDocs(s, pagesFixture(s, n)).localCheckpoint(true))
-    }
-  }
+  private def sharedDocs(s: SparkSession, n: Long): Dataset[graft.core.ExtractedDoc] =
+    // atomic compute: the get/remove/computeIfAbsent sequence let a
+    // concurrent caller delete a freshly built entry (duplicated
+    // checkpoint + orphaned blocks). identityHashCode is not unique across
+    // a session's lifetime, so an entry whose checkpointed RDDs belong to
+    // a STOPPED context is rebuilt, never served (review r4).
+    docsMemo.compute((System.identityHashCode(s), n), (_, cur) =>
+      if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
+      else graft.spark.ExtractJob.extractDocs(s, pagesFixture(s, n)).localCheckpoint(true))
+
+  /** Eagerly unpersist a localCheckpoint-backed frame's blocks: dropping
+    * the reference alone leaves them to GC + ContextCleaner, whose
+    * asynchronous reclaim lands inside subsequent timed bench reps. */
+  private def dropCheckpoint(df: Dataset[_]): Unit =
+    try df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** Drop all cross-query memo state (Bench calls this before every timed
     * rep so per-query numbers measure the OPERATOR, not a warm memo; it
     * also prevents dead-context Dataset references accumulating in
     * long-lived JVMs). */
   def resetSharedState(): Unit = {
+    docsMemo.values.forEach(dropCheckpoint(_))
+    pairsMemo.values.forEach(dropCheckpoint(_))
     docsMemo.clear()
     pairsMemo.clear()
   }
@@ -1207,7 +1209,8 @@ object SparkEntry {
   private def packBinsOracle: String =
     s"""WITH RECURSIVE t AS (
        |  SELECT source, doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+       |    CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS ntok,
        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
        |  FROM documents),
        |rec AS (

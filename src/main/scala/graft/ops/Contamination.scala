@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * Shape at 100 TB: the benchmark side is SMALL by construction (eval
   * suites are thousands of docs), so its distinct shingle-hash set
   * broadcasts; the corpus side is one narrow explode of 8-byte hashes, a
-  * broadcast semi-join, and one partial-aggregating groupBy(doc_id) —
-  * the only shuffle carries (doc_id, count) pairs, never text. The
-  * shingle construction is [[Dedup.shingleHashes]] (fnv1a over word
-  * k-grams), already bit-replicated by the DuckDB oracles.
+  * broadcast LEFT OUTER join that marks hits (distinct benchmark keys →
+  * no row multiplication), and ONE partial-aggregating groupBy(doc_id)
+  * counting totals and hits together — the only shuffle carries
+  * (doc_id, counts) pairs, never text. The shingle construction is
+  * [[Dedup.shingleHashes]] (fnv1a over word k-grams), already
+  * bit-replicated by the DuckDB oracles.
   */
 object Contamination {
 

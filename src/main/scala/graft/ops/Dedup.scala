@@ -381,6 +381,17 @@ object Dedup {
       jaccardPrefixPairs(docs, blockCol, threshold, idCol, textCol)
   }
 
+  /** LENGTH prefilter over (wa, wb) pair columns (AllPairs size bound):
+    * J(A,B) ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) — an integer compare
+    * that prunes most pairs BEFORE the per-pair set intersection. The 1e-9
+    * slack keeps the bound conservative under float rounding (a boundary
+    * pair like |A|=40,|B|=50,t=0.8 is exactly reachable and must survive
+    * to the exact verify; extra survivors are harmless). ONE definition —
+    * both jaccard paths must stay recall-identical. */
+  private def sizeBound(threshold: Double) =
+    least(size(col("wa")), size(col("wb"))).cast("double") >=
+      lit(threshold) * greatest(size(col("wa")), size(col("wb"))).cast("double") - lit(1e-9)
+
   /** Naive blocked self-join — optimal for small blocks. Jaccard uses
     * |a∩b| / (|a|+|b|−|a∩b|): one hash-set pass per pair instead of
     * computing both intersect and union (arrays are distinct, so the
@@ -399,15 +410,7 @@ object Dedup {
     val a = base.select(col("blk"), col("id").as("id_a"), col("words").as("wa"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("words").as("wb"))
     val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
-    // LENGTH prefilter (AllPairs size bound): J(A,B) ≥ t forces
-    // min(|A|,|B|) ≥ t·max(|A|,|B|) — an integer compare that prunes most
-    // pairs BEFORE the per-pair set intersection. The 1e-9 slack keeps the
-    // bound conservative under float rounding (a boundary pair like
-    // |A|=40,|B|=50,t=0.8 is exactly reachable and must survive to the
-    // exact verify; extra survivors are harmless).
-    val sizeOk = least(size(col("wa")), size(col("wb"))).cast("double") >=
-      lit(threshold) * greatest(size(col("wa")), size(col("wb"))).cast("double") - lit(1e-9)
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b") && sizeOk)
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b") && sizeBound(threshold))
       .withColumn("jac",
         inter / (size(col("wa")) + size(col("wb")) - inter))
       .filter(col("jac") >= threshold)
@@ -457,14 +460,10 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val sides = base.select(col("id"), col("words"))
     val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
-    // same conservative length bound as the blocked path: prune before the
-    // expensive intersection, never at the exactness boundary
-    val sizeOk = least(size(col("wa")), size(col("wb"))).cast("double") >=
-      lit(threshold) * greatest(size(col("wa")), size(col("wb"))).cast("double") - lit(1e-9)
     cands
       .join(sides.select(col("id").as("id_a"), col("words").as("wa")), Seq("id_a"))
       .join(sides.select(col("id").as("id_b"), col("words").as("wb")), Seq("id_b"))
-      .filter(sizeOk)
+      .filter(sizeBound(threshold))
       .withColumn("jac",
         inter / (size(col("wa")) + size(col("wb")) - inter))
       .filter(col("jac") >= threshold)

@@ -48,21 +48,38 @@ object Multimodal {
     * the payload's magic is not a supported raster format. The checksum is
     * fnv1a over the DECODED row-major ARGB pixels — it can only be right
     * if the full pixel grid was actually decoded. */
+  /** Max pixels a raster decode may allocate (64 MP ≈ 256 MB ARGB): a
+    * hostile header declaring 65535×65535 would otherwise drive ImageIO
+    * into a ~17 GB allocation whose OutOfMemoryError is an Error — no
+    * catch Exception can contain it. Dimensions are read from the HEADER
+    * (ImageReader.getWidth/getHeight decode no pixels) before any full
+    * read. */
+  val MaxPixels: Long = 64L * 1000000L
+
   def decodeImage(assetId: Long, payload: Array[Byte]): Option[AssetMeta] = {
     if (payload == null || payload.length < 8) return None
     val isPng = payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
     val isBmp = payload(0) == 'B' && payload(1) == 'M'
     val isGif = payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8'
     if (!isPng && !isBmp && !isGif) return None
+    val fmt = if (isPng) "png" else if (isBmp) "bmp" else "gif"
+    def invalid = Some(AssetMeta(assetId, fmt, 0, 0, 0, payload.length.toLong, 0L, valid = false))
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) return Some(AssetMeta(assetId,
-        if (isPng) "png" else if (isBmp) "bmp" else "gif",
-        0, 0, 0, payload.length.toLong, 0L, valid = false))
-      Some(AssetMeta(assetId,
-        if (isPng) "png" else if (isBmp) "bmp" else "gif",
-        img.getWidth, img.getHeight, 1, payload.length.toLong,
-        pixelChecksum(img), valid = true))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return invalid
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxPixels) return invalid
+        val img = reader.read(0)
+        if (img == null) return invalid
+        Some(AssetMeta(assetId, fmt, img.getWidth, img.getHeight, 1,
+          payload.length.toLong, pixelChecksum(img), valid = true))
+      } finally reader.dispose()
     } catch { case _: Exception => None }
   }
 

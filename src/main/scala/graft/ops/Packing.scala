@@ -28,9 +28,11 @@ object Packing {
     import spark.implicits._
     val slim = docs.select(col(groupCol).cast("string").as("g"),
         col(idCol).cast("long").as("id"),
-        // null text → 0 tokens: size(split(null)) is null (or -1 under the
-        // legacy flag), which would corrupt the fill accounting
-        size(split(coalesce(col(textCol), lit("")), " ")).cast("long").as("ntok"))
+        // null/empty text → 0 tokens, explicitly: size(split('', ' ')) is 1
+        // (the empty string counts as a word) and size(split(null)) is
+        // null/-1, either of which corrupts the fill accounting
+        when(length(coalesce(col(textCol), lit(""))) === 0, 0L)
+          .otherwise(size(split(col(textCol), " ")).cast("long")).as("ntok"))
       .repartition(col("g"))
       .sortWithinPartitions(col("g"), col("id"))
     slim.as[(String, Long, Long)].mapPartitions { it =>

@@ -44,14 +44,15 @@ object Ranking {
     def tf(term: String): Column =
       size(filter(toks, t => t === lit(term))).cast("double")
 
-    // one tiny corpus-stats aggregate: N, sum(dl), df per term.
+    // one tiny corpus-stats aggregate: N, sum(dl), df per term — built
+    // from the SAME `toks` expression as the scoring pass (one tokenizer
+    // definition; a desynced copy here would break the bit-exact claim).
     // dl summed as LONG (exact, order-independent); avgdl is then a single
     // IEEE division — bit-identical on any engine.
     val aggCols = Seq(
       count(lit(1)).as("n"),
-      sum(size(split(coalesce(col(textCol), lit("")), " ")).cast("long")).as("sumdl")) ++
-      terms.map(t => sum(when(array_contains(
-        split(coalesce(col(textCol), lit("")), " "), t), 1L)
+      sum(size(toks).cast("long")).as("sumdl")) ++
+      terms.map(t => sum(when(array_contains(toks, t), 1L)
         .otherwise(0L)).as(s"df_$t"))
     val statsRow = docs.agg(aggCols.head, aggCols.tail: _*).head()
     val n = statsRow.getAs[Long]("n").toDouble

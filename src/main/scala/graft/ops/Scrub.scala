@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
 object Scrub {
 
   /** RFC-ish email — deliberately the pragmatic corpus-scrub form.
-    * BOUNDED quantifiers (RFC caps: local ≤64, domain ≤255, TLD ≤24):
-    * an unbounded `[...]+@` backtracks O(run²) on a long local-part-shaped
-    * run with no '@' — a single adversarial 100 KB doc cost ~10¹⁰ regex
-    * steps. Bounds make the scan effectively linear and are RE2-safe, so
-    * the SQL verifier keeps the identical pattern. */
-  val EmailRe = "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24}"
+    * BOUNDED quantifiers: an unbounded `[...]+@` backtracks O(run²) on a
+    * long local-part-shaped run with no '@' — a single adversarial 100 KB
+    * doc cost ~10¹⁰ regex steps. The local bound is 256 (4× the RFC's 64)
+    * so a scrubber that must OVER-approximate still swallows sloppy long
+    * local parts whole instead of leaving a PII prefix beside <EMAIL>;
+    * worst-case work stays ~256·n (linear-ish) and the bounds are
+    * RE2-safe, so the SQL verifier keeps the identical pattern. */
+  val EmailRe = "[A-Za-z0-9._%+-]{1,256}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24}"
 
   /** Dotted-quad IPv4 (syntactic; octet range not enforced — scrubbing
     * over-approximates on purpose). */
