@@ -171,6 +171,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("b") == want(Seq("x1", "x2")), got("b"))
   }
 
+  test("curation ops compose in a stream: scrub → quality gate → split, stateless per row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    // the same narrow operators used in batch apply verbatim to a stream:
+    // PII scrub, quality features, deterministic split — no state, no
+    // watermark needed (stateless row transforms)
+    val curated = graft.ops.Splits.hashSplit(
+      graft.ops.TextAnalysis.qualityScore(
+        graft.ops.Scrub.scrub(stream.toDS().toDF("doc_id", "text")),
+        textCol = "clean_text"))
+      .select($"doc_id", $"n_emails", $"quality_score", $"split")
+    val q = curated.writeStream.format("memory").queryName("curate_mem")
+      .outputMode("append").start()
+    stream.addData(
+      (1L, "the data of value mail me at a@b.io please and more of the words here"),
+      (2L, "x"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curate_mem")
+      .as[(Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1L) // email detected
+    assert(got(1L)._3 > got(2L)._3) // quality gate separates the docs
+    // split matches the batch assignment for the same ids (determinism)
+    val batch = graft.ops.Splits.hashSplit(
+      Seq((1L, "t"), (2L, "t")).toDF("doc_id", "text"))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(got(1L)._4 == batch(1L) && got(2L)._4 == batch(2L))
+  }
+
   test("bottom-k SAMPLE sketch merges streaming state across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, lit, col}
