@@ -692,6 +692,12 @@ object SparkEntry {
       "source", "n_chars", k = 16)
       .orderBy(col("source"))
 
+  /** Exact top-k frequent tokens per source via SpaceSaving candidates +
+    * exact recount (sketch-then-verify: deterministic final answer). */
+  private def qHeavyTokens(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.heavyTokens(t(s, dir, "documents"), "source", k = 5, m = 64)
+      .orderBy(col("source"), col("rank"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub"        -> qPiiScrub _,
     "q_train_split"      -> qTrainSplit _,
@@ -702,6 +708,7 @@ object SparkEntry {
     "q_repetition"       -> qRepetition _,
     "q_pack_bins"        -> qPackBins _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
+    "q_heavy_tokens"     -> qHeavyTokens _,
     "x_extract_text"  -> xExtractText _,
     "x_validate"      -> xValidate _,
     "x_exports"       -> xExports _,
@@ -1242,7 +1249,27 @@ object SparkEntry {
        |  round(quantile_cont(v, 0.99), 4) AS q99_est
        |FROM smp GROUP BY source""".stripMargin
 
+  /** q_heavy_tokens oracle: the exact top-k ground truth (count all
+    * tokens, rank, take k) — the sketch-then-verify operator must land on
+    * exactly this answer; `certified` replicates the kth·m > N proof. */
+  private def heavyTokensOracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+       |  FROM documents),
+       |ft AS (SELECT source, tok FROM toks WHERE length(tok) > 0),
+       |cnt AS (SELECT source, tok, count(*) AS c FROM ft GROUP BY 1, 2),
+       |tot AS (SELECT source, count(*) AS nt FROM ft GROUP BY 1),
+       |rk AS (SELECT source, tok, c,
+       |         row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
+       |       FROM cnt)
+       |SELECT r.source, r.tok AS token, CAST(r.c AS BIGINT) AS cnt,
+       |  CAST(r.rn AS BIGINT) AS rank,
+       |  (min(r.c) OVER (PARTITION BY r.source) * 64 > t.nt) AS certified
+       |FROM rk r JOIN tot t USING (source)
+       |WHERE r.rn <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_heavy_tokens" -> heavyTokensOracle,
     "q_sketch_quantiles" -> sketchQuantilesOracle,
     "q_pii_scrub" -> piiScrubOracle,
     "q_train_split" -> trainSplitOracle,

@@ -207,6 +207,145 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_spacesaving(token, m): the SpaceSaving frequent-items sketch
+  * (Metwally, Agrawal, El Abbadi, "Efficient computation of frequent and
+  * top-k elements in data streams", ICDT 2005) — m counters; a new item
+  * evicts the minimum counter and inherits its count (as over-estimate
+  * error). GUARANTEE: every item with true count > N/m is in the sketch,
+  * so the output is a certified CANDIDATE SUPERSET for top-k — the
+  * downstream exact recount makes final answers deterministic (the
+  * sketch's own counts are merge-order-dependent and are NOT emitted).
+  * Bounded O(m) state, associative-enough merge (supersets stay
+  * supersets under the standard combine-and-trim merge). Returns the
+  * candidate tokens sorted (deterministic set, order-stable). */
+case class SpaceSaving(child: Expression, mExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]] {
+
+  private lazy val m: Int = mExpr.eval(null) match {
+    case i: java.lang.Integer => i.intValue
+    case l: java.lang.Long    => l.intValue
+    case other => throw new IllegalArgumentException(s"m must be an int literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && mExpr.foldable &&
+      (mExpr.dataType == IntegerType || mExpr.dataType == LongType)) {
+      val mv = mExpr.eval(null) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long    => l.longValue
+        case _                    => -1L
+      }
+      if (mv >= 1L && mv <= 100000L) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_spacesaving: m must be in [1, 100000], got $mv")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"expected (string, int literal), got ${child.dataType}, ${mExpr.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_spacesaving"
+
+  // value = Array(count, error) — mutable cell avoids boxing churn
+  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+    new java.util.HashMap[String, Array[Long]]()
+
+  private def minEntry(buf: java.util.HashMap[String, Array[Long]])
+      : java.util.Map.Entry[String, Array[Long]] = {
+    var best: java.util.Map.Entry[String, Array[Long]] = null
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      // deterministic victim: (count, token) order so ties never depend
+      // on hash-map iteration order
+      if (best == null || e.getValue()(0) < best.getValue()(0) ||
+        (e.getValue()(0) == best.getValue()(0) && e.getKey < best.getKey)) best = e
+    }
+    best
+  }
+
+  private def offer(buf: java.util.HashMap[String, Array[Long]],
+      tok: String, count: Long, err: Long): Unit = {
+    val cur = buf.get(tok)
+    if (cur != null) { cur(0) += count; cur(1) += err }
+    else if (buf.size < m) buf.put(tok, Array(count, err))
+    else {
+      val victim = minEntry(buf)
+      val vCount = victim.getValue()(0)
+      buf.remove(victim.getKey)
+      // inherit the victim's count as over-estimate error (SpaceSaving)
+      buf.put(tok, Array(vCount + count, vCount + err))
+    }
+  }
+
+  override def update(buf: java.util.HashMap[String, Array[Long]],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.HashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.toString, 1L, 0L)
+    buf
+  }
+
+  override def merge(buf: java.util.HashMap[String, Array[Long]],
+      other: java.util.HashMap[String, Array[Long]])
+      : java.util.HashMap[String, Array[Long]] = {
+    // standard combine-and-trim: add matching counters, offer the rest;
+    // the superset guarantee (count > N/m present) survives the merge
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      offer(buf, e.getKey, e.getValue()(0), e.getValue()(1))
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
+    val toks = new Array[String](buf.size)
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { toks(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[String]())
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val tok = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      buf.put(tok, Array(c, e))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSaving =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSaving =
+    copy(inputAggBufferOffset = newOffset)
+  override def children: Seq[Expression] = Seq(child, mExpr)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpaceSaving =
+    copy(child = newChildren(0), mExpr = newChildren(1))
+}
+
 /** graft_mix64(h): the splitmix64 finalizer over a bigint — full-avalanche
   * mixing for hash values whose raw distribution is skewed (fnv1a of short
   * strings concentrates below ~0.8·2⁶⁴, which broke unsigned-threshold
@@ -469,6 +608,8 @@ object functions {
   def graft_bottomk(h: Column, k: Column): Column = call_function("graft_bottomk", h, k)
   def graft_bottomk_sample(h: Column, v: Column, k: Column): Column =
     call_function("graft_bottomk_sample", h, v, k)
+  def graft_spacesaving(tok: Column, m: Column): Column =
+    call_function("graft_spacesaving", tok, m)
 
   /** Register the functions for SQL use on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -486,5 +627,7 @@ object functions {
       es => BottomKUnsigned(es.head, es(1)).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bottomk_sample",
       es => BottomKSample(es.head, es(1), es(2)).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_spacesaving",
+      es => SpaceSaving(es.head, es(1)).toAggregateExpression(), "scala_udf")
   }
 }

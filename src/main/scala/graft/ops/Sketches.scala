@@ -85,6 +85,43 @@ object Sketches {
         round(expr("percentile(v, 0.99)"), 4).as("q99_est"))
   }
 
+  /** Exact per-group top-k frequent tokens AT SCALE via the classic
+    * sketch-then-verify two-pass: pass 1 runs a SpaceSaving sketch
+    * (Metwally et al., ICDT 2005 — [[graft.functions.SpaceSaving]],
+    * bounded O(m) mergeable state, map-side partials) whose output is a
+    * certified CANDIDATE SUPERSET (every token with true count > N/m is
+    * present); pass 2 exactly recounts ONLY the ≤ m candidates per group
+    * (broadcast join — candidate lists are sketch-sized) and takes the
+    * deterministic top-k. The naive alternative shuffles EVERY distinct
+    * token's count; this shuffles the sketch + candidate hits only.
+    * `certified` is true iff the kth count × m > N — the provable-exact
+    * condition (a flat distribution can defeat the superset; raise m).
+    * Output: (groupCol, token, cnt, rank, certified). */
+  def heavyTokens(docs: DataFrame, groupCol: String, k: Int = 5, m: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1, got k=$k m=$m")
+    graft.functions.functions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(groupCol), explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cands = toks.groupBy(col(groupCol))
+      .agg(graft.functions.functions.graft_spacesaving(col("tok"), lit(m)).as("cand"),
+        count(lit(1)).as("n_total"))
+      .localCheckpoint(true) // consumed twice (candidate join + n_total)
+    val candFlat = broadcast(cands.select(col(groupCol), explode(col("cand")).as("tok")))
+    val exact = toks.join(candFlat, Seq(groupCol, "tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("tok"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .join(cands.select(col(groupCol), col("n_total")), Seq(groupCol))
+      .withColumn("certified",
+        min(col("cnt")).over(Window.partitionBy(col(groupCol))) * lit(m.toLong) > col("n_total"))
+      .select(col(groupCol), col("tok").as("token"), col("cnt"), col("rank"),
+        col("certified"))
+  }
+
   /** Pairwise set-operation estimates between group sketches — the KMV
     * union/Jaccard construction (Beyer et al., SIGMOD 2007): the union
     * sketch is the bottom-k of the merged sketches, ρ = the fraction of

@@ -165,6 +165,31 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("k must be in"), e.getMessage)
   }
 
+  test("graft_spacesaving: candidate superset guarantee holds across partition merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    register(spark)
+    // Zipf-ish stream: token t_i appears ~N/(i+1) times, vocab 200 >> m=16
+    val rnd = new scala.util.Random(7)
+    val stream = rnd.shuffle(
+      (0 until 200).flatMap(i => Seq.fill(2000 / (i + 1))(s"t$i")).toVector)
+    val n = stream.length
+    val df = stream.toDF("tok").repartition(9) // force multi-partition merge
+    val cands = df.agg(graft_spacesaving(col("tok"), lit(16)))
+      .head().getSeq[String](0).toSet
+    assert(cands.size <= 16)
+    // EVERY token with true count > N/m must be present (the guarantee the
+    // exact-recount pass relies on)
+    val counts = stream.groupBy(identity).view.mapValues(_.size)
+    val mustHave = counts.filter(_._2 > n / 16).keys.toSet
+    assert(mustHave.subsetOf(cands), s"missing ${mustHave -- cands}")
+    // m <= 0 rejected at analysis
+    val e = intercept[Exception] {
+      df.agg(graft_spacesaving(col("tok"), lit(0))).collect()
+    }
+    assert(e.getMessage.contains("m must be in"), e.getMessage)
+  }
+
   test("graft_bottomk: k <= 0 fails at ANALYSIS, not with an empty-TreeSet crash (ADVICE r3)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

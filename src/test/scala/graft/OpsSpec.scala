@@ -453,6 +453,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("heavy tokens: sketch-then-verify lands on the EXACT top-k; certification flags flat tails") {
+    import spark.implicits._
+    // skewed corpus: vocab 300 >> m=16, so the sketch genuinely trims
+    val rnd = new scala.util.Random(11)
+    val words = (0L until 400L).map { i =>
+      val ws = (0 until 50).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 60) s"hot${rnd.nextInt(3)}" // 3 heavy tokens ~60% of mass
+        else s"cold${rnd.nextInt(300)}"
+      }
+      (i, "g", ws.mkString(" "))
+    }
+    val d = words.toDF("doc_id", "source", "text")
+    val got = graft.ops.Sketches.heavyTokens(d, "source", k = 3, m = 16)
+      .select($"token", $"cnt", $"rank", $"certified")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._3)
+    // brute-force ground truth
+    val truth = words.flatMap(_._3.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toVector
+      .sortBy { case (t, c) => (-c, t) }.take(3)
+    assert(got.map(r => (r._1, r._2)).toVector == truth, s"got ${got.toVector}")
+    assert(got.forall(_._4), "heavy top-3 over 60% of mass must certify at m=16")
+    // flat distribution: all counts ~equal -> kth count * m <= N -> NOT certified
+    val flat = (0L until 100L).map(i => (i, "g", (0 until 40).map(j => s"w${(i * 40 + j) % 2000}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val fc = graft.ops.Sketches.heavyTokens(flat, "source", k = 3, m = 16)
+      .select($"certified").as[Boolean].collect()
+    assert(fc.forall(!_), "flat distribution must not certify")
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)
