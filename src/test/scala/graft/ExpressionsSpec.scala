@@ -188,6 +188,10 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.agg(graft_spacesaving(col("tok"), lit(0))).collect()
     }
     assert(e.getMessage.contains("m must be in"), e.getMessage)
+    // map-side partial aggregation (bounded state merges associatively)
+    val plan = df.groupBy(col("tok") === "t0").agg(graft_spacesaving(col("tok"), lit(8)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_spacesaving"), plan.take(800))
   }
 
   test("graft_bottomk: k <= 0 fails at ANALYSIS, not with an empty-TreeSet crash (ADVICE r3)") {
