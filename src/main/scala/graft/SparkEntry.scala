@@ -698,6 +698,20 @@ object SparkEntry {
     graft.ops.Sketches.heavyTokens(t(s, dir, "documents"), "source", k = 5, m = 64)
       .orderBy(col("source"), col("rank"))
 
+  /** Incremental crawl dedup: Bloom prefilter (no false negatives) +
+    * exact anti-join verify of the might-contain candidates. Batch =
+    * genuinely-new docs plus planted copies of seen texts; output = the
+    * new docs only (exact). */
+  private def qIncrementalNew(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val seen = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    graft.ops.Dedup.incrementalNew(seen, batch).orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub"        -> qPiiScrub _,
     "q_train_split"      -> qTrainSplit _,
@@ -709,6 +723,7 @@ object SparkEntry {
     "q_pack_bins"        -> qPackBins _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
+    "q_incremental_new"  -> qIncrementalNew _,
     "x_extract_text"  -> xExtractText _,
     "x_validate"      -> xValidate _,
     "x_exports"       -> xExports _,
@@ -1268,7 +1283,19 @@ object SparkEntry {
        |FROM rk r JOIN tot t USING (source)
        |WHERE r.rn <= 5""".stripMargin
 
+  /** q_incremental_new oracle: the Bloom filter is a pure prefilter with
+    * no false negatives + exact verify, so the answer IS the anti-join. */
+  private def incrementalNewOracle: String =
+    s"""WITH seen AS (SELECT text FROM documents WHERE doc_id % 4 <> 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 8 = 1)
+       |SELECT b.doc_id, b.text
+       |FROM batch b ANTI JOIN seen s ON b.text = s.text""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_incremental_new" -> incrementalNewOracle,
     "q_heavy_tokens" -> heavyTokensOracle,
     "q_sketch_quantiles" -> sketchQuantilesOracle,
     "q_pii_scrub" -> piiScrubOracle,

@@ -610,6 +610,10 @@ object functions {
     call_function("graft_bottomk_sample", h, v, k)
   def graft_spacesaving(tok: Column, m: Column): Column =
     call_function("graft_spacesaving", tok, m)
+  def graft_bloom_agg(h: Column, nItems: Column, nBits: Column): Column =
+    call_function("graft_bloom_agg", h, nItems, nBits)
+  def graft_might_contain(bloom: Column, h: Column): Column =
+    call_function("graft_might_contain", bloom, h)
 
   /** Register the functions for SQL use on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -629,5 +633,14 @@ object functions {
       es => BottomKSample(es.head, es(1), es(2)).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("graft_spacesaving",
       es => SpaceSaving(es.head, es(1)).toAggregateExpression(), "scala_udf")
+    // Spark's OWN Bloom expressions (public classes, but not exposed in the
+    // SQL registry — they normally serve runtime join filtering): surface
+    // them for explicit sketch-then-verify pipelines
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head, es(1), es(2), 0, 0).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1)), "scala_udf")
   }
 }

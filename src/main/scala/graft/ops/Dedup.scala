@@ -381,6 +381,40 @@ object Dedup {
       jaccardPrefixPairs(docs, blockCol, threshold, idCol, textCol)
   }
 
+  /** Incremental crawl dedup: which docs in a NEW batch are genuinely
+    * unseen vs an existing corpus? Sketch-then-verify with Spark's NATIVE
+    * Bloom aggregate (codegen'd `bloom_filter_agg` / `might_contain` —
+    * built-in beats custom, per the operator preference order):
+    *  1. build one Bloom filter over the seen side's content hashes;
+    *  2. batch rows the filter rejects are DEFINITELY new (Bloom has no
+    *     false negatives) — they skip the join entirely;
+    *  3. only the `might_contain` candidates (≈ dup_rate + fpp of the
+    *     batch) go through the exact anti-join verify.
+    * Output is EXACT (= plain anti-join), but at 100 TB the expensive
+    * anti-join consumes a few percent of the batch instead of all of it.
+    * The single-filter form ships the Bloom bytes as a literal
+    * (`fpp`≈1% → ~10 bits/item); at 10^12 seen docs you shard filters by
+    * content-hash range and union — same plan shape per shard. */
+  def incrementalNew(seen: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      expectedItems: Long = 0L, bitsPerItem: Int = 10): DataFrame = {
+    graft.functions.functions.register(seen.sparkSession)
+    val n = if (expectedItems > 0) expectedItems else math.max(seen.count(), 64L)
+    val nBits = math.max(64L, n * bitsPerItem)
+    val bloom = seen
+      .select(graft.functions.functions.graft_bloom_agg(
+        xxhash64(col(textCol)), lit(n), lit(nBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mc = graft.functions.functions.graft_might_contain(
+      lit(bloom), xxhash64(col(textCol)))
+    val definitelyNew = batch.filter(!mc)
+    val candidates = batch.filter(mc)
+    val verifiedNew = candidates.join(
+      seen.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    definitelyNew.select(col(idCol), col(textCol))
+      .unionByName(verifiedNew.select(col(idCol), col(textCol)))
+  }
+
   /** LENGTH prefilter over (wa, wb) pair columns (AllPairs size bound):
     * J(A,B) ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) — an integer compare
     * that prunes most pairs BEFORE the per-pair set intersection. The 1e-9

@@ -483,6 +483,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fc.forall(!_), "flat distribution must not certify")
   }
 
+  test("incremental bloom dedup: exact result, definite-news skip the join") {
+    import spark.implicits._
+    val seen = (0L until 300L).map(i => (i, s"seen doc number $i with words")).toDF("doc_id", "text")
+    val newDocs = (1000L until 1050L).map(i => (i, s"fresh doc $i unseen content"))
+    val dupDocs = (2000L until 2030L).map(i => (i, s"seen doc number ${i - 2000} with words"))
+    val batch = (newDocs ++ dupDocs).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.incrementalNew(seen, batch)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == newDocs.map(_._1).toSet) // exact: all new kept, all dups dropped
+    // bloom prunes: with 10 bits/item fpp ~1%, the anti-join side should
+    // see ~dups + a few false positives, far below the whole batch — the
+    // operator's value claim. We can't observe the split from the result
+    // (it's exact either way); sanity-check might_contain itself.
+    graft.functions.functions.register(spark)
+    val bloom = seen.select(graft.functions.functions.graft_bloom_agg(
+        xxhash64($"text"), lit(300L), lit(3000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val fp = batch.filter(graft.functions.functions.graft_might_contain(
+        lit(bloom), xxhash64($"text"))).count()
+    assert(fp >= 30 && fp <= 40, s"candidates $fp: 30 true dups + ~1% fpp of 50")
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)
