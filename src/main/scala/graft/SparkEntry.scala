@@ -712,7 +712,31 @@ object SparkEntry {
     graft.ops.Dedup.incrementalNew(seen, batch).orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization: deterministic MESSY url spellings built from
+    * doc_id (mixed-case scheme/host, default and non-default ports,
+    * fragments, queries, missing paths, non-http schemes), collapsed to
+    * the canonical per-url identity the north rule keys on. */
+  private def qUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTP://Host-"), col("doc_id") % 7,
+          lit(".Example.COM:80/dir//page-"), col("doc_id"),
+          lit(".html#frag"), col("doc_id")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://CDN.example.org:443/assets/doc"), col("doc_id"),
+          lit("?v="), col("doc_id") % 9, lit("&x=A#top")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("http://host-"), col("doc_id") % 7,
+          lit(".example.com:8080/p/"), col("doc_id")))
+      .when(col("doc_id") % 5 === 3, lit("HTTPS://Example.NET"))
+      .otherwise(concat(lit("ftp://Files.Example.com:21/pub/f"), col("doc_id")))
+    t(s, dir, "documents").select(col("doc_id")).withColumn("url", url)
+      .select(col("doc_id"), col("url"),
+        graft.ops.UrlOps.canonicalize(col("url")).as("canon_url"),
+        graft.ops.UrlOps.host(col("url")).as("host"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canonical"    -> qUrlCanonical _,
     "q_pii_scrub"        -> qPiiScrub _,
     "q_train_split"      -> qTrainSplit _,
     "q_hash_sample"      -> qHashSample _,
@@ -1294,7 +1318,46 @@ object SparkEntry {
        |SELECT b.doc_id, b.text
        |FROM batch b ANTI JOIN seen s ON b.text = s.text""".stripMargin
 
+  /** q_url_canonical oracle: identical url construction and the identical
+    * RE2 regex decomposition (UrlOps patterns verbatim). */
+  private def urlCanonicalOracle: String = {
+    val sch = s"lower(regexp_extract(url, '${graft.ops.UrlOps.SchemeRe}', 1))"
+    val hp = s"lower(regexp_extract(url, '${graft.ops.UrlOps.AuthRe}', 1))"
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN doc_id % 5 = 0 THEN 'HTTP://Host-' || (doc_id % 7)
+       |        || '.Example.COM:80/dir//page-' || doc_id || '.html#frag' || doc_id
+       |      WHEN doc_id % 5 = 1 THEN 'https://CDN.example.org:443/assets/doc'
+       |        || doc_id || '?v=' || (doc_id % 9) || '&x=A#top'
+       |      WHEN doc_id % 5 = 2 THEN 'http://host-' || (doc_id % 7)
+       |        || '.example.com:8080/p/' || doc_id
+       |      WHEN doc_id % 5 = 3 THEN 'HTTPS://Example.NET'
+       |      ELSE 'ftp://Files.Example.com:21/pub/f' || doc_id
+       |    END AS url
+       |  FROM documents),
+       |parts AS (
+       |  SELECT doc_id, url,
+       |    $sch AS sch,
+       |    regexp_replace($hp, ':[0-9]*$$', '') AS h,
+       |    regexp_extract($hp, ':([0-9]+)$$', 1) AS p,
+       |    regexp_extract(url, '${graft.ops.UrlOps.PathRe}', 1) AS pth,
+       |    regexp_extract(url, '${graft.ops.UrlOps.QueryRe}', 1) AS q
+       |  FROM u)
+       |SELECT doc_id, url,
+       |  CASE WHEN sch = '' OR h = '' THEN url ELSE
+       |    sch || '://' || h
+       |    || CASE WHEN p <> '' AND NOT (sch = 'http' AND p = '80')
+       |             AND NOT (sch = 'https' AND p = '443')
+       |        THEN ':' || p ELSE '' END
+       |    || CASE WHEN pth = '' THEN '/' ELSE pth END || q
+       |  END AS canon_url,
+       |  h AS host
+       |FROM parts""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_url_canonical" -> urlCanonicalOracle,
     "q_incremental_new" -> incrementalNewOracle,
     "q_heavy_tokens" -> heavyTokensOracle,
     "q_sketch_quantiles" -> sketchQuantilesOracle,

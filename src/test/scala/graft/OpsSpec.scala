@@ -505,6 +505,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp >= 30 && fp <= 40, s"candidates $fp: 30 true dups + ~1% fpp of 50")
   }
 
+  test("url canonicalization: case, default ports, fragments, empty paths") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTP://Host.EXAMPLE.com:80/a//b#frag" -> "http://host.example.com/a//b",
+      "https://CDN.Example.org:443/x?v=1&y=2#top" -> "https://cdn.example.org/x?v=1&y=2",
+      "http://h.example.com:8080/p" -> "http://h.example.com:8080/p",
+      "HTTPS://Example.NET" -> "https://example.net/",
+      "ftp://Files.Example.com:21/pub" -> "ftp://files.example.com:21/pub",
+      "not a url at all" -> "not a url at all", // pass-through
+      "http://host.example.com/?q=1" -> "http://host.example.com/?q=1")
+    val got = cases.map(_._1).toDF("url")
+      .select($"url", graft.ops.UrlOps.canonicalize($"url").as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"in=$in") }
+    val h = Seq("HTTP://Host.EXAMPLE.com:80/a").toDF("url")
+      .select(graft.ops.UrlOps.host($"url")).as[String].head()
+    assert(h == "host.example.com")
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)
