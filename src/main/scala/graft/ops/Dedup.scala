@@ -398,21 +398,43 @@ object Dedup {
   def incrementalNew(seen: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       expectedItems: Long = 0L, bitsPerItem: Int = 10): DataFrame = {
-    graft.functions.functions.register(seen.sparkSession)
+    val spark = seen.sparkSession
+    graft.functions.functions.register(spark)
+    // seen-side cost: up to three COLUMN-PRUNED scans (count — skipped when
+    // expectedItems is given — bloom build, anti-join verify); the batch
+    // side is tagged ONCE and checkpointed so derived upstream plans never
+    // execute twice for the two branches (review r4-3)
     val n = if (expectedItems > 0) expectedItems else math.max(seen.count(), 64L)
     val nBits = math.max(64L, n * bitsPerItem)
-    val bloom = seen
+    // Spark clamps BloomFilterAggregate's sizing to
+    // spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}
+    // (defaults 4M / 64Mbit): beyond that the filter saturates and the
+    // prefilter silently stops pruning. Warn — the fix at real scale is
+    // sharding filters by content-hash range, not a bigger single filter.
+    val maxBits = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").map(_.toLong)
+      .getOrElse(67108864L)
+    if (nBits > maxBits)
+      System.err.println(s"[incrementalNew] requested $nBits bloom bits > " +
+        s"conf cap $maxBits — filter will saturate (fpp→1) and prune " +
+        "nothing; shard the seen set by content-hash range instead")
+    val bloomRow = seen
       .select(graft.functions.functions.graft_bloom_agg(
         xxhash64(col(textCol)), lit(n), lit(nBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    val mc = graft.functions.functions.graft_might_contain(
-      lit(bloom), xxhash64(col(textCol)))
-    val definitelyNew = batch.filter(!mc)
-    val candidates = batch.filter(mc)
-    val verifiedNew = candidates.join(
-      seen.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
-    definitelyNew.select(col(idCol), col(textCol))
-      .unionByName(verifiedNew.select(col(idCol), col(textCol)))
+      .head()
+    // EMPTY seen side: the aggregate yields null (no rows) and
+    // might_contain(null, x) is null — which would silently drop the whole
+    // batch from BOTH branches. Nothing was seen: everything is new.
+    if (bloomRow.isNullAt(0)) return batch.select(col(idCol), col(textCol))
+    val bloom = bloomRow.getAs[Array[Byte]]("bf")
+    val tagged = batch.select(col(idCol), col(textCol))
+      .withColumn("mc", graft.functions.functions.graft_might_contain(
+        lit(bloom), xxhash64(col(textCol))))
+      .localCheckpoint(true)
+    val definitelyNew = tagged.filter(!col("mc")).drop("mc")
+    val verifiedNew = tagged.filter(col("mc")).drop("mc")
+      .join(seen.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    definitelyNew.unionByName(verifiedNew.select(col(idCol), col(textCol)))
   }
 
   /** LENGTH prefilter over (wa, wb) pair columns (AllPairs size bound):

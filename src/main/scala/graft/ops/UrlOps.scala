@@ -33,8 +33,17 @@ object UrlOps {
 
   def scheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
 
-  /** host[:port] → lowercased host, default port stripped. */
-  def hostPort(url: Column): Column = lower(regexp_extract(url, AuthRe, 1))
+  /** Raw authority (may include `userinfo@`). */
+  private def authority(url: Column): Column = regexp_extract(url, AuthRe, 1)
+
+  /** `userinfo` with CASE PRESERVED (credentials are case-sensitive —
+    * lowercasing them would merge distinct fetch identities). */
+  def userinfo(url: Column): Column =
+    regexp_extract(authority(url), "^([^@]*)@", 1)
+
+  /** host[:port] after the userinfo split, lowercased. */
+  def hostPort(url: Column): Column =
+    lower(regexp_replace(authority(url), "^[^@]*@", ""))
 
   def host(url: Column): Column =
     regexp_replace(hostPort(url), ":[0-9]*$", "")
@@ -44,6 +53,7 @@ object UrlOps {
 
   def canonicalize(url: Column): Column = {
     val sch = scheme(url)
+    val ui = userinfo(url)
     val h = host(url)
     val p = port(url)
     val keepPort = p =!= "" &&
@@ -52,7 +62,9 @@ object UrlOps {
     val query = regexp_extract(url, QueryRe, 1)
     when(sch === "" || h === "", url) // not scheme://host shaped: pass through
       .otherwise(concat(
-        sch, lit("://"), h,
+        sch, lit("://"),
+        when(ui =!= "", concat(ui, lit("@"))).otherwise(lit("")),
+        h,
         when(keepPort, concat(lit(":"), p)).otherwise(lit("")),
         when(path === "", lit("/")).otherwise(path),
         query))

@@ -514,6 +514,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "HTTPS://Example.NET" -> "https://example.net/",
       "ftp://Files.Example.com:21/pub" -> "ftp://files.example.com:21/pub",
       "not a url at all" -> "not a url at all", // pass-through
+      // userinfo: case PRESERVED (credentials are case-sensitive), host
+      // still lowercased, default port still dropped
+      "http://Alice@Host.example.com:80/a" -> "http://Alice@host.example.com/a",
       "http://host.example.com/?q=1" -> "http://host.example.com/?q=1")
     val got = cases.map(_._1).toDF("url")
       .select($"url", graft.ops.UrlOps.canonicalize($"url").as("c"))
