@@ -39,19 +39,15 @@ object Bench {
   /** Materialize the deterministic pages corpus once (excluded from the
     * timed runs — the metric is extraction, not generation). */
   private def ensurePages(dir: String, nDocs: Long, sizeBoost: Int): Unit = {
-    val countFile = new java.io.File(s"$dir/_graft_count")
-    // marker carries the generator version so stale corpora regenerate
+    // version-tagged marker guard shared with SparkEntry.pagesFixture
     val tag = s"$nDocs-$sizeBoost-v${graft.gen.FixtureGen.Version}"
-    val ok = new java.io.File(s"$dir/_SUCCESS").exists() && countFile.exists() &&
-      scala.util.Try(java.nio.file.Files.readString(countFile.toPath).trim == tag)
-        .getOrElse(false)
-    if (ok) return
+    val p = java.nio.file.Paths.get(dir)
+    if (graft.gen.FixtureStore.isFresh(p, tag)) return
     val spark = session(Runtime.getRuntime.availableProcessors())
-    try {
+    try graft.gen.FixtureStore.ensure(p, tag) {
       graft.gen.PagesTable.pagesDF(spark, nDocs,
         Runtime.getRuntime.availableProcessors() * 4, sizeBoost)
         .write.mode("overwrite").parquet(dir)
-      java.nio.file.Files.writeString(countFile.toPath, tag)
     } finally spark.stop()
   }
 

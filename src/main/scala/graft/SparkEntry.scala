@@ -242,18 +242,8 @@ object SparkEntry {
     * timed work is the operator itself. */
   private def pagesFixture(s: SparkSession, n: Long): DataFrame = {
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_pages_fixture_$n")
-    val marker = dir.resolve("_graft_count")
-    // marker includes the GENERATOR VERSION: a warm fixture written by an
-    // older build must regenerate, or greens prove nothing about the new
-    // generator (review r4). Single-process assumption (the driver runs
-    // Verify/Bench sequentially); concurrent writers would race overwrite.
-    val tag = s"$n-v${graft.gen.FixtureGen.Version}"
-    val ok = java.nio.file.Files.exists(dir.resolve("_SUCCESS")) &&
-      java.nio.file.Files.exists(marker) &&
-      scala.util.Try(java.nio.file.Files.readString(marker).trim == tag).getOrElse(false)
-    if (!ok) {
+    graft.gen.FixtureStore.ensure(dir, s"$n-v${graft.gen.FixtureGen.Version}") {
       graft.gen.PagesTable.pagesDF(s, n).write.mode("overwrite").parquet(dir.toString)
-      java.nio.file.Files.writeString(marker, tag)
     }
     s.read.parquet(dir.toString)
   }
@@ -1267,9 +1257,12 @@ object SparkEntry {
        |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
        |  FROM t WHERE rn = 1
        |  UNION ALL
+       |  -- fill > 0 mirrors the operator: an EMPTY bin is never closed
+       |  -- (a zero-token doc at a group head must not push the next doc
+       |  -- into bin 1)
        |  SELECT t.source, t.doc_id, t.ntok, t.rn,
-       |    CASE WHEN r.fill + t.ntok > 200 THEN r.bin + 1 ELSE r.bin END,
-       |    CASE WHEN r.fill + t.ntok > 200 THEN t.ntok ELSE r.fill + t.ntok END
+       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN t.ntok ELSE r.fill + t.ntok END
        |  FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
        |SELECT source, doc_id, ntok AS n_tokens, CAST(bin AS BIGINT) AS bin_id
        |FROM rec""".stripMargin

@@ -221,7 +221,8 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
 case class SpaceSaving(child: Expression, mExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate
-      .TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]] {
+      .TypedImperativeAggregate[SpaceSaving.State] {
+  import SpaceSaving.State
 
   private lazy val m: Int = mExpr.eval(null) match {
     case i: java.lang.Integer => i.intValue
@@ -247,52 +248,43 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "graft_spacesaving"
 
-  // value = Array(count, error) — mutable cell avoids boxing churn
-  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
-    new java.util.HashMap[String, Array[Long]]()
+  override def createAggregationBuffer(): State = new State()
 
-  private def minEntry(buf: java.util.HashMap[String, Array[Long]])
-      : java.util.Map.Entry[String, Array[Long]] = {
-    var best: java.util.Map.Entry[String, Array[Long]] = null
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      // deterministic victim: (count, token) order so ties never depend
-      // on hash-map iteration order
-      if (best == null || e.getValue()(0) < best.getValue()(0) ||
-        (e.getValue()(0) == best.getValue()(0) && e.getKey < best.getKey)) best = e
-    }
-    best
-  }
-
-  private def offer(buf: java.util.HashMap[String, Array[Long]],
-      tok: String, count: Long, err: Long): Unit = {
-    val cur = buf.get(tok)
-    if (cur != null) { cur(0) += count; cur(1) += err }
-    else if (buf.size < m) buf.put(tok, Array(count, err))
-    else {
-      val victim = minEntry(buf)
-      val vCount = victim.getValue()(0)
-      buf.remove(victim.getKey)
+  private def offer(buf: State, tok: String, count: Long, err: Long): Unit = {
+    val cur = buf.counts.get(tok)
+    if (cur != null) {
+      // O(log m): reposition in the ordered view instead of rescanning
+      buf.order.remove((cur(0), tok))
+      cur(0) += count; cur(1) += err
+      buf.order.add((cur(0), tok))
+    } else if (buf.counts.size < m) {
+      buf.counts.put(tok, Array(count, err))
+      buf.order.add((count, tok))
+    } else {
+      // deterministic victim = smallest (count, token); the full O(m)
+      // HashMap scan per eviction made updates O(n·m) on exactly the
+      // vocab >> m workload the sketch targets (review r4-4)
+      val victim = buf.order.first()
+      buf.order.remove(victim)
+      buf.counts.remove(victim._2)
+      val vCount = victim._1
       // inherit the victim's count as over-estimate error (SpaceSaving)
-      buf.put(tok, Array(vCount + count, vCount + err))
+      buf.counts.put(tok, Array(vCount + count, vCount + err))
+      buf.order.add((vCount + count, tok))
     }
   }
 
-  override def update(buf: java.util.HashMap[String, Array[Long]],
-      input: org.apache.spark.sql.catalyst.InternalRow)
-      : java.util.HashMap[String, Array[Long]] = {
+  override def update(buf: State,
+      input: org.apache.spark.sql.catalyst.InternalRow): State = {
     val v = child.eval(input)
     if (v != null) offer(buf, v.toString, 1L, 0L)
     buf
   }
 
-  override def merge(buf: java.util.HashMap[String, Array[Long]],
-      other: java.util.HashMap[String, Array[Long]])
-      : java.util.HashMap[String, Array[Long]] = {
+  override def merge(buf: State, other: State): State = {
     // standard combine-and-trim: add matching counters, offer the rest;
     // the superset guarantee (count > N/m present) survives the merge
-    val it = other.entrySet().iterator()
+    val it = other.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       offer(buf, e.getKey, e.getValue()(0), e.getValue()(1))
@@ -300,9 +292,9 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
     buf
   }
 
-  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
-    val toks = new Array[String](buf.size)
-    val it = buf.keySet().iterator()
+  override def eval(buf: State): Any = {
+    val toks = new Array[String](buf.counts.size)
+    val it = buf.counts.keySet().iterator()
     var i = 0
     while (it.hasNext) { toks(i) = it.next(); i += 1 }
     java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[String]())
@@ -310,11 +302,11 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
       toks.map(org.apache.spark.unsafe.types.UTF8String.fromString))
   }
 
-  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+  override def serialize(buf: State): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.entrySet().iterator()
+    out.writeInt(buf.counts.size)
+    val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       // int-length-prefixed UTF-8, NOT writeUTF: writeUTF throws on tokens
@@ -328,7 +320,7 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+  override def deserialize(bytes: Array[Byte]): State = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
@@ -339,7 +331,8 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
       in.readFully(kb)
       val tok = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
       val c = in.readLong(); val e = in.readLong()
-      buf.put(tok, Array(c, e))
+      buf.counts.put(tok, Array(c, e))
+      buf.order.add((c, tok))
       i += 1
     }
     buf
@@ -353,6 +346,17 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SpaceSaving =
     copy(child = newChildren(0), mExpr = newChildren(1))
+}
+
+object SpaceSaving {
+  /** Counter map plus an ordered (count, token) view of the same entries:
+    * evictions and repositions are O(log m) instead of an O(m) scan.
+    * Scala's tuple Ordering is a java.util.Comparator and Serializable. */
+  final class State extends Serializable {
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    val order = new java.util.TreeSet[(Long, String)](
+      implicitly[Ordering[(Long, String)]])
+  }
 }
 
 /** graft_mix64(h): the splitmix64 finalizer over a bigint — full-avalanche
@@ -619,6 +623,15 @@ object functions {
     call_function("graft_bottomk_sample", h, v, k)
   def graft_spacesaving(tok: Column, m: Column): Column =
     call_function("graft_spacesaving", tok, m)
+  /** mix64∘fnv1a of "salt:id" — THE salted row-identity hash used by
+    * splits, Bernoulli/stratified sampling and the quantile sketch. ONE
+    * definition (the DuckDB oracles mirror it via saltedHashSql): two
+    * hand-rolled spellings of this chain drifting apart would silently
+    * break every threshold-based oracle. */
+  def graft_salted_hash(salt: String, id: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    graft_mix64(graft_fnv1a64(concat(lit(salt), lit(":"), id.cast("string"))))
+  }
   def graft_bloom_agg(h: Column, nItems: Column, nBits: Column): Column =
     call_function("graft_bloom_agg", h, nItems, nBits)
   def graft_might_contain(bloom: Column, h: Column): Column =

@@ -1,0 +1,33 @@
+package graft.gen
+
+import java.nio.file.{Files, Path}
+
+/** Marker-guarded on-disk fixture materialization — ONE implementation of
+  * the "_SUCCESS + version-tagged marker, else regenerate" invariant
+  * (SparkEntry.pagesFixture and Bench.ensurePages each hand-rolled it,
+  * and the r4 fixture-versioning fix had to be applied twice; a missed
+  * copy silently serves a stale corpus).
+  *
+  * `tag` MUST embed [[FixtureGen.Version]] so corpora written by an older
+  * generator regenerate. Single-process assumption (the driver runs
+  * Verify/Bench sequentially); concurrent writers would race overwrite.
+  */
+object FixtureStore {
+
+  private val MarkerName = "_graft_count"
+
+  /** True when `dir` already holds a parquet write with this exact tag. */
+  def isFresh(dir: Path, tag: String): Boolean =
+    Files.exists(dir.resolve("_SUCCESS")) &&
+      Files.exists(dir.resolve(MarkerName)) &&
+      scala.util.Try(Files.readString(dir.resolve(MarkerName)).trim == tag)
+        .getOrElse(false)
+
+  /** Run `generate` (which must write the parquet into `dir`) unless the
+    * marker says this exact tag is already materialized; stamp after. */
+  def ensure(dir: Path, tag: String)(generate: => Unit): Unit = {
+    if (isFresh(dir, tag)) return
+    generate
+    Files.writeString(dir.resolve(MarkerName), tag)
+  }
+}

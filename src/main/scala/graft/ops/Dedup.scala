@@ -427,9 +427,14 @@ object Dedup {
     // batch from BOTH branches. Nothing was seen: everything is new.
     if (bloomRow.isNullAt(0)) return batch.select(col(idCol), col(textCol))
     val bloom = bloomRow.getAs[Array[Byte]]("bf")
+    // hash the COALESCED text: xxhash64(null) is null and might_contain
+    // propagates it, which dropped null-text rows from BOTH branches.
+    // A null-text row now either misses the bloom (definitely new) or
+    // reaches the anti-join, where a null key never matches — kept as new,
+    // exactly the anti-join semantics (review r4-4)
     val tagged = batch.select(col(idCol), col(textCol))
       .withColumn("mc", graft.functions.functions.graft_might_contain(
-        lit(bloom), xxhash64(col(textCol))))
+        lit(bloom), xxhash64(coalesce(col(textCol), lit("")))))
       .localCheckpoint(true)
     val definitelyNew = tagged.filter(!col("mc")).drop("mc")
     val verifiedNew = tagged.filter(col("mc")).drop("mc")

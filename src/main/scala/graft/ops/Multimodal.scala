@@ -65,21 +65,27 @@ object Multimodal {
     val fmt = if (isPng) "png" else if (isBmp) "bmp" else "gif"
     def invalid = Some(AssetMeta(assetId, fmt, 0, 0, 0, payload.length.toLong, 0L, valid = false))
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT createImageInputStream: the
+      // default file-cache variant writes every in-memory payload to a
+      // temp file whose fd is only reclaimed at finalization — an executor
+      // decoding millions of assets leaks fds/tmp-disk (review r4-4)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return invalid
-      val reader = readers.next()
       try {
-        reader.setInput(iis, true, true)
-        val w = reader.getWidth(0)
-        val h = reader.getHeight(0)
-        if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxPixels) return invalid
-        val img = reader.read(0)
-        if (img == null) return invalid
-        Some(AssetMeta(assetId, fmt, img.getWidth, img.getHeight, 1,
-          payload.length.toLong, pixelChecksum(img), valid = true))
-      } finally reader.dispose()
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return invalid
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxPixels) return invalid
+          val img = reader.read(0)
+          if (img == null) return invalid
+          Some(AssetMeta(assetId, fmt, img.getWidth, img.getHeight, 1,
+            payload.length.toLong, pixelChecksum(img), valid = true))
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case _: Exception => None }
   }
 

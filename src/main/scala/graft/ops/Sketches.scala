@@ -71,9 +71,9 @@ object Sketches {
   def sampleQuantiles(docs: DataFrame, groupCol: String, valueCol: String,
       idCol: String = "doc_id", k: Int = 64): DataFrame = {
     graft.functions.functions.register(docs.sparkSession)
-    val h = graft.functions.functions.graft_mix64(
-      graft.functions.functions.graft_fnv1a64(
-        concat(lit("qsample:"), col(idCol).cast("string"))))
+    // the SHARED salted identity hash (one definition with Splits and the
+    // oracle's saltedHashSql — hand-rolled copies drift)
+    val h = graft.functions.functions.graft_salted_hash("qsample", col(idCol))
     docs.groupBy(col(groupCol))
       .agg(graft.functions.functions
         .graft_bottomk_sample(h, col(valueCol).cast("double"), lit(k)).as("smp"))

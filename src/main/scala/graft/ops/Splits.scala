@@ -34,15 +34,14 @@ object Splits {
   /** Signed-domain image of an unsigned threshold (sign-bit flip). */
   private def flipped(u: BigInt): Long = (u - (BigInt(1) << 63)).toLong
 
-  /** splitmix64-finalized fnv1a of 'salt:id'. The finalizer matters:
-    * raw fnv1a of short strings concentrates below ~0.8·2⁶⁴ (measured:
-    * a 0.8/0.1/0.1 split came out 0.95/0.05/0.00), so threshold splits
-    * need full-avalanche output. */
+  /** splitmix64-finalized fnv1a of 'salt:id' (the SHARED
+    * functions.graft_salted_hash). The finalizer matters: raw fnv1a of
+    * short strings concentrates below ~0.8·2⁶⁴ (measured: a 0.8/0.1/0.1
+    * split came out 0.95/0.05/0.00), so threshold splits need
+    * full-avalanche output. */
   private def hashCol(df: DataFrame, salt: String, idCol: String): Column = {
     graft.functions.functions.register(df.sparkSession)
-    graft.functions.functions.graft_mix64(
-      graft.functions.functions.graft_fnv1a64(
-        concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+    graft.functions.functions.graft_salted_hash(salt, col(idCol))
   }
 
   /** Deterministic train/val/test (or any weighted) assignment: the id's

@@ -385,10 +385,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = Seq(
       ("g1", 1L, words(100)), ("g1", 2L, words(90)), ("g1", 3L, words(50)),
       ("g1", 4L, words(250)), ("g1", 5L, words(10)),
-      ("g2", 6L, words(200))).toDF("source", "doc_id", "text")
+      ("g2", 6L, words(200)),
+      // zero-token doc at a group head: must NOT close the empty bin — the
+      // oversized follower stays in bin 0 (operator and oracle agree)
+      ("g3", 7L, ""), ("g3", 8L, words(250))).toDF("source", "doc_id", "text")
     val r = graft.ops.Packing.packGreedy(d, budget = 200)
       .select($"doc_id", $"bin_id").as[(Long, Long)].collect().toMap
-    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L), r.toString)
+    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L,
+      7L -> 0L, 8L -> 0L), r.toString)
     val stats = graft.ops.Packing.packStats(
       graft.ops.Packing.packGreedy(d, budget = 200), budget = 200)
       .select($"source", $"bin_id", $"n_docs", $"used").as[(String, Long, Long, Long)]
