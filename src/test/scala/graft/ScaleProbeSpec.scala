@@ -61,5 +61,16 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     timed("contamination 2M vs 2k benchmark")(
       graft.ops.Contamination.overlap(docs,
         docs.filter(col("doc_id") % 1000 === 0)).count())
+    timed("heavyTokens 2M x 1000 groups (m=256)")(
+      graft.ops.Sketches.heavyTokens(docs, "source", k = 5, m = 256).count())
+    timed("incrementalNew 1.9M batch vs 100k seen")(
+      graft.ops.Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 20 === 0),
+        docs.filter(col("doc_id") % 20 =!= 0)).count())
+    timed("urlCanonical 2M")(
+      docs.select(graft.ops.UrlOps.canonicalize(
+          concat(lit("HTTP://Host-"), col("doc_id") % 1000,
+            lit(".Example.COM:80/p/"), col("doc_id"), lit("#f"))).as("c"))
+        .agg(sum(length(col("c")))).head().getLong(0))
   }
 }
