@@ -104,7 +104,11 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("rid"), tokensCol(col(textCol)).as("ws"))
+    // tokens/bigrams cross the shuffle as xxhash64 LONGS, not strings (the
+    // jaccard precedent: 8 bytes/key, collisions ~2⁻⁶⁴ — far below any
+    // emitted 4-decimal fraction; counts are hash-insensitive otherwise)
     val words = base.select(col("rid"), explode(col("ws")).as("w"))
+      .select(col("rid"), xxhash64(col("w")).as("w"))
       .groupBy(col("rid"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("rid"))
       .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct_words"),
@@ -114,6 +118,7 @@ object TextAnalysis {
           slice(col("ws"), lit(1), size(col("ws")) - 1),
           slice(col("ws"), lit(2), size(col("ws")) - 1),
           (a, b) => concat(a, lit(" "), b))).as("b"))
+      .select(col("rid"), xxhash64(col("b")).as("b"))
       .groupBy(col("rid"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("rid"))
       .agg(max(col("c")).as("top_b"), sum(col("c")).as("n_bi"))

@@ -53,7 +53,9 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
         .agg(sum(length(col("clean_text"))) + sum(col("n_emails"))).head().getLong(0))
     timed("packGreedy 2M x 1000 groups")(
       graft.ops.Packing.packGreedy(docs, budget = 512).count())
-    timed("repetitionStats 2M")(
+    timed("repetitionStats 2M cold")(
+      graft.ops.TextAnalysis.repetitionStats(docs).count())
+    timed("repetitionStats 2M warm")(
       graft.ops.TextAnalysis.repetitionStats(docs).count())
     timed("sampleQuantiles 2M x 1000 groups")(
       graft.ops.Sketches.sampleQuantiles(
