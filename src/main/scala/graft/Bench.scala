@@ -38,18 +38,18 @@ object Bench {
 
   /** Materialize the deterministic pages corpus once (excluded from the
     * timed runs — the metric is extraction, not generation). */
-  private def ensurePages(dir: String, nDocs: Long, sizeBoost: Int): Unit = {
-    // version-tagged marker guard shared with SparkEntry.pagesFixture
-    val tag = s"$nDocs-$sizeBoost-v${graft.gen.FixtureGen.Version}"
-    val p = java.nio.file.Paths.get(dir)
-    if (graft.gen.FixtureStore.isFresh(p, tag)) return
-    val spark = session(Runtime.getRuntime.availableProcessors())
-    try graft.gen.FixtureStore.ensure(p, tag) {
-      graft.gen.PagesTable.pagesDF(spark, nDocs,
+  private def ensurePages(dir: String, nDocs: Long, sizeBoost: Int): Unit =
+    // version-tagged marker guard shared with SparkEntry.pagesFixture;
+    // the by-name generate block keeps session creation lazy (no session
+    // is built when the fixture is already fresh)
+    graft.gen.FixtureStore.ensure(java.nio.file.Paths.get(dir),
+      s"$nDocs-$sizeBoost-v${graft.gen.FixtureGen.Version}") {
+      val spark = session(Runtime.getRuntime.availableProcessors())
+      try graft.gen.PagesTable.pagesDF(spark, nDocs,
         Runtime.getRuntime.availableProcessors() * 4, sizeBoost)
         .write.mode("overwrite").parquet(dir)
-    } finally spark.stop()
-  }
+      finally spark.stop()
+    }
 
   /** Child-JVM phase: measure extraction throughput AND the pure-ALU
     * control with the same thread count in the same host time window —

@@ -251,15 +251,20 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
   override def createAggregationBuffer(): State = new State()
 
   private def offer(buf: State, tok: String, count: Long, err: Long): Unit = {
+    if (!buf.ordered) {
+      // below capacity: pure O(1) HashMap path, no ordered view yet
+      val cur0 = buf.counts.get(tok)
+      if (cur0 != null) { cur0(0) += count; cur0(1) += err; return }
+      buf.counts.put(tok, Array(count, err))
+      if (buf.counts.size >= m) buf.buildOrder()
+      return
+    }
     val cur = buf.counts.get(tok)
     if (cur != null) {
       // O(log m): reposition in the ordered view instead of rescanning
       buf.order.remove((cur(0), tok))
       cur(0) += count; cur(1) += err
       buf.order.add((cur(0), tok))
-    } else if (buf.counts.size < m) {
-      buf.counts.put(tok, Array(count, err))
-      buf.order.add((count, tok))
     } else {
       // deterministic victim = smallest (count, token); the full O(m)
       // HashMap scan per eviction made updates O(n·m) on exactly the
@@ -332,9 +337,10 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
       val tok = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
       val c = in.readLong(); val e = in.readLong()
       buf.counts.put(tok, Array(c, e))
-      buf.order.add((c, tok))
       i += 1
     }
+    // lazy-order invariant: the ordered view exists iff the buffer is full
+    if (buf.counts.size >= m) buf.buildOrder()
     buf
   }
 
@@ -350,12 +356,23 @@ case class SpaceSaving(child: Expression, mExpr: Expression,
 
 object SpaceSaving {
   /** Counter map plus an ordered (count, token) view of the same entries:
-    * evictions and repositions are O(log m) instead of an O(m) scan.
-    * Scala's tuple Ordering is a java.util.Comparator and Serializable. */
+    * evictions and repositions are O(log m) instead of an O(m) scan. The
+    * ordered view is built LAZILY when the buffer first fills — below
+    * capacity nothing ever evicts, so repeated-token hits stay a bare
+    * O(1) HashMap increment (a small-vocab group would otherwise pay
+    * TreeSet rebalancing + tuple boxing on every occurrence). */
   final class State extends Serializable {
     val counts = new java.util.HashMap[String, Array[Long]]()
     val order = new java.util.TreeSet[(Long, String)](
       implicitly[Ordering[(Long, String)]])
+    var ordered = false
+
+    /** Populate `order` from `counts` (called once, at first fill). */
+    def buildOrder(): Unit = {
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); order.add((e.getValue()(0), e.getKey)) }
+      ordered = true
+    }
   }
 }
 

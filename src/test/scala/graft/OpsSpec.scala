@@ -531,6 +531,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h == "host.example.com")
   }
 
+  test("incremental bloom dedup edges: empty seen keeps everything; null text survives as new") {
+    import spark.implicits._
+    val batch = Seq((1L, "a doc"), (2L, null.asInstanceOf[String]), (3L, "b doc"))
+      .toDF("doc_id", "text")
+    // EMPTY seen: nothing was seen — the whole batch is new (the null
+    // bloom aggregate used to silently drop every row)
+    val emptySeen = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val all = graft.ops.Dedup.incrementalNew(emptySeen, batch)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L))
+    // non-empty seen + a null-text batch row: xxhash64(null) used to drop
+    // it from BOTH branches; anti-join semantics keep it as new
+    val seen = Seq((10L, "a doc"), (11L, "z")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.incrementalNew(seen, batch)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L)) // 1 is a dup; null-text 2 and fresh 3 are new
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)
