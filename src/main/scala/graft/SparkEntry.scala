@@ -288,11 +288,35 @@ object SparkEntry {
     pairsMemo.clear()
   }
 
-  /** Pre-materialize every pages fixture a verify/bench run will read, so
+  /** Multimodal asset fixture: real PNG encode (ImageIO, zlib IDAT) of
+    * the image third of the assets costs more than the decode under test,
+    * so assets are materialized once per (sf) like the pages fixture —
+    * ENCODING is generation, DECODING is the operator. */
+  private def assetsFixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val nDocs = xDocCount(dir)
+    val fdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_assets_fixture_$nDocs")
+    graft.gen.FixtureStore.ensure(fdir, s"$nDocs-v${graft.gen.FixtureGen.Version}") {
+      val mk = udf((id: Long) =>
+        if (id % 3 == 0)
+          graft.ops.Multimodal.makePng(id, 16 + (id % 16).toInt, 16 + (id % 12).toInt)
+        else graft.ops.Multimodal.fakeAsset(
+          id, Seq("img", "aud", "vid")((id % 3).toInt), 64 + (id % 64).toInt * 8,
+          64 + (id % 48).toInt * 8, if (id % 3 == 2) 120 else 1))
+      t(s, dir, "documents").select(col("doc_id").as("assetId"))
+        .withColumn("payload", mk(col("assetId")))
+        .write.mode("overwrite").parquet(fdir.toString)
+    }
+    s.read.parquet(fdir.toString)
+  }
+
+  /** Pre-materialize every fixture a verify/bench run will read, so
     * generation cost never lands inside a timed query. */
   def ensureFixtures(s: SparkSession, dir: String): Unit = {
     val n = xDocCount(dir)
     Seq(n, n / 4, n / 8).distinct.foreach(c => pagesFixture(s, c).count())
+    assetsFixture(s, dir).count()
   }
 
   /** E1: pages → salted repartition → parse/classify → text surface. */
@@ -549,16 +573,7 @@ object SparkEntry {
     * deterministic GRFT fake format (declared stub: no A/V codecs in this
     * container). */
   private def xMultimodal(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.udf
-    val mk = udf((id: Long) =>
-      if (id % 3 == 0)
-        graft.ops.Multimodal.makePng(id, 16 + (id % 16).toInt, 16 + (id % 12).toInt)
-      else graft.ops.Multimodal.fakeAsset(
-        id, Seq("img", "aud", "vid")((id % 3).toInt), 64 + (id % 64).toInt * 8,
-        64 + (id % 48).toInt * 8, if (id % 3 == 2) 120 else 1))
-    val assets = t(s, dir, "documents").select(col("doc_id").as("assetId"))
-      .withColumn("payload", mk(col("assetId")))
-    val meta = graft.ops.Multimodal.decodeBatches(s, assets).toDF()
+    val meta = graft.ops.Multimodal.decodeBatches(s, assetsFixture(s, dir)).toDF()
     graft.ops.Multimodal.resizePlan(meta, maxSide = 256)
       .select(col("assetId").as("asset_id"), col("format"), col("width"),
         col("height"), col("nFrames").as("n_frames"), col("out_w"), col("out_h"),
