@@ -291,13 +291,20 @@ object SparkEntry {
   /** Multimodal asset fixture: real PNG encode (ImageIO, zlib IDAT) of
     * the image third of the assets costs more than the decode under test,
     * so assets are materialized once per (sf) like the pages fixture —
-    * ENCODING is generation, DECODING is the operator. */
+    * ENCODING is generation, DECODING is the operator.
+    *
+    * Unlike pagesFixture (pure generation from the count — two sf dirs
+    * mapping to the same count legitimately share one corpus), the assets
+    * derive from the sf dir's OWN documents table, so the fixture identity
+    * must include the source dir: keyed only by count, any two dirs in the
+    * same count bucket would share whichever corpus ran first (ADVICE r4). */
   private def assetsFixture(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.udf
     val nDocs = xDocCount(dir)
+    val dirTag = java.lang.Long.toHexString(graft.ops.Dedup.fnv1a(dir))
     val fdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_assets_fixture_$nDocs")
-    graft.gen.FixtureStore.ensure(fdir, s"$nDocs-v${graft.gen.FixtureGen.Version}") {
+      s"graft_assets_fixture_${nDocs}_$dirTag")
+    graft.gen.FixtureStore.ensure(fdir, s"$nDocs-$dirTag-v${graft.gen.FixtureGen.Version}") {
       val mk = udf((id: Long) =>
         if (id % 3 == 0)
           graft.ops.Multimodal.makePng(id, 16 + (id % 16).toInt, 16 + (id % 12).toInt)

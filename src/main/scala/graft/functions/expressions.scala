@@ -69,6 +69,26 @@ object ExprEval {
     planeCache.computeIfAbsent((dim.toLong << 32) | bits.toLong,
       _ => Array.tabulate(bits)(p => graft.ops.Similarity.hyperplane(p, dim)))
 
+  /** Occurrence counts of every probe term in ONE pass over the token
+    * array (term→index HashMap lookup per token) — replaces the per-term
+    * interpreted `filter` HOFs in the BM25 hot path (VERDICT r4 #3: up to
+    * 32 lambda evaluations per row broke whole-stage codegen). Integer
+    * counts keep the downstream score arithmetic bit-exact. */
+  def termCounts(toks: ArrayData,
+      termIdx: java.util.HashMap[UTF8String, Integer], nTerms: Int): ArrayData = {
+    val counts = new Array[Int](nTerms)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val idx = termIdx.get(toks.getUTF8String(i))
+        if (idx != null) counts(idx.intValue) += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(counts)
+  }
+
   /** All `bits` sign-buckets of the random-hyperplane LSH in ONE pass:
     * bit p = sign(v · plane_p). Replaces `bits` separate interpreted
     * aggregate/zip_with dots per row. */
@@ -376,6 +396,59 @@ object SpaceSaving {
   }
 }
 
+/** graft_term_counts(tokens, terms): per-term occurrence counts over a
+  * token array in one codegen'd pass. `terms` must be a foldable
+  * array<string> literal — its term→index map is built once at plan time
+  * and shipped as a codegen reference object, so the per-row work is one
+  * HashMap probe per token regardless of |terms|. Output: array<int>
+  * aligned with `terms` (element_at(counts, i+1) = tf of terms(i)). */
+case class TermCounts(left: Expression, right: Expression) extends BinaryExpression {
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(et, _) => Some(et)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).contains(StringType) &&
+      elemType(right.dataType).contains(StringType) && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected (array<string>, array<string> literal), got " +
+        s"${left.dataType}, ${right.dataType} (foldable=${right.foldable})")
+
+  /** term → position; first occurrence wins on duplicate terms. */
+  @transient private lazy val termIndex: java.util.HashMap[UTF8String, Integer] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        // clone: literal UTF8Strings can share backing memory with the
+        // evaluator's buffers; map keys must be stable
+        val k = UTF8String.fromBytes(arr.getUTF8String(i).getBytes)
+        if (!m.containsKey(k)) m.put(k, Integer.valueOf(i))
+      }
+      i += 1
+    }
+    m
+  }
+  @transient private lazy val nTerms: Int =
+    right.eval(null).asInstanceOf[ArrayData].numElements()
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_term_counts"
+  override protected def nullSafeEval(toks: Any, _terms: Any): Any =
+    ExprEval.termCounts(toks.asInstanceOf[ArrayData], termIndex, nTerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("termIdx", termIndex,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, java.lang.Integer>")
+    defineCodeGen(ctx, ev, (toks, _) =>
+      s"graft.functions.ExprEval.termCounts($toks, $mapRef, $nTerms)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TermCounts =
+    copy(left = l, right = r)
+}
+
 /** graft_mix64(h): the splitmix64 finalizer over a bigint — full-avalanche
   * mixing for hash values whose raw distribution is skewed (fnv1a of short
   * strings concentrates below ~0.8·2⁶⁴, which broke unsigned-threshold
@@ -635,6 +708,8 @@ object functions {
     call_function("graft_hyperplane_sig", v, dim, bits)
   def graft_fnv1a64(c: Column): Column = call_function("graft_fnv1a64", c)
   def graft_mix64(c: Column): Column = call_function("graft_mix64", c)
+  def graft_term_counts(toks: Column, terms: Column): Column =
+    call_function("graft_term_counts", toks, terms)
   def graft_bottomk(h: Column, k: Column): Column = call_function("graft_bottomk", h, k)
   def graft_bottomk_sample(h: Column, v: Column, k: Column): Column =
     call_function("graft_bottomk_sample", h, v, k)
@@ -666,6 +741,8 @@ object functions {
       es => HyperplaneSig(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fnv1a64", es => Fnv1a64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_mix64", es => Mix64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_term_counts",
+      es => TermCounts(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bottomk",
       es => BottomKUnsigned(es.head, es(1)).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bottomk_sample",

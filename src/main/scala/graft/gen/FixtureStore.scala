@@ -24,10 +24,21 @@ object FixtureStore {
         .getOrElse(false)
 
   /** Run `generate` (which must write the parquet into `dir`) unless the
-    * marker says this exact tag is already materialized; stamp after. */
-  def ensure(dir: Path, tag: String)(generate: => Unit): Unit = {
+    * marker says this exact tag is already materialized; stamp after.
+    * The marker lands via same-dir ATOMIC_MOVE so a killed writer never
+    * leaves a torn marker that reads as fresh. Concurrent writers are
+    * still same-process-serialized only (the `ensure` intrinsic lock):
+    * the driver runs Verify/Bench sequentially, and Bench's child JVMs
+    * only READ fixtures the parent materialized before spawning — a truly
+    * concurrent multi-process writer would race the parquet overwrite
+    * itself and needs an external lock. */
+  def ensure(dir: Path, tag: String)(generate: => Unit): Unit = synchronized {
     if (isFresh(dir, tag)) return
     generate
-    Files.writeString(dir.resolve(MarkerName), tag)
+    val tmp = dir.resolve(MarkerName + ".tmp")
+    Files.writeString(tmp, tag)
+    Files.move(tmp, dir.resolve(MarkerName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }

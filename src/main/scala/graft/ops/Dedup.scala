@@ -66,8 +66,12 @@ object Dedup {
   }
 
   /** MinHash signature: sig(j) = min over shingles of mix64(h ^ seed_j). */
-  def minhashSignature(text: String, numHashes: Int, k: Int): Array[Long] = {
-    val hs = shingleHashes(text, k)
+  def minhashSignature(text: String, numHashes: Int, k: Int): Array[Long] =
+    minhashFromHashes(shingleHashes(text, k), numHashes)
+
+  /** MinHash signature from pre-computed shingle hashes (the verify path
+    * shares ONE shingling per doc with band-key generation). */
+  def minhashFromHashes(hs: Array[Long], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < hs.length) {
@@ -99,28 +103,42 @@ object Dedup {
     *
     * Shuffles: one on band keys (16 bytes + id per row × bands), one
     * self-join per bucket (bounded by bucket size), one distinct. The
-    * verify recomputes true shingle-set Jaccard — candidates only. */
+    * verify joins the per-doc SHINGLE-HASH ARRAYS (computed once, eagerly
+    * checkpointed — the jaccardBlockedPairs discipline) and intersects
+    * 8-byte longs via `array_intersect` arithmetic: the old form re-joined
+    * both RAW texts and a UDF re-shingled each side of every candidate
+    * pair, so a doc in P pairs crossed the verify shuffle P times as full
+    * text and was tokenized P times (VERDICT r4 #2). Distinct hash arrays
+    * make |a∩b|/(|a|+|b|−|a∩b|) the exact set Jaccard. */
   def minhashLsh(docs: DataFrame, threshold: Double, numHashes: Int = 64,
       bands: Int = 16, shingleK: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigUdf = udf((text: String) =>
-      lshBandKeys(minhashSignature(if (text == null) "" else text, numHashes, shingleK), bands))
-    // the band-key explode carries ONLY (id, key): carrying text here would
-    // amplify it ×bands through the shuffle — the classic LSH scale trap.
-    val keyed = docs
-      .select(col(idCol).as("id"), explode(sigUdf(col(textCol))).as("band_key"))
+    val shUdf = udf((text: String) =>
+      shingleHashes(if (text == null) "" else text, shingleK))
+    // shingle ONCE per doc; everything downstream (band keys + both verify
+    // sides) consumes this checkpointed frame — without it each consumer
+    // re-runs the shingling over the full corpus
+    val base = docs.select(col(idCol).as("id"), shUdf(col(textCol)).as("shs"))
+      .localCheckpoint(true)
+    val bandUdf = udf((shs: Seq[Long]) =>
+      lshBandKeys(minhashFromHashes(shs.toArray, numHashes), bands))
+    // the band-key explode carries ONLY (id, key): carrying text/shingles
+    // here would amplify them ×bands through the shuffle — the classic LSH
+    // scale trap.
+    val keyed = base.select(col("id"), explode(bandUdf(col("shs"))).as("band_key"))
     val cands = keyed.select(col("band_key"), col("id").as("id_a"))
       .join(keyed.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // texts rejoin once per side, only for surviving candidates
-    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-    val jacUdf = udf((x: String, y: String) => jaccard(x, y, shingleK))
+    // shingle-hash arrays rejoin once per side, only for surviving candidates
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     cands
-      .join(texts.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
-      .join(texts.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
-      .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+      .join(base.select(col("id").as("id_a"), col("shs").as("sa")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("shs").as("sb")), Seq("id_b"))
+      .withColumn("jaccard",
+        when(size(col("sa")) === 0 && size(col("sb")) === 0, lit(1.0))
+          .otherwise(inter / (size(col("sa")) + size(col("sb")) - inter)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -418,6 +436,16 @@ object Dedup {
       System.err.println(s"[incrementalNew] requested $nBits bloom bits > " +
         s"conf cap $maxBits — filter will saturate (fpp→1) and prune " +
         "nothing; shard the seen set by content-hash range instead")
+    // BloomFilterAggregate ALSO silently clamps estimatedNumItems to
+    // maxNumItems (default 4M): past that the sizing math degrades fpp and
+    // the prefilter stops pruning without the bit-cap warning ever firing
+    val maxItems = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").map(_.toLong)
+      .getOrElse(4000000L)
+    if (n > maxItems)
+      System.err.println(s"[incrementalNew] seen count $n > bloom item cap " +
+        s"$maxItems — estimatedNumItems is silently clamped and fpp " +
+        "degrades; shard the seen set by content-hash range instead")
     val bloomRow = seen
       .select(graft.functions.functions.graft_bloom_agg(
         xxhash64(col(textCol)), lit(n), lit(nBits)).as("bf"))

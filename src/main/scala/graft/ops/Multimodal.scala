@@ -86,7 +86,13 @@ object Multimodal {
             payload.length.toLong, pixelChecksum(img), valid = true))
         } finally reader.dispose()
       } finally iis.close()
-    } catch { case _: Exception => None }
+    } catch {
+      // a payload that SNIFFED as raster but throws mid-decode is corrupt
+      // raster, not "unknown": falling through to decodeStub here reported
+      // fmt "unknown" while the no-reader/bad-dims paths reported the
+      // sniffed fmt with valid=false — same failure class, two shapes
+      case _: Exception => invalid
+    }
   }
 
   /** fnv1a-64 over row-major packed ARGB ints (big-endian byte order). */

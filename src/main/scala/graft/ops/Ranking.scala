@@ -38,11 +38,9 @@ object Ranking {
   def bm25(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32, "terms must be 1..32")
+    graft.functions.functions.register(docs.sparkSession)
     val toks = split(coalesce(col(textCol), lit("")), " ") // null-safe
     val dl = size(toks).cast("double")
-
-    def tf(term: String): Column =
-      size(filter(toks, t => t === lit(term))).cast("double")
 
     // one tiny corpus-stats aggregate: N, sum(dl), df per term — built
     // from the SAME `toks` expression as the scoring pass (one tokenizer
@@ -62,14 +60,27 @@ object Ranking {
       (n - df + 0.5) / (df + 0.5) + 1.0
     }
 
-    // fixed-order: score = s(t1) + s(t2) + ... (never a set-ordered sum)
-    val perTerm = terms.zip(idf).map { case (t, w) =>
-      val f = tf(t)
+    // ALL term frequencies in one codegen'd pass (native TermCounts:
+    // term→index HashMap probe per token) — the old per-term
+    // size(filter(toks, _ === term)) ran up to 32 interpreted lambdas per
+    // row, the exact HOF-breaks-codegen defect the r2 bench measured at
+    // 3.5× (VERDICT r4 #3). `tc` is projected ONCE; CollapseProject keeps
+    // the multi-referenced alias in its own projection, so codegen
+    // evaluates the pass a single time per row.
+    val withCounts = docs.withColumn("_tc", graft.functions.functions
+        .graft_term_counts(toks, array(terms.map(lit): _*)))
+    def tf(i: Int): Column = element_at(col("_tc"), i + 1).cast("double")
+
+    // fixed-order: score = s(t1) + s(t2) + ... (never a set-ordered sum);
+    // integer tf → double is exact, so the score arithmetic is unchanged
+    // from the HOF form bit for bit.
+    val perTerm = terms.indices.zip(idf).map { case (i, w) =>
+      val f = tf(i)
       lit(w) * (f * lit(K1Plus1)) /
         (f + lit(K1) * (lit(OneMinusB) + lit(B) * dl / lit(avgdl)))
     }
     val score = perTerm.reduceLeft(_ + _)
-    docs.select(col(idCol), dl.cast("long").as("dl"),
+    withCounts.select(col(idCol), dl.cast("long").as("dl"),
       round(score, 4).as("bm25"))
   }
 }

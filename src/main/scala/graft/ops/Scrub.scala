@@ -34,7 +34,16 @@ object Scrub {
 
   /** Adds pii counts and a redacted text column:
     * (n_emails, n_ipv4, n_phones, clean_text). Redaction order is fixed
-    * (emails, then IPs, then phones) so the output is deterministic. */
+    * (emails, then IPs, then phones) so the output is deterministic.
+    *
+    * COUNT SEMANTICS: the counts are independent per-pattern DETECTIONS on
+    * the ORIGINAL text, not redaction tallies — a phone- or IP-shaped
+    * substring inside a matched email counts in n_phones/n_ipv4 even though
+    * the sequential redaction swallows it into <EMAIL>. This is the
+    * detection-audit contract a corpus-hygiene report wants ("how much
+    * PII-shaped material did the corpus carry per class"), and the DuckDB
+    * oracle states the identical semantics; counting on the progressively
+    * redacted text would make each class's count depend on redaction order. */
   def scrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = coalesce(col(textCol), lit("")) // null-safe: counts 0, not null
     docs

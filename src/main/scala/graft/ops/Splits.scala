@@ -82,16 +82,35 @@ object Splits {
     }
 
   /** Deterministic stratified sample: exactly the hash-smallest `k` rows
-    * per group (a per-stratum deterministic "reservoir"). One shuffle on
-    * the group key; candidates are cut to k per group map-side by the
-    * window rank, so only (k × groups) rows survive. */
+    * per group (a per-stratum deterministic "reservoir").
+    *
+    * TWO-PHASE shape (VERDICT r4 #1): a single
+    * `row_number() over partitionBy(group)` sorts an ENTIRE stratum in one
+    * task — correct, but a skewed stratum (one source = 50% of a 100-TB
+    * corpus) becomes one giant single-task sort. Instead:
+    *  1. per-(group, salt-bucket) top-k — the salt is `pmod` of the SAME
+    *     row hash, so a mega-group spreads over `saltBuckets` bounded
+    *     window sorts;
+    *  2. global per-group top-k over the ≤ k·saltBuckets survivors.
+    * Any global-top-k row ranks ≤ k inside its own bucket (its bucket rank
+    * can only be ≤ its group rank), so phase 1 loses nothing — the result
+    * is IDENTICAL to the one-window form and the single-window DuckDB
+    * oracle. Phase-2 partitions are bounded by k·saltBuckets regardless of
+    * stratum size. */
   def stratifiedSample(docs: DataFrame, groupCol: String, k: Int,
-      idCol: String = "doc_id", salt: String = "strat"): DataFrame = {
+      idCol: String = "doc_id", salt: String = "strat",
+      saltBuckets: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     import org.apache.spark.sql.expressions.Window
     val h = hashCol(docs, salt, idCol).bitwiseXOR(lit(Long.MinValue))
-    val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
-    docs.withColumn("rk", row_number().over(w))
+    val bucket = pmod(h, lit(saltBuckets.toLong))
+    val wLocal = Window.partitionBy(col(groupCol), bucket)
+      .orderBy(h.asc, col(idCol).asc)
+    val survivors = docs.withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= k).drop("rk")
+    val wGlobal = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    survivors.withColumn("rk", row_number().over(wGlobal))
       .filter(col("rk") <= k).drop("rk")
   }
 }

@@ -43,6 +43,45 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaCol(1).getDouble(3) == 0.0)
   }
 
+  test("graft_term_counts: one-pass tf matches the per-term filter counts (Column + SQL + codegen)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, coalesce, concat, lit, split}
+    register(spark)
+    val df = spark.range(6).select(
+      concat(lit("spark join spark window "), $"id",
+        lit(" spark  join")).as("text")) // double space → empty token
+    val toks = split(coalesce($"text", lit("")), " ")
+    val terms = Seq("spark", "join", "absent", "window")
+    val r = df.select(graft_term_counts(toks, array(terms.map(lit): _*)).as("tc"))
+      .collect()
+    r.foreach { row =>
+      val tc = row.getSeq[Int](0)
+      assert(tc == Seq(3, 2, 0, 1), tc)
+    }
+    // SQL path + codegen participation (no ScalaUDF in the plan)
+    df.createOrReplaceTempView("tc_t")
+    val sq = spark.sql(
+      "SELECT graft_term_counts(split(text, ' '), array('spark','join')) AS tc FROM tc_t")
+    assert(sq.collect().forall(_.getSeq[Int](0) == Seq(3, 2)))
+    val cg = sq.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen") && !cg.toLowerCase.contains("scalaudf"))
+    // null-element tokens and a null array are handled
+    val nullArr = Seq((null.asInstanceOf[String])).toDF("text")
+      .select(graft_term_counts(split($"text", " "), array(lit("x"))).as("tc"))
+      .collect().head
+    assert(nullArr.isNullAt(0)) // null input array → null (framework)
+    // duplicate probe terms: first occurrence wins, second stays 0
+    val dup = df.select(graft_term_counts(toks,
+      array(lit("spark"), lit("spark"))).as("tc")).collect().head.getSeq[Int](0)
+    assert(dup == Seq(3, 0), dup)
+    // non-foldable terms argument fails analysis with a clear error
+    val e = intercept[Exception] {
+      df.select(graft_term_counts(toks, array(toks.getItem(0)))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable") ||
+      e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+  }
+
   test("null inputs yield null (framework null handling)") {
     import spark.implicits._
     register(spark)

@@ -140,6 +140,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), p.take(1500))
   }
 
+  test("bm25 tf path is lambda-free (native term_counts, no interpreted HOFs)") {
+    // the per-term size(filter(toks, _ === term)) form ran up to 32
+    // interpreted lambdas per row (VERDICT r4 #3 — the same
+    // HOF-breaks-codegen class the ANN gate catches)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Ranking.bm25(d,
+      Seq("spark", "join", "window", "vector", "stream")), "extended").toLowerCase
+    assert(!p.contains("lambdafunction"), "bm25 plan still contains a higher-order function")
+    assert(p.contains("graft_term_counts"), "bm25 should use the native term-counts pass")
+  }
+
+  test("stratified sample plans two bounded windows, never one whole-group sort") {
+    // two-phase shape: window 1 partitions by (group, salt-bucket), window 2
+    // ranks the <= k*saltBuckets survivors — no single window over a raw
+    // stratum anywhere (the 100-TB skew killer, VERDICT r4 #1)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Splits.stratifiedSample(d, "source", k = 5), "formatted")
+    val windows = p.linesIterator.filter(_.trim.matches("\\(\\d+\\) Window")).toVector
+    assert(windows.size == 2, s"expected 2 Window nodes, got ${windows.size}\n${p.take(2000)}")
+    // bonus from the rank-filter shape: Spark pushes a WindowGroupLimit
+    // (map-side top-k) below EACH exchange — a mega-stratum is cut to k
+    // per input partition before any data moves
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+    // the inner window's partition spec must include the salt bucket: its
+    // pmod(hash, S) projection feeds a two-column windowspec while the
+    // outer window partitions by the raw group alone
+    assert(p.contains("pmod"), "no salt-bucket projection found in the plan")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(specs.exists(_.matches(".*windowspecdefinition\\(source#\\d+, _w\\d+#\\d+L.*")),
+      s"no salted two-column partition spec found:\n${specs.mkString("\n")}")
+  }
+
   test("sequence packing has exactly one Exchange (the group repartition)") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.Packing.packGreedy(d, budget = 200), "simple")
