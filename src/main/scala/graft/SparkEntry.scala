@@ -308,9 +308,11 @@ object SparkEntry {
       val mk = udf((id: Long) =>
         if (id % 3 == 0)
           graft.ops.Multimodal.makePng(id, 16 + (id % 16).toInt, 16 + (id % 12).toInt)
-        else graft.ops.Multimodal.fakeAsset(
-          id, Seq("img", "aud", "vid")((id % 3).toInt), 64 + (id % 64).toInt * 8,
-          64 + (id % 48).toInt * 8, if (id % 3 == 2) 120 else 1))
+        else if (id % 3 == 1) // real RIFF/WAVE stream (JDK-encoded PCM)
+          graft.ops.Multimodal.makeWav(id, sampleRate = 8000,
+            nFrames = 256 + (id % 256).toInt, channels = 1 + (id % 2).toInt)
+        else graft.ops.Multimodal.fakeAsset( // video: the one declared stub
+          id, "vid", 64 + (id % 64).toInt * 8, 64 + (id % 48).toInt * 8, 120))
       t(s, dir, "documents").select(col("doc_id").as("assetId"))
         .withColumn("payload", mk(col("assetId")))
         .write.mode("overwrite").parquet(fdir.toString)
@@ -644,15 +646,17 @@ object SparkEntry {
   /** Deterministic planted PII (the driver corpus has none): one email,
     * one IPv4, one phone per doc, a second email on every 5th doc. Both
     * engines construct the identical text. */
+  private def piiTextExpr: org.apache.spark.sql.Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+      col("doc_id") % 256, lit(".7 or +1-555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      when(col("doc_id") % 5 === 0, lit(" second.contact@test.org"))
+        .otherwise(lit("")))
+
   private def withPii(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      concat(col("text"),
-        lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
-        col("doc_id") % 256, lit(".7 or +1-555-"),
-        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-        when(col("doc_id") % 5 === 0, lit(" second.contact@test.org"))
-          .otherwise(lit(""))).as("text"))
+    docs.select(col("doc_id"), piiTextExpr.as("text"))
 
   /** PII detection + redaction counts over the planted corpus. */
   private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
@@ -751,7 +755,86 @@ object SparkEntry {
         graft.ops.UrlOps.host(col("url")).as("host"))
   }
 
+  /** End-to-end curation funnel (VERDICT r4 #9): the tier's operators
+    * COMPOSED under one plan — plant PII + exact/near dups → PII gate →
+    * exact dedup → near dedup (pair graph + connected components) →
+    * benchmark decontamination → train split → sequence packing — with
+    * per-stage (docs, tokens) counts as the output: the auditable "what
+    * survived each gate" report every pipeline run wants. Every stage
+    * reuses an operator that already has its own exact oracle; the funnel
+    * oracle is their literal composition in one DuckDB query.
+    * Stage 6 reports bins (n_docs = bin count, n_tokens = packed tokens). */
+  private def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops._
+    val tok = (c: org.apache.spark.sql.Column) =>
+      when(length(coalesce(c, lit(""))) === 0, 0L)
+        .otherwise(size(split(c, " ")).cast("long"))
+    def stat(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(tok(col("text"))), lit(0L)).as("n_tokens"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val pii = base.select(col("doc_id"), col("source"), piiTextExpr.as("text"))
+    // planted degradation: near dups from %10==1 docs (NOT %10==0 — those
+    // carry the second planted email and the PII gate would drop them
+    // before near-dedup could see them), exact dups from %7==0 docs
+    val corpus0 = pii
+      .unionByName(pii.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" near dup copy")).as("text")))
+      .unionByName(pii.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"), col("text")))
+      .localCheckpoint(true) // each stage feeds the stat AND the next stage
+
+    // stage 1 — PII gate: scrub, drop docs with > 3 detections
+    val s1 = Scrub.scrub(corpus0)
+      .filter(col("n_emails") + col("n_ipv4") + col("n_phones") <= 3)
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+      .localCheckpoint(true)
+    // stage 2 — exact dedup: smallest id per identical text (at 100 TB the
+    // partition key is (xxhash64, length) as in Dedup.exact — text-keyed
+    // here so the oracle window is literal)
+    val s2 = s1.withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("rep")).drop("rep")
+      .localCheckpoint(true)
+    // stage 3 — near dedup: word-set jaccard pairs (cost-based strategy) →
+    // connected components → keep cluster representatives
+    val pairs = Dedup.jaccardAdaptivePairs(s2, "source", threshold = 0.8)
+    val reps = Dedup.dedupClusters(s2, pairs)
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val s3 = s2.join(reps, Seq("doc_id")).localCheckpoint(true)
+    // stage 4 — decontamination vs the benchmark subset (scrubbed the same
+    // way), drop docs sharing >= half their shingles
+    val bench = Scrub.scrub(pii.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val clean = Contamination.overlap(s3, bench)
+      .filter(col("contamination_frac") < 0.5).select(col("doc_id"))
+    val s4 = s3.join(clean, Seq("doc_id")).localCheckpoint(true)
+    // stage 5 — deterministic train split
+    val s5 = Splits.hashSplit(s4).filter(col("split") === "train").drop("split")
+      .localCheckpoint(true)
+    // stage 6 — sequence packing into 200-token bins per source
+    val binStat = Packing.packGreedy(s5, budget = 200)
+      .groupBy(col("source"), col("bin_id")).agg(sum(col("n_tokens")).as("toks"))
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("toks")), lit(0L)).as("n_tokens"))
+      .select(lit(6L).as("stage_idx"), lit("packed_bins").as("stage"),
+        col("n_docs"), col("n_tokens"))
+
+    stat(0, "input", corpus0)
+      .unionByName(stat(1, "pii_gate", s1))
+      .unionByName(stat(2, "exact_dedup", s2))
+      .unionByName(stat(3, "near_dedup", s3))
+      .unionByName(stat(4, "decontaminated", s4))
+      .unionByName(stat(5, "train_split", s5))
+      .unionByName(binStat)
+      .orderBy(col("stage_idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_funnel"  -> qCurationFunnel _,
     "q_url_canonical"    -> qUrlCanonical _,
     "q_pii_scrub"        -> qPiiScrub _,
     "q_train_split"      -> qTrainSplit _,
@@ -1380,7 +1463,115 @@ object SparkEntry {
        |FROM parts""".stripMargin
   }
 
+  /** q_curation_funnel oracle: the whole funnel replayed in one DuckDB
+    * query — identical PII construction, identical scrub regexes, window
+    * exact-dedup, the q_dedup_clusters recursive-CTE components, the
+    * contamination shingle machinery, the exact split threshold and the
+    * pack-bins recursive fold. Each piece is the (already hash-green)
+    * stage oracle, composed. */
+  private def curationFunnelOracle: String = {
+    val email = graft.ops.Scrub.EmailRe
+    val ipv4 = graft.ops.Scrub.Ipv4Re
+    val phone = graft.ops.Scrub.PhoneRe
+    val trainCut = graft.ops.Splits.splitThresholds(Seq(0.8, 0.1, 0.1)).head
+    val tokN = "CASE WHEN text IS NULL OR text = '' THEN 0 " +
+      "ELSE len(string_split(text, ' ')) END"
+    def shlOf(src: String) =
+      s"""SELECT doc_id,
+         |    CASE WHEN len(ws) = 0 THEN CAST([] AS UBIGINT[])
+         |         WHEN len(ws) < 3 THEN list_transform([array_to_string(ws, ' ')], w -> $fnvWordSql)
+         |         ELSE list_distinct(list_transform(
+         |                list_transform(range(1, len(ws) - 1),
+         |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+         |                w -> $fnvWordSql))
+         |    END AS shs
+         |  FROM (SELECT doc_id,
+         |          list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
+         |        FROM $src)""".stripMargin
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, source,
+       |    text || ' contact user' || doc_id || '@example.com at 10.0.'
+       |      || (doc_id % 256) || '.7 or +1-555-'
+       |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || (CASE WHEN doc_id % 5 = 0 THEN ' second.contact@test.org' ELSE '' END)
+       |      AS text
+       |  FROM documents),
+       |all0 AS (
+       |  SELECT doc_id, source, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source, text || ' near dup copy' FROM base WHERE doc_id % 10 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, source, text FROM base WHERE doc_id % 7 = 0),
+       |scr AS (
+       |  SELECT doc_id, source,
+       |    len(regexp_extract_all(text, '$email'))
+       |      + len(regexp_extract_all(text, '$ipv4'))
+       |      + len(regexp_extract_all(text, '$phone')) AS hits,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '<EMAIL>', 'g'),
+       |      '$ipv4', '<IP>', 'g'),
+       |      '$phone', '<PHONE>', 'g') AS text
+       |  FROM all0),
+       |s1 AS (SELECT doc_id, source, text FROM scr WHERE hits <= 3),
+       |s2 AS (SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text, min(doc_id) OVER (PARTITION BY text) AS rep FROM s1)
+       |  WHERE doc_id = rep),
+       |d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words FROM s2),
+       |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+       |      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+       |          / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+       |edges AS (SELECT ia AS s, ib AS t FROM e UNION ALL SELECT ib, ia FROM e),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM s2
+       |  UNION
+       |  SELECT eg.t, r.lbl FROM reach r JOIN edges eg ON eg.s = r.id
+       |  WHERE r.lbl < eg.t),
+       |clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |s3 AS (SELECT s2.doc_id, s2.source, s2.text FROM s2
+       |       JOIN clus ON clus.id = s2.doc_id WHERE clus.cluster_id = s2.doc_id),
+       |shlA AS (${shlOf("s3")}),
+       |shlB AS (${shlOf("(SELECT doc_id, text FROM scr WHERE doc_id % 97 = 0 AND doc_id < 1000000) bq")}),
+       |benchsh AS (SELECT DISTINCT unnest(shs) AS sh FROM shlB),
+       |docsh AS (SELECT doc_id, unnest(shs) AS sh FROM shlA),
+       |tot AS (SELECT doc_id, count(*) AS ns FROM docsh GROUP BY 1),
+       |hit AS (SELECT ds.doc_id, count(*) AS nc FROM docsh ds JOIN benchsh USING (sh) GROUP BY 1),
+       |s4 AS (SELECT s3.doc_id, s3.source, s3.text FROM s3
+       |       LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+       |       WHERE round(CAST(COALESCE(hit.nc, 0) AS DOUBLE)
+       |           / CAST(greatest(COALESCE(tot.ns, 0), 1) AS DOUBLE), 4) < 0.5),
+       |s5 AS (SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text, ${saltedHashSql("split")} AS hu FROM s4)
+       |  WHERE hu < CAST('$trainCut' AS UBIGINT)),
+       |pt AS (SELECT source, doc_id, CAST($tokN AS BIGINT) AS ntok,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |       FROM s5),
+       |prec AS (
+       |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
+       |  FROM pt WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.source, t.doc_id, t.ntok, t.rn,
+       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN t.ntok ELSE r.fill + t.ntok END
+       |  FROM prec r JOIN pt t ON t.source = r.source AND t.rn = r.rn + 1),
+       |stages AS (
+       |  SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs,
+       |    COALESCE(sum($tokN), 0) AS n_tokens FROM all0
+       |  UNION ALL SELECT 1, 'pii_gate', count(*), COALESCE(sum($tokN), 0) FROM s1
+       |  UNION ALL SELECT 2, 'exact_dedup', count(*), COALESCE(sum($tokN), 0) FROM s2
+       |  UNION ALL SELECT 3, 'near_dedup', count(*), COALESCE(sum($tokN), 0) FROM s3
+       |  UNION ALL SELECT 4, 'decontaminated', count(*), COALESCE(sum($tokN), 0) FROM s4
+       |  UNION ALL SELECT 5, 'train_split', count(*), COALESCE(sum($tokN), 0) FROM s5
+       |  UNION ALL SELECT 6, 'packed_bins', count(*), COALESCE(sum(toks), 0)
+       |    FROM (SELECT source, bin, sum(ntok) AS toks FROM prec GROUP BY source, bin))
+       |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM stages ORDER BY stage_idx""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_curation_funnel" -> curationFunnelOracle,
     "q_url_canonical" -> urlCanonicalOracle,
     "q_incremental_new" -> incrementalNewOracle,
     "q_heavy_tokens" -> heavyTokensOracle,

@@ -9,17 +9,23 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing (schema, partitioning, batch shape — the
   * mapInPandas analogue done with typed mapPartitions) is REAL and tested.
-  * The codec is REAL for raster images the JDK ships readers for
-  * (PNG/BMP/GIF via `javax.imageio` — offline-safe, no external libs):
-  * [[decodeImage]] fully decodes the pixel grid and checksums it, so the
-  * metadata provably comes from a decode, not a header sniff. Audio/video
-  * payloads keep the deterministic GRFT fake format ([[decodeStub]] —
-  * this container ships no audio/video codecs); swap that one function
+  * The codec is REAL wherever the JDK ships one, offline-safe:
+  *  - raster images (PNG/BMP/GIF via `javax.imageio`): [[decodeImage]]
+  *    fully decodes the pixel grid and checksums it, so the metadata
+  *    provably comes from a decode, not a header sniff;
+  *  - audio (WAV/PCM via `javax.sound.sampled.AudioSystem`):
+  *    [[decodeAudio]] streams every PCM frame through the decoder and
+  *    checksums the decoded bytes.
+  * Only VIDEO keeps the deterministic GRFT fake format ([[decodeStub]] —
+  * this container genuinely ships no video codec); swap that one function
   * for a real binding and nothing else changes.
   */
 object Multimodal {
 
-  /** Typed metadata for a decoded asset. */
+  /** Typed metadata for a decoded asset. Field semantics per family:
+    * images — width/height in pixels, nFrames = 1; audio — width = sample
+    * rate (Hz), height = channels, nFrames = PCM frame count; video
+    * (stub) — declared dims + frame count from the GRFT header. */
   final case class AssetMeta(
       assetId: Long,
       format: String,
@@ -132,10 +138,85 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Codec dispatch: real raster decode first, GRFT fake-format fallback
-    * for the (offline-stubbed) audio/video families. */
+  /** Real WAV/PCM decode via the JDK sound stack. Returns None when the
+    * payload's magic is not RIFF/WAVE. The checksum is fnv1a over the
+    * DECODED PCM byte stream (post-decoder, frame order) — it can only be
+    * right if every frame actually went through the codec. Frames are
+    * STREAMED through a bounded buffer, so a hostile header declaring a
+    * huge length cannot force a large allocation (the read ends at the
+    * payload's real EOF). */
+  def decodeAudio(assetId: Long, payload: Array[Byte]): Option[AssetMeta] = {
+    if (payload == null || payload.length < 12) return None
+    val isRiffWave = payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+    if (!isRiffWave) return None
+    def invalid = Some(AssetMeta(assetId, "wav", 0, 0, 0, payload.length.toLong, 0L, valid = false))
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val frameSize = fmt.getFrameSize
+        val rate = fmt.getSampleRate
+        if (frameSize <= 0 || rate <= 0f || fmt.getChannels <= 0) return invalid
+        var ck = 0xcbf29ce484222325L
+        var totalBytes = 0L
+        val buf = new Array[Byte](8192 - 8192 % frameSize)
+        var n = ais.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) { ck = (ck ^ (buf(i) & 0xFF)) * 0x100000001b3L; i += 1 }
+          totalBytes += n
+          n = ais.read(buf)
+        }
+        val frames = totalBytes / frameSize
+        if (frames <= 0 || frames > Int.MaxValue) return invalid
+        Some(AssetMeta(assetId, "wav", math.round(rate), fmt.getChannels,
+          frames.toInt, payload.length.toLong, ck, valid = true))
+      } finally ais.close()
+    } catch {
+      // sniffed as WAV but the decoder rejects it: corrupt audio, reported
+      // as such (same invalid-shape discipline as decodeImage)
+      case _: Exception => invalid
+    }
+  }
+
+  /** Encode a deterministic synthetic mono/stereo 16-bit PCM WAV via the
+    * JDK's own writer (AudioSystem.write — a true RIFF/WAVE stream), so
+    * the decode under test exercises the real codec round-trip. Samples
+    * are a mix64-derived wave of the asset id. */
+  def makeWav(id: Long, sampleRate: Int = 8000, nFrames: Int = 1024,
+      channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val s = (Dedup.mix64(id ^ (f.toLong << 8) ^ c.toLong) & 0xFFFF).toInt - 32768
+        val off = (f * channels + c) * 2
+        pcm(off) = (s & 0xFF).toByte
+        pcm(off + 1) = ((s >> 8) & 0xFF).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Codec dispatch: real raster decode, then real WAV decode, then the
+    * GRFT fake-format fallback for the (offline-stubbed) video family. */
   def decode(assetId: Long, payload: Array[Byte]): AssetMeta =
-    decodeImage(assetId, payload).getOrElse(decodeStub(assetId, payload))
+    decodeImage(assetId, payload)
+      .orElse(decodeAudio(assetId, payload))
+      .getOrElse(decodeStub(assetId, payload))
 
   /** Deterministic stub decode of the GRFT fake header format — the
     * declared audio/video stand-in (no A/V codec libs in this container). */

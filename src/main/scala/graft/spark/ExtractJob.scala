@@ -39,9 +39,35 @@ object ExtractJob {
       partitionId: Int,
       elapsedMs: Long)
 
-  /** Number of salt buckets for the mega-host spread. At 1000 executors
-    * this bounds any single host's share of one task to 1/S of its rows. */
+  /** Fallback salt fan-out when a caller salts without probing. Prefer
+    * [[probeSaltBuckets]]: at 100 TB an Iceberg table sorted by url can
+    * concentrate one mega-host arbitrarily, and a blind static S either
+    * under-spreads it or pays needless shuffle keys for balanced input. */
   val SaltBuckets = 64
+
+  /** Choose the salt fan-out from a cheap host-skew probe (SURVEY §4.3's
+    * promised pre-pass): one column-pruned `groupBy(host).count` aggregate
+    * returning two values. Returns 0 — don't salt at all — when the
+    * largest host already fits a balanced task (its rows ≤ `skewFactor` ×
+    * ideal rows/partition); otherwise S = 4·⌈maxHost / ideal⌉ (at least
+    * 2·partitions) clamped to `maxS`. The ⌈maxHost/ideal⌉ minimum makes
+    * each salt bucket ≈ one ideal task, but composite keys land in
+    * partitions by hash — balls-in-bins collisions stack 2-3 buckets in
+    * one task. The 4× headroom smooths that variance and costs only key
+    * cardinality, never extra data movement. */
+  def probeSaltBuckets(pages: DataFrame, partitions: Int,
+      skewFactor: Double = 2.0, maxS: Int = 256): Int = {
+    val stats = pages.select(parse_url(col("url"), lit("HOST")).as("h"))
+      .groupBy(col("h")).count()
+      .agg(max(col("count")), sum(col("count"))).head()
+    val maxHost = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val total = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (total == 0L) return 0
+    val ideal = math.max(total.toDouble / math.max(partitions, 1), 1.0)
+    if (maxHost <= skewFactor * ideal) 0
+    else math.min(maxS,
+      math.max(4 * math.ceil(maxHost / ideal).toInt, 2 * partitions))
+  }
 
   private def pageEnc(spark: SparkSession): Encoder[PageRow] = {
     import spark.implicits._
@@ -49,27 +75,36 @@ object ExtractJob {
   }
 
   /** Salted repartition keyed on (host, salt): spreads a mega-host over
-    * SaltBuckets tasks while keeping co-host locality for everything else.
-    * `parse_url` is Catalyst-native — stays in codegen.
+    * `saltBuckets` tasks while keeping co-host locality for everything
+    * else. `parse_url` is Catalyst-native — stays in codegen.
     *
     * Use ONLY when the input store is host-clustered (e.g. an Iceberg table
     * sorted by url): it moves the raw page bytes through a shuffle, which
     * is the single most expensive thing a 100-TB job can do. When input
     * splits are already size-balanced (Parquet row groups usually are),
     * the parse stage is narrow and needs no repartition at all — that is
-    * the default hot path (`salted = false`). */
-  def saltRepartition(pages: DataFrame, partitions: Int): DataFrame =
+    * the default hot path (`salted = false`). Size S with
+    * [[probeSaltBuckets]] rather than guessing. */
+  def saltRepartition(pages: DataFrame, partitions: Int,
+      saltBuckets: Int = SaltBuckets): DataFrame =
     pages.repartition(partitions,
       parse_url(col("url"), lit("HOST")),
-      pmod(xxhash64(col("url")), lit(SaltBuckets)))
+      pmod(xxhash64(col("url")), lit(saltBuckets)))
 
   /** Full extraction to the lean schema, one narrow pass (zero shuffle
-    * unless `salted`). */
+    * unless `salted`). With `salted = true` the salt fan-out comes from
+    * the host-skew probe: balanced input degrades to the narrow path
+    * (probe returns 0 → no shuffle at all). */
   def extractTexts(spark: SparkSession, pages: DataFrame, partitions: Int = 0,
       salted: Boolean = false): Dataset[ExtractedText] = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val in = if (salted) saltRepartition(pages, parts) else pages
+    val in =
+      if (!salted) pages
+      else {
+        val s = probeSaltBuckets(pages, parts)
+        if (s == 0) pages else saltRepartition(pages, parts, s)
+      }
     in.as[PageRow](pageEnc(spark))
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
@@ -112,7 +147,12 @@ object ExtractJob {
       salted: Boolean = false): Dataset[ExtractedDoc] = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val in = if (salted) saltRepartition(pages, parts) else pages
+    val in =
+      if (!salted) pages
+      else {
+        val s = probeSaltBuckets(pages, parts)
+        if (s == 0) pages else saltRepartition(pages, parts, s)
+      }
     in.as[PageRow](pageEnc(spark))
       .mapPartitions(_.map(Extractor.extract))
   }

@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotStore {
 
-  final case class Snapshot(id: Long, buckets: Set[Int], dataDirs: Vector[String])
+  /** Per-data-file column statistics (the Iceberg manifest-entry analogue):
+    * min/max `warcTs` (epoch millis) and min/max url host per parquet
+    * file, recorded at commit time so ranged reads prune FILES from the
+    * manifest alone — no footer reads, no data scan. */
+  final case class FileStats(path: String, tsMin: Long, tsMax: Long,
+      hostMin: String, hostMax: String)
+
+  final case class Snapshot(id: Long, buckets: Set[Int], dataDirs: Vector[String],
+      files: Vector[FileStats] = Vector.empty)
 
   def lastSnapshot(root: String): Option[Snapshot] = {
     val dir = Paths.get(root)
@@ -44,15 +52,18 @@ object SnapshotStore {
     var id = 0L
     val buckets = Set.newBuilder[Int]
     val dirs = Vector.newBuilder[String]
+    val files = Vector.newBuilder[FileStats]
     Files.readAllLines(p, StandardCharsets.UTF_8).asScala.foreach { line =>
       line.split('\t') match {
         case Array("snapshot", v) => id = v.toLong
         case Array("bucket", v)   => buckets += v.toInt
         case Array("dir", v)      => dirs += v
+        case Array("file", path, tMin, tMax, hMin, hMax) =>
+          files += FileStats(path, tMin.toLong, tMax.toLong, hMin, hMax)
         case _                    =>
       }
     }
-    Snapshot(id, buckets.result(), dirs.result())
+    Snapshot(id, buckets.result(), dirs.result(), files.result())
   }
 
   /** Atomic manifest commit: write tmp in the same directory, then rename. */
@@ -63,11 +74,67 @@ object SnapshotStore {
     body ++= s"snapshot\t${s.id}\n"
     s.buckets.toVector.sorted.foreach(b => body ++= s"bucket\t$b\n")
     s.dataDirs.foreach(d => body ++= s"dir\t$d\n")
+    s.files.foreach { f =>
+      body ++= s"file\t${f.path}\t${f.tsMin}\t${f.tsMax}\t${f.hostMin}\t${f.hostMax}\n"
+    }
     val tmp = dir.resolve(s"snapshot-${s.id}.tsv.tmp")
     Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(s"snapshot-${s.id}.tsv"),
       StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Compute per-file min/max stats for a freshly-written data dir: ONE
+    * column-pruned scan of (warcTs, url) grouped by the physical file.
+    * The collect is manifest-scale (one row per parquet file), the
+    * bounded-collect pattern. Tab/newline are stripped from host bounds so
+    * the TSV manifest stays line-parseable. */
+  def collectFileStats(spark: SparkSession, dataDir: String): Vector[FileStats] = {
+    val clean = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "[\\t\\n\\r]", " ")
+    spark.read.parquet(dataDir)
+      .select(input_file_name().as("f"), col("warcTs"),
+        clean(coalesce(parse_url(col("url"), lit("HOST")), lit(""))).as("h"))
+      .groupBy(col("f"))
+      .agg(min(col("warcTs")).as("tsMin"), max(col("warcTs")).as("tsMax"),
+        min(col("h")).as("hMin"), max(col("h")).as("hMax"))
+      .collect()
+      .map(r => FileStats(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+      .toVector.sortBy(_.path)
+  }
+
+  /** Manifest-only file pruning for a ranged read: keep files whose
+    * [tsMin,tsMax] overlaps the requested ts window and whose
+    * [hostMin,hostMax] could contain `host`. Stats bound a SUPERSET —
+    * callers re-apply the exact predicate after the pruned scan. */
+  def pruneFiles(s: Snapshot, tsMin: Option[Long] = None,
+      tsMax: Option[Long] = None, host: Option[String] = None): Vector[String] =
+    s.files.filter { f =>
+      tsMax.forall(f.tsMin <= _) && tsMin.forall(f.tsMax >= _) &&
+        host.forall(h => f.hostMin <= h && h <= f.hostMax)
+    }.map(_.path)
+
+  /** Ranged read over the committed state: prune data FILES from the
+    * manifest stats, scan only the survivors, then apply the exact
+    * predicate (the stats are a superset bound). Falls back to a full
+    * scan + filter when the manifest predates file stats. */
+  def readCommittedRange(spark: SparkSession, root: String,
+      tsMin: Option[Long] = None, tsMax: Option[Long] = None,
+      host: Option[String] = None): Option[DataFrame] =
+    lastSnapshot(root).filter(_.dataDirs.nonEmpty).map { s =>
+      val base =
+        if (s.files.isEmpty) spark.read.parquet(s.dataDirs: _*)
+        else {
+          val paths = pruneFiles(s, tsMin, tsMax, host)
+          if (paths.isEmpty) spark.read.parquet(s.dataDirs: _*).limit(0)
+          else spark.read.parquet(paths: _*)
+        }
+      val hostCol = coalesce(parse_url(col("url"), lit("HOST")), lit(""))
+      Seq(
+        tsMin.map(col("warcTs") >= _), tsMax.map(col("warcTs") <= _),
+        host.map(hostCol === _)
+      ).flatten.foldLeft(base)(_.filter(_))
+    }
 
   /** One resumable run: extract only the buckets not yet committed, write
     * data + lineage, then commit the next snapshot. `maxBuckets` caps how
@@ -96,7 +163,10 @@ object SnapshotStore {
       runId, snapId)
     lineage.write.mode("overwrite").parquet(s"$root/lineage/run-$runId")
 
-    val snap = Snapshot(snapId, prev.buckets ++ pending, prev.dataDirs :+ dataDir)
+    // manifest column stats for the new files only; prior snapshots'
+    // entries carry over untouched (files are immutable once committed)
+    val snap = Snapshot(snapId, prev.buckets ++ pending, prev.dataDirs :+ dataDir,
+      prev.files ++ collectFileStats(spark, dataDir))
     commitManifest(root, snap)
     snap
   }
@@ -115,7 +185,8 @@ object SnapshotStore {
     if (prev.dataDirs.length <= 1) return prev
     val dataDir = s"$root/data/compact-$runId"
     spark.read.parquet(prev.dataDirs: _*).write.mode("overwrite").parquet(dataDir)
-    val snap = Snapshot(prev.id + 1, prev.buckets, Vector(dataDir))
+    val snap = Snapshot(prev.id + 1, prev.buckets, Vector(dataDir),
+      collectFileStats(spark, dataDir))
     commitManifest(root, snap)
     snap
   }

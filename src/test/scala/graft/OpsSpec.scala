@@ -275,12 +275,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val v = (Dedup.mix64(7L ^ (y.toLong << 20) ^ x.toLong) & 0xFFFFFF).toInt
       assert((img.getRGB(x, y) & 0xFFFFFF) == v, s"pixel ($x,$y)")
     }
-    // through the Spark batch path, mixed with a stub (audio) asset
-    val assets = Seq((7L, png), (8L, Multimodal.fakeAsset(8L, "aud", 10, 10, 1)))
+    // through the Spark batch path, mixed with a stub (video) asset
+    val assets = Seq((7L, png), (8L, Multimodal.fakeAsset(8L, "vid", 10, 10, 30)))
       .toDF("assetId", "payload")
     val m = Multimodal.decodeBatches(spark, assets).collect().map(a => a.assetId -> a).toMap
     assert(m(7L).format == "png" && m(7L).checksum == m0.checksum && m(7L).valid)
-    assert(m(8L).format == "aud")
+    assert(m(8L).format == "vid")
+  }
+
+  test("multimodal: real WAV decode — frames, rate, channels and checksum from the decoded PCM stream") {
+    import spark.implicits._
+    val wav = Multimodal.makeWav(11L, sampleRate = 8000, nFrames = 300, channels = 2)
+    // a true RIFF/WAVE stream, decoded back by the JDK sound stack
+    assert(new String(wav.take(4)) == "RIFF" && new String(wav.slice(8, 12)) == "WAVE")
+    val m0 = Multimodal.decode(11L, wav)
+    assert(m0.format == "wav" && m0.valid && m0.width == 8000 &&
+      m0.height == 2 && m0.nFrames == 300, m0.toString)
+    // sample-exact: the decoded PCM checksum equals a direct fold over the
+    // pre-encode synthetic samples (little-endian 16-bit, frame-major)
+    var ck = 0xcbf29ce484222325L
+    for (f <- 0 until 300; c <- 0 until 2) {
+      val s = (Dedup.mix64(11L ^ (f.toLong << 8) ^ c.toLong) & 0xFFFF).toInt - 32768
+      ck = (ck ^ (s & 0xFF)) * 0x100000001b3L
+      ck = (ck ^ ((s >> 8) & 0xFF)) * 0x100000001b3L
+    }
+    assert(m0.checksum == ck, "checksum must come from the decoded PCM frames")
+    // corrupt WAV: RIFF/WAVE magic + garbage → fmt wav, valid=false
+    val corrupt = "RIFFxxxxWAVEgarbage-not-a-fmt-chunk".getBytes
+    val mc = Multimodal.decode(12L, corrupt)
+    assert(mc.format == "wav" && !mc.valid)
+    // through the Spark batch path
+    val assets = Seq((11L, wav)).toDF("assetId", "payload")
+    val mb = Multimodal.decodeBatches(spark, assets).collect().head
+    assert(mb.format == "wav" && mb.checksum == m0.checksum && mb.valid)
   }
 
   test("kmvOverlap: O(G²) group-pair guard rejects data-sized group counts") {

@@ -238,6 +238,33 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ms <= 400 / parts * 2, s"salted max load $ms should be near-balanced")
   }
 
+  test("host-skew probe: picks S for a planted mega-host, 0 for balanced input (SURVEY 4.3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, spark_partition_id}
+    val parts = 8
+    // planted skew: ~50% of 2000 rows on ONE host (distinct urls — the
+    // salt keys off xxhash64(url), so identical urls are inseparable by
+    // design), the rest over 500 hosts
+    val skewed = spark.range(2000)
+      .select(when($"id" % 2 === 0,
+          concat(lit("http://mega-host.example/p"), $"id"))
+        .otherwise(concat(lit("http://h"), $"id" % 500, lit(".example/p")))
+        .as("url"))
+    val s = ExtractJob.probeSaltBuckets(skewed, parts)
+    assert(s > 0, "a 50% host must trigger salting")
+    // with the probed S the mega-host spreads within 2x of ideal balance
+    val spread = ExtractJob.saltRepartition(skewed, parts, s)
+    val maxLoad2 = spread.groupBy(spark_partition_id()).count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxLoad2 <= 2L * 2000 / parts, s"probed S=$s still leaves max load $maxLoad2")
+    // balanced input: probe says don't salt (keep the narrow no-shuffle path)
+    val balanced = spark.range(2000)
+      .select(concat(lit("http://h"), $"id" % 500, lit(".example/p")).as("url"))
+    assert(ExtractJob.probeSaltBuckets(balanced, parts) == 0)
+    // empty input: no salt, no crash
+    assert(ExtractJob.probeSaltBuckets(balanced.limit(0), parts) == 0)
+  }
+
   test("lang column passes through to the extracted output") {
     import spark.implicits._
     val out = ExtractJob.extractTexts(spark, PagesTable.pagesDF(spark, 50))
@@ -309,6 +336,51 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data/run-r1")))
     assert(SnapshotStore.readCommitted(spark, root).get.count() == 150)
     assert(SnapshotStore.readCommitted(spark, root).get.select($"url").distinct().count() == 150)
+  }
+
+  test("manifest column stats prune data files on a ranged read (Iceberg-style scan pruning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-stats").toString
+    // ts-clustered input (a crawl table sorted by fetch time): range-
+    // partition by warc_ts so each data file holds a narrow ts window
+    val pages = PagesTable.pagesDF(spark, 200)
+      .repartitionByRange(4, $"warc_ts")
+    val s = SnapshotStore.run(spark, pages, root, runId = "r1", nBuckets = 1)
+    assert(s.files.nonEmpty, "manifest must carry per-file stats")
+    // every committed parquet file has a stats entry with a sane range
+    s.files.foreach(f => assert(f.tsMin <= f.tsMax && f.hostMin <= f.hostMax))
+    val full = SnapshotStore.readCommitted(spark, root).get
+      .select($"url", $"warcTs").as[(String, Long)].collect()
+    // pick a ts window covering ~one file
+    val tsSorted = full.map(_._2).sorted
+    val (lo, hi) = (tsSorted(10), tsSorted(40))
+    val pruned = SnapshotStore.pruneFiles(s, tsMin = Some(lo), tsMax = Some(hi))
+    assert(pruned.nonEmpty && pruned.size < s.files.size,
+      s"ranged read should open a strict subset: ${pruned.size}/${s.files.size}")
+    // the pruned ranged read returns EXACTLY the full-scan filter result...
+    val ranged = SnapshotStore.readCommittedRange(spark, root,
+      tsMin = Some(lo), tsMax = Some(hi)).get
+    val expect = full.filter { case (_, ts) => ts >= lo && ts <= hi }.map(_._1).toSet
+    assert(ranged.select($"url").as[String].collect().toSet == expect)
+    // ...and provably scans only the manifest-selected files
+    val opened = ranged.select(input_file_name()).distinct().as[String].collect().toSet
+    assert(opened.subsetOf(pruned.toSet), s"opened ${opened.size} files outside the pruned set")
+    // host-ranged read: exact single-host result through the pruned scan
+    val someHost = SnapshotStore.readCommitted(spark, root).get
+      .select(org.apache.spark.sql.functions.parse_url($"url",
+        org.apache.spark.sql.functions.lit("HOST"))).as[String].head()
+    val byHost = SnapshotStore.readCommittedRange(spark, root, host = Some(someHost)).get
+    assert(byHost.count() > 0)
+    // old-manifest fallback: strip file lines → full scan + exact filter
+    import scala.jdk.CollectionConverters._
+    val manifest = java.nio.file.Paths.get(root).resolve(s"snapshot-${s.id}.tsv")
+    val stripped = java.nio.file.Files.readAllLines(manifest).asScala
+      .filterNot(_.startsWith("file\t")).mkString("\n")
+    java.nio.file.Files.write(manifest, stripped.getBytes)
+    val fallback = SnapshotStore.readCommittedRange(spark, root,
+      tsMin = Some(lo), tsMax = Some(hi)).get
+    assert(fallback.select($"url").as[String].collect().toSet == expect)
   }
 
   test("distributed image surface: real bbox/dims/payload per placement (S7)") {
