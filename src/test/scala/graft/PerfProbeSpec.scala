@@ -42,6 +42,29 @@ class PerfProbeSpec extends AnyFunSuite {
     println(f"PERF html ${h}%.1f us/doc (tokenize-only ${tk}%.1f) pdf ${p}%.1f us/doc")
   }
 
+  ignore("perf probe: wordBoxes attribution (opt-in diagnostic — VERDICT r4 #4)") {
+    // x_word_boxes went 0.22 s (r3, inline-generated pages) → 0.64 s (r4,
+    // parquet fixture) at sf0.1 (5000 docs): this probe separates the
+    // scalar wordBoxes parse cost from fixture generation/IO, per boost.
+    for (boost <- Seq(1, 8)) {
+      val rows = (0L until 2000L).map(i => FixtureGen.fixture(i, boost).row).toVector
+      def time(passes: Int = 5): Double = {
+        var best = Double.MaxValue
+        for (_ <- 0 until passes) {
+          val t0 = System.nanoTime()
+          var i = 0; var acc = 0L
+          while (i < rows.length) { acc += Extractor.wordBoxes(rows(i)).length; i += 1 }
+          val us = (System.nanoTime() - t0) / 1000.0 / rows.length
+          if (us < best) best = us
+          if (acc == -1) println("")
+        }
+        best
+      }
+      val nBoxes = rows.map(r => Extractor.wordBoxes(r).length.toLong).sum
+      println(f"PERF-WORDBOXES boost=$boost ${time()}%.1f us/doc ($nBoxes boxes / ${rows.length} docs)")
+    }
+  }
+
   ignore("perf probe: per-family attribution incl. image-decode cost (opt-in diagnostic)") {
     // Attributes the r3 x_extract_text growth (VERDICT r3 item 5): the r3
     // fixtures added image XObjects + spacing ops to the PDFs; this probe
