@@ -75,4 +75,48 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
             lit(".Example.COM:80/p/"), col("doc_id"), lit("#f"))).as("c"))
         .agg(sum(length(col("c")))).head().getLong(0))
   }
+
+  ignore("round-5 reshaped ops at scale: skewed stratum, zipf heavy hitters, hashed LSH verify (opt-in probe)") {
+    val mix = graft.functions.functions.graft_mix64 _
+    val docs = corpus(2000000L).localCheckpoint(true)
+
+    // mega-stratum: ONE group holds 50% of 2M docs — the shape that made
+    // the single-window form a one-task sort (VERDICT r4 #1). The balanced
+    // run is the control: skewed wall must stay within ~2x of it because
+    // phase 1 spreads the mega group over the salt fan-out.
+    val skewed = docs.withColumn("source",
+      when(col("doc_id") % 2 === 0, lit("mega")).otherwise(col("source")))
+    timed("stratifiedSample 2M balanced 1000 groups (k=100)")(
+      graft.ops.Splits.stratifiedSample(docs, "source", k = 100).count())
+    timed("stratifiedSample 2M with 50% mega-stratum (k=100)")(
+      graft.ops.Splits.stratifiedSample(skewed, "source", k = 100).count())
+
+    // Zipf-skewed token stream: 8 heavy tokens carry ~90% of 80M tokens,
+    // the tail spreads over ~8k rare tokens (vocab >> m=256, so the
+    // SpaceSaving buffers evict constantly under real skew)
+    val h = (i: org.apache.spark.sql.Column) => mix(col("id") * 64 + i.cast("long"))
+    val zipf = spark.range(0L, 2000000L, 1L,
+        Runtime.getRuntime.availableProcessors() * 4)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(100))).as("source"),
+        array_join(transform(sequence(lit(0), lit(39)), i => {
+          // P(idx >= k) = 1/k — a Zipf(1)-ish head: idx <= 8 carries ~89%
+          val idx = floor(lit(4096).cast("double") / (pmod(h(i), lit(4096)) + 1))
+          when(idx <= 8, concat(lit("h"), idx.cast("long")))
+            .otherwise(concat(lit("t"), pmod(mix(h(i)), lit(8192))))
+        }), " ").as("text"))
+    timed("heavyTokens 2M zipf-skewed (k=5, m=256)")(
+      graft.ops.Sketches.heavyTokens(zipf, "source", k = 5, m = 256).count())
+
+    // minhashLsh with the r5 hashed-shingle verify: 220k docs incl. 10%
+    // planted near-dups — the verify stage now ships Array[Long] shingle
+    // hashes instead of raw text per candidate pair (VERDICT r4 #2)
+    val lshBase = docs.filter(col("doc_id") < 200000)
+    val lshDocs = lshBase.unionByName(lshBase.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+        concat(col("text"), lit(" xtra")).as("text")))
+    timed("minhashLsh 220k (10% planted near-dups, hashed verify)")(
+      graft.ops.Dedup.minhashLsh(
+        lshDocs.select(col("doc_id"), col("text")), threshold = 0.5).count())
+  }
 }
