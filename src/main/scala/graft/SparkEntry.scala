@@ -286,6 +286,21 @@ object SparkEntry {
     pairsMemo.values.forEach(dropCheckpoint(_))
     docsMemo.clear()
     pairsMemo.clear()
+    var c = scratchCheckpoints.poll()
+    while (c != null) { dropCheckpoint(c); c = scratchCheckpoints.poll() }
+  }
+
+  /** Eager per-invocation checkpoints (the funnel's stage frames) whose
+    * blocks must not linger into the NEXT timed bench rep: registered
+    * here, dropped by [[resetSharedState]]. Safe because Bench resets
+    * BEFORE each rep — the previous rep's result is already materialized
+    * when its blocks are reclaimed. */
+  private val scratchCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private def scratchCkpt(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    scratchCheckpoints.add(c)
+    c
   }
 
   /** Multimodal asset fixture: real PNG encode (ImageIO, zlib IDAT) of
@@ -701,6 +716,14 @@ object SparkEntry {
     graft.ops.Packing.packGreedy(t(s, dir, "documents"), budget = 200)
       .orderBy(col("source"), col("doc_id"))
 
+  /** Bin-utilization report over the packed corpus (docs/bin, used
+    * tokens, fill fraction) — the packing-efficiency summary a data
+    * loader monitors. */
+  private def qPackStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packStats(
+      graft.ops.Packing.packGreedy(t(s, dir, "documents"), budget = 200), budget = 200)
+      .orderBy(col("source"), col("bin_id"))
+
   /** Approximate quantiles from a bottom-k uniform sample (mergeable O(k)
     * state — the scale path where exact percentile would sort the group). */
   private def qSketchQuantiles(s: SparkSession, dir: String): DataFrame =
@@ -786,36 +809,36 @@ object SparkEntry {
           concat(col("text"), lit(" near dup copy")).as("text")))
       .unionByName(pii.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("source"), col("text")))
-      .localCheckpoint(true) // each stage feeds the stat AND the next stage
+      .transform(scratchCkpt) // each stage feeds the stat AND the next stage
 
     // stage 1 — PII gate: scrub, drop docs with > 3 detections
     val s1 = Scrub.scrub(corpus0)
       .filter(col("n_emails") + col("n_ipv4") + col("n_phones") <= 3)
       .select(col("doc_id"), col("source"), col("clean_text").as("text"))
-      .localCheckpoint(true)
+      .transform(scratchCkpt)
     // stage 2 — exact dedup: smallest id per identical text (at 100 TB the
     // partition key is (xxhash64, length) as in Dedup.exact — text-keyed
     // here so the oracle window is literal)
     val s2 = s1.withColumn("rep",
         min(col("doc_id")).over(Window.partitionBy(col("text"))))
       .filter(col("doc_id") === col("rep")).drop("rep")
-      .localCheckpoint(true)
+      .transform(scratchCkpt)
     // stage 3 — near dedup: word-set jaccard pairs (cost-based strategy) →
     // connected components → keep cluster representatives
     val pairs = Dedup.jaccardAdaptivePairs(s2, "source", threshold = 0.8)
     val reps = Dedup.dedupClusters(s2, pairs)
       .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
-    val s3 = s2.join(reps, Seq("doc_id")).localCheckpoint(true)
+    val s3 = scratchCkpt(s2.join(reps, Seq("doc_id")))
     // stage 4 — decontamination vs the benchmark subset (scrubbed the same
     // way), drop docs sharing >= half their shingles
     val bench = Scrub.scrub(pii.filter(col("doc_id") % 97 === 0))
       .select(col("doc_id"), col("clean_text").as("text"))
     val clean = Contamination.overlap(s3, bench)
       .filter(col("contamination_frac") < 0.5).select(col("doc_id"))
-    val s4 = s3.join(clean, Seq("doc_id")).localCheckpoint(true)
+    val s4 = scratchCkpt(s3.join(clean, Seq("doc_id")))
     // stage 5 — deterministic train split
-    val s5 = Splits.hashSplit(s4).filter(col("split") === "train").drop("split")
-      .localCheckpoint(true)
+    val s5 = scratchCkpt(
+      Splits.hashSplit(s4).filter(col("split") === "train").drop("split"))
     // stage 6 — sequence packing into 200-token bins per source
     val binStat = Packing.packGreedy(s5, budget = 200)
       .groupBy(col("source"), col("bin_id")).agg(sum(col("n_tokens")).as("toks"))
@@ -844,6 +867,7 @@ object SparkEntry {
     "q_bm25"             -> qBm25 _,
     "q_repetition"       -> qRepetition _,
     "q_pack_bins"        -> qPackBins _,
+    "q_pack_stats"       -> qPackStats _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
     "q_incremental_new"  -> qIncrementalNew _,
@@ -1372,6 +1396,30 @@ object SparkEntry {
        |SELECT source, doc_id, ntok AS n_tokens, CAST(bin AS BIGINT) AS bin_id
        |FROM rec""".stripMargin
 
+  /** q_pack_stats oracle: the pack-bins recursive fold, then per-bin
+    * aggregation (docs, used tokens, fill fraction vs the 200 budget). */
+  private def packStatsOracle: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS ntok,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |rec AS (
+       |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.source, t.doc_id, t.ntok, t.rn,
+       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN t.ntok ELSE r.fill + t.ntok END
+       |  FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+       |SELECT source, CAST(bin AS BIGINT) AS bin_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ntok) AS BIGINT) AS used,
+       |  round(CAST(least(sum(ntok), 200) AS DOUBLE) / 200, 4) AS fill_frac
+       |FROM rec GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+
   /** q_sketch_quantiles oracle: same mix64∘fnv1a row hash, k smallest per
     * group (hash-tie → min value, mirroring BottomKSample's merge rule),
     * then quantile_cont == Spark's exact `percentile` on the sample. */
@@ -1584,6 +1632,7 @@ object SparkEntry {
     "q_bm25" -> bm25Oracle,
     "q_repetition" -> repetitionOracle,
     "q_pack_bins" -> packBinsOracle,
+    "q_pack_stats" -> packStatsOracle,
     "q_cosine_neardup" -> cosineNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_fingerprint" -> fingerprintOracle,

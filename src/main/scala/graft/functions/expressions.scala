@@ -410,9 +410,13 @@ case class TermCounts(left: Expression, right: Expression) extends BinaryExpress
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemType(left.dataType).contains(StringType) &&
-      elemType(right.dataType).contains(StringType) && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+      elemType(right.dataType).contains(StringType) && right.foldable) {
+      // reject a NULL terms literal at ANALYSIS: it is foldable and
+      // array-typed, but forcing termIndex at codegen time would NPE
+      if (right.eval(null) == null)
+        TypeCheckResult.TypeCheckFailure("terms must be a non-null array literal")
+      else TypeCheckResult.TypeCheckSuccess
+    } else TypeCheckResult.TypeCheckFailure(
       s"expected (array<string>, array<string> literal), got " +
         s"${left.dataType}, ${right.dataType} (foldable=${right.foldable})")
 

@@ -160,9 +160,15 @@ object Multimodal {
         val frameSize = fmt.getFrameSize
         val rate = fmt.getSampleRate
         if (frameSize <= 0 || rate <= 0f || fmt.getChannels <= 0) return invalid
+        // a hostile header can declare absurd channel counts → huge frames;
+        // 1 MB/frame is far beyond any real PCM layout
+        if (frameSize > (1 << 20)) return invalid
         var ck = 0xcbf29ce484222325L
         var totalBytes = 0L
-        val buf = new Array[Byte](8192 - 8192 % frameSize)
+        // at least one whole frame per read: 8192 − 8192 % frameSize is
+        // ZERO when frameSize > 8192, and read(empty) loops forever at 0
+        val buf = new Array[Byte](
+          if (frameSize >= 8192) frameSize else 8192 - 8192 % frameSize)
         var n = ais.read(buf)
         while (n > 0) {
           var i = 0
@@ -170,8 +176,10 @@ object Multimodal {
           totalBytes += n
           n = ais.read(buf)
         }
+        // frames == 0 (a headers-only WAV) is a VALID empty stream — the
+        // checksum is the fnv basis over zero decoded bytes
         val frames = totalBytes / frameSize
-        if (frames <= 0 || frames > Int.MaxValue) return invalid
+        if (frames > Int.MaxValue) return invalid
         Some(AssetMeta(assetId, "wav", math.round(rate), fmt.getChannels,
           frames.toInt, payload.length.toLong, ck, valid = true))
       } finally ais.close()

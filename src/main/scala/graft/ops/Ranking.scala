@@ -38,6 +38,10 @@ object Ranking {
   def bm25(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32, "terms must be 1..32")
+    // duplicate probe terms would silently score differently (the
+    // first-occurrence-wins term map gives the second copy tf = 0, and the
+    // per-term df aliases collide in the stats row) — reject them
+    require(terms.distinct.size == terms.size, "probe terms must be distinct")
     graft.functions.functions.register(docs.sparkSession)
     val toks = split(coalesce(col(textCol), lit("")), " ") // null-safe
     val dl = size(toks).cast("double")

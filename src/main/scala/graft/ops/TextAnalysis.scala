@@ -53,24 +53,34 @@ object TextAnalysis {
   }
 
   /** N-gram-profile language ID: score = stopword-set overlap per language,
-    * argmax with deterministic tie-break on language code. Pure Catalyst
-    * (array_intersect over split tokens). */
+    * argmax with deterministic tie-break on language code. Pure Catalyst,
+    * LAMBDA-FREE: per-language hit counts are codegen'd `array_intersect`
+    * projections computed ONCE each, and the argmax is greatest() + a
+    * when-chain in language order (ties → alphabetically first, matching
+    * the oracle's cascaded CASE). The previous array_sort(comparator)
+    * form was an interpreted HOF whose struct-array input was re-evaluated
+    * per output column — 4.2 s for 2500 docs at sf0.1 once the noop-sink
+    * bench stopped letting count() prune it (r5 finding; same class as
+    * the r2 ANN HOF defect). */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = array_distinct(tokensCol(lower(col(textCol))))
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(array_intersect(toks, typedLit(words))).as("hits"),
-        lit(lang).as("lang"))
+    val langs = stopwords.keys.toSeq.sorted
+    val toksDf = docs.withColumn("_toks",
+      array_distinct(tokensCol(lower(col(textCol)))))
+    // one projection per concern: _toks is multi-referenced, so
+    // CollapseProject keeps it materialized once per row; the hit counts
+    // are then cheap column refs for the argmax
+    val withHits = langs.foldLeft(toksDf) { (df, lang) =>
+      df.withColumn(s"_h_$lang",
+        size(array_intersect(col("_toks"), typedLit(stopwords(lang)))))
     }
-    // argmax: sort by (hits desc, lang asc) via array_sort on negated hits
-    val best = array_sort(array(scored: _*),
-      (l, r) => when(l.getField("hits") > r.getField("hits"), -1)
-        .when(l.getField("hits") < r.getField("hits"), 1)
-        .otherwise(when(l.getField("lang") < r.getField("lang"), -1)
-          .when(l.getField("lang") > r.getField("lang"), 1).otherwise(0)))
-    docs.withColumn("pred_lang",
-      when(element_at(best, 1).getField("hits") > 0,
-        element_at(best, 1).getField("lang")).otherwise(lit("und")))
-      .withColumn("lang_hits", element_at(best, 1).getField("hits").cast("long"))
+    val m = greatest(langs.map(l => col(s"_h_$l")): _*)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      when(col(s"_h_$l") === m, lit(l)).otherwise(rest)
+    }
+    withHits
+      .withColumn("pred_lang", when(m === 0, lit("und")).otherwise(pred))
+      .withColumn("lang_hits", m.cast("long"))
+      .drop("_toks" +: langs.map(l => s"_h_$l"): _*)
   }
 
   /** Rolling polynomial fingerprint over word tokens (Karp-Rabin family):

@@ -91,20 +91,26 @@ object ExtractJob {
       parse_url(col("url"), lit("HOST")),
       pmod(xxhash64(col("url")), lit(saltBuckets)))
 
+  /** `salted = true` input shaping: the caller asked for a repartition
+    * (their input is badly laid out), so one ALWAYS happens — what the
+    * probe decides is only whether the keys need a salt component and how
+    * wide. Balanced hosts → plain round-robin repartition to `parts`
+    * (parallelism guaranteed, no skew keys); skewed → (host, salt) keys
+    * with the probed fan-out. Note the probe is an EAGER aggregate — the
+    * salted path trades one cheap url-column scan at construction for the
+    * right shuffle shape. */
+  private def shapeInput(pages: DataFrame, parts: Int): DataFrame = {
+    val s = probeSaltBuckets(pages, parts)
+    if (s == 0) pages.repartition(parts) else saltRepartition(pages, parts, s)
+  }
+
   /** Full extraction to the lean schema, one narrow pass (zero shuffle
-    * unless `salted`). With `salted = true` the salt fan-out comes from
-    * the host-skew probe: balanced input degrades to the narrow path
-    * (probe returns 0 → no shuffle at all). */
+    * unless `salted`). */
   def extractTexts(spark: SparkSession, pages: DataFrame, partitions: Int = 0,
       salted: Boolean = false): Dataset[ExtractedText] = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val in =
-      if (!salted) pages
-      else {
-        val s = probeSaltBuckets(pages, parts)
-        if (s == 0) pages else saltRepartition(pages, parts, s)
-      }
+    val in = if (salted) shapeInput(pages, parts) else pages
     in.as[PageRow](pageEnc(spark))
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
@@ -147,12 +153,7 @@ object ExtractJob {
       salted: Boolean = false): Dataset[ExtractedDoc] = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val in =
-      if (!salted) pages
-      else {
-        val s = probeSaltBuckets(pages, parts)
-        if (s == 0) pages else saltRepartition(pages, parts, s)
-      }
+    val in = if (salted) shapeInput(pages, parts) else pages
     in.as[PageRow](pageEnc(spark))
       .mapPartitions(_.map(Extractor.extract))
   }

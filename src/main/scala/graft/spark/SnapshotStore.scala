@@ -103,6 +103,17 @@ object SnapshotStore {
       .toVector.sortBy(_.path)
   }
 
+  /** UTF-8 byte comparison — the hostMin/hostMax bounds were computed by
+    * Spark's min/max, which orders strings by UTF8String BINARY order;
+    * Java String `<=` is UTF-16 code-unit order and disagrees for
+    * supplementary-plane characters (surrogates sort low), which could
+    * wrongly prune a file whose bounds straddle the plane boundary. */
+  private def utf8Lte(a: String, b: String): Boolean = {
+    val ab = a.getBytes(StandardCharsets.UTF_8)
+    val bb = b.getBytes(StandardCharsets.UTF_8)
+    java.util.Arrays.compareUnsigned(ab, bb) <= 0
+  }
+
   /** Manifest-only file pruning for a ranged read: keep files whose
     * [tsMin,tsMax] overlaps the requested ts window and whose
     * [hostMin,hostMax] could contain `host`. Stats bound a SUPERSET —
@@ -111,7 +122,7 @@ object SnapshotStore {
       tsMax: Option[Long] = None, host: Option[String] = None): Vector[String] =
     s.files.filter { f =>
       tsMax.forall(f.tsMin <= _) && tsMin.forall(f.tsMax >= _) &&
-        host.forall(h => f.hostMin <= h && h <= f.hostMax)
+        host.forall(h => utf8Lte(f.hostMin, h) && utf8Lte(h, f.hostMax))
     }.map(_.path)
 
   /** Ranged read over the committed state: prune data FILES from the
@@ -163,10 +174,18 @@ object SnapshotStore {
       runId, snapId)
     lineage.write.mode("overwrite").parquet(s"$root/lineage/run-$runId")
 
-    // manifest column stats for the new files only; prior snapshots'
-    // entries carry over untouched (files are immutable once committed)
+    // manifest column stats: new files always; prior snapshots' entries
+    // carry over untouched (files are immutable once committed). A LEGACY
+    // manifest (dirs but no file lines) gets its old dirs BACKFILLED here
+    // — committing partial coverage would make readCommittedRange prune
+    // away every legacy file silently (its full-scan fallback only fires
+    // when files is entirely empty).
+    val prevFiles =
+      if (prev.dataDirs.nonEmpty && prev.files.isEmpty)
+        prev.dataDirs.flatMap(d => collectFileStats(spark, d))
+      else prev.files
     val snap = Snapshot(snapId, prev.buckets ++ pending, prev.dataDirs :+ dataDir,
-      prev.files ++ collectFileStats(spark, dataDir))
+      prevFiles ++ collectFileStats(spark, dataDir))
     commitManifest(root, snap)
     snap
   }

@@ -140,6 +140,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), p.take(1500))
   }
 
+  test("langid plan is lambda-free (codegen'd intersects + when-chain argmax)") {
+    // the array_sort(comparator) argmax was an interpreted HOF re-evaluated
+    // per output column — 4.2 s for 2500 docs once the bench stopped
+    // letting count() prune it (r5)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.TextAnalysis.langId(d), "extended").toLowerCase
+    assert(!p.contains("lambdafunction"), "langid plan still contains a higher-order function")
+    assert(!p.contains("array_sort"), "langid should not sort; argmax is greatest + when-chain")
+  }
+
   test("bm25 tf path is lambda-free (native term_counts, no interpreted HOFs)") {
     // the per-term size(filter(toks, _ === term)) form ran up to 32
     // interpreted lambdas per row (VERDICT r4 #3 — the same
