@@ -755,6 +755,22 @@ object SparkEntry {
     graft.ops.Dedup.incrementalNew(seen, batch).orderBy(col("doc_id"))
   }
 
+  /** Exact-substring duplication profile (Lee et al. ACL 2022 signal):
+    * per-doc fraction of 8-token spans occurring more than once in the
+    * corpus. Every 3rd doc gets a shared 12-word boilerplate suffix, so
+    * those docs carry exactly 5 duplicated spans each (the suffix's
+    * interior spans; spans crossing the original↔suffix boundary embed
+    * doc-specific words and stay unique). */
+  private val BoilerplateSuffix =
+    " all rights reserved terms of service apply contact the site administrator today"
+
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(BoilerplateSuffix)))
+        .otherwise(col("text")).as("text"))
+    graft.ops.Dedup.duplicatedSpans(planted, k = 8)
+  }
+
   /** URL canonicalization: deterministic MESSY url spellings built from
     * doc_id (mixed-case scheme/host, default and non-default ports,
     * fragments, queries, missing paths, non-http schemes), collapsed to
@@ -868,6 +884,7 @@ object SparkEntry {
     "q_repetition"       -> qRepetition _,
     "q_pack_bins"        -> qPackBins _,
     "q_pack_stats"       -> qPackStats _,
+    "q_dup_spans"        -> qDupSpans _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
     "q_incremental_new"  -> qIncrementalNew _,
@@ -1396,6 +1413,39 @@ object SparkEntry {
        |SELECT source, doc_id, ntok AS n_tokens, CAST(bin AS BIGINT) AS bin_id
        |FROM rec""".stripMargin
 
+  /** q_dup_spans oracle: identical boilerplate planting, POSITIONAL
+    * 8-token spans (every occurrence, no dedup), fnv1a span hashes,
+    * corpus-wide occurrence counts, per-doc duplicated-span tallies. */
+  private def dupSpansOracle: String = {
+    val k = 8
+    val joinWords = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || '$BoilerplateSuffix'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |words AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
+       |  FROM base),
+       |spans AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws) - $k + 2), i -> $joinWords)) AS w
+       |  FROM words WHERE len(ws) >= $k),
+       |sh AS (SELECT doc_id, $fnvWordSql AS sh FROM spans),
+       |cnt AS (SELECT sh, count(*) AS c FROM sh GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+       |dup AS (SELECT s.doc_id, count(*) AS nd
+       |        FROM sh s JOIN cnt USING (sh) WHERE cnt.c >= 2 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(t.ns, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(du.nd, 0) AS BIGINT) AS n_dup_spans,
+       |  round(CAST(COALESCE(du.nd, 0) AS DOUBLE)
+       |    / CAST(greatest(COALESCE(t.ns, 0), 1) AS DOUBLE), 4) AS dup_span_frac
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN tot t USING (doc_id)
+       |LEFT JOIN dup du USING (doc_id)""".stripMargin
+  }
+
   /** q_pack_stats oracle: the pack-bins recursive fold, then per-bin
     * aggregation (docs, used tokens, fill fraction vs the 200 budget). */
   private def packStatsOracle: String =
@@ -1633,6 +1683,7 @@ object SparkEntry {
     "q_repetition" -> repetitionOracle,
     "q_pack_bins" -> packBinsOracle,
     "q_pack_stats" -> packStatsOracle,
+    "q_dup_spans" -> dupSpansOracle,
     "q_cosine_neardup" -> cosineNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_fingerprint" -> fingerprintOracle,

@@ -65,6 +65,63 @@ object Dedup {
     }
   }
 
+  /** POSITIONAL k-token shingle hashes — every occurrence, in order (no
+    * dedup): the unit of exact-substring duplicate detection. Docs with
+    * fewer than k tokens contribute no spans. */
+  def positionalShingleHashes(text: String, k: Int): Array[Long] = {
+    val words = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
+    if (words.length < k) return Array.empty
+    val out = new Array[Long](words.length - k + 1)
+    var i = 0
+    while (i + k <= words.length) {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
+      out(i) = fnv1a(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Exact-substring duplication profile (the ExactSubstr dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): for every doc, how many of its k-token spans
+    * occur MORE THAN ONCE anywhere in the corpus (including within the
+    * same doc — boilerplate repeats count). Downstream policy (drop doc,
+    * cut span, weight) filters on `dup_span_frac`.
+    *
+    * Shape at 100 TB: one positional-shingle explode whose shuffle
+    * carries (doc_id, 8-byte hash) pairs; corpus-wide occurrence counts
+    * partial-aggregate map-side; the duplicated-hash set joins back on
+    * the hash key (NOT broadcast — crawl-scale boilerplate makes it
+    * unbounded). Output: (idCol, n_spans, n_dup_spans, dup_span_frac). */
+  def duplicatedSpans(docs: DataFrame, k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(idCol).cast("long").as("sid"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (i, t) => positionalShingleHashes(t, k).map(h => (i, h)) }
+      .toDF("sid", "sh")
+      // consumed twice (corpus counts + per-doc join): without the eager
+      // checkpoint both consumers re-tokenize the full corpus
+      .localCheckpoint(true)
+    val dupSet = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("sh"), lit(1).as("dup"))
+    val counts = sh.join(dupSet, Seq("sh"), "left")
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col(idCol).cast("long").as("sid")).distinct()
+      .join(counts, Seq("sid"), "left")
+      .select(col("sid").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)).cast("double"), 4)
+          .as("dup_span_frac"))
+  }
+
   /** MinHash signature: sig(j) = min over shingles of mix64(h ^ seed_j). */
   def minhashSignature(text: String, numHashes: Int, k: Int): Array[Long] =
     minhashFromHashes(shingleHashes(text, k), numHashes)

@@ -206,6 +206,31 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("audio decoder never crashes on hostile WAV bytes") {
+    import graft.ops.Multimodal
+    for (s <- 0 until 60) {
+      val body = randBytes(s.toLong + 4000, 512)
+      // RIFF/WAVE magic + garbage: AudioSystem must be contained
+      val wav = "RIFF".getBytes ++ body.take(4) ++ "WAVE".getBytes ++ body
+      val m = Multimodal.decode(s.toLong, wav)
+      assert(m.assetId == s.toLong && m.format == "wav" && !m.valid)
+      // truncated real WAV: cut a valid stream at every 16th byte —
+      // must return (valid or invalid), never throw or hang
+      val real = Multimodal.makeWav(s.toLong, nFrames = 64)
+      var cut = 1
+      while (cut < real.length) {
+        Multimodal.decode(s.toLong, real.take(cut))
+        cut += 16
+      }
+      // hostile fmt chunk: absurd channel count -> giant frame size must
+      // be rejected, not allocated
+      val bad = Multimodal.makeWav(s.toLong, nFrames = 8)
+      // channels field is at offset 22 in a canonical RIFF fmt chunk
+      if (bad.length > 23) { bad(22) = 0xFF.toByte; bad(23) = 0x7F.toByte }
+      Multimodal.decode(s.toLong, bad)
+    }
+  }
+
   test("xbrl scanner never crashes or hangs: random bytes, unclosed tags, hostile attrs") {
     import graft.sources.XbrlInstance
     for (sd <- 0 until 100) {

@@ -410,6 +410,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.format == "png" && !m2.valid)
   }
 
+  test("duplicated spans: shared boilerplate flagged positionally, unique text zero, repeats within a doc count") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10 shared words
+    val d = docsDF(Seq(
+      (1L, (1 to 20).map(i => s"u1x$i").mkString(" ") + " " + boiler),
+      (2L, (1 to 20).map(i => s"u2x$i").mkString(" ") + " " + boiler),
+      (3L, (1 to 20).map(i => s"u3x$i").mkString(" ")), // no boilerplate
+      (4L, ("r1 r2 r3 r4 r5 " * 4).trim), // internal repetition
+      (5L, "short doc"))) // < k tokens -> zero spans
+    val r = graft.ops.Dedup.duplicatedSpans(d, k = 5)
+      .select($"doc_id", $"n_spans", $"n_dup_spans", $"dup_span_frac")
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    // docs 1-2: 30 words -> 26 5-spans; the boilerplate's 6 interior spans
+    // (positions 21..26) are shared; boundary spans carry u{1,2}x words
+    assert(r(1L)._2 == 26 && r(1L)._3 == 6, r(1L).toString)
+    assert(r(2L)._2 == 26 && r(2L)._3 == 6)
+    assert(r(3L)._3 == 0 && r(3L)._4 == 0.0)
+    // doc 4: "r1..r5" x4 = 20 words, 16 spans, every 5-span repeats
+    // (rolling window over a period-5 sequence) -> all duplicated
+    assert(r(4L)._2 == 16 && r(4L)._3 == 16 && r(4L)._4 == 1.0)
+    assert(r(5L)._2 == 0 && r(5L)._3 == 0)
+  }
+
   test("contamination: benchmark members fully flagged, disjoint docs zero") {
     import spark.implicits._
     val corpus = docsDF(Seq(
