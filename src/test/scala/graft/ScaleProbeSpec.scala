@@ -118,5 +118,15 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     timed("minhashLsh 220k (10% planted near-dups, hashed verify)")(
       graft.ops.Dedup.minhashLsh(
         lshDocs.select(col("doc_id"), col("text")), threshold = 0.5).count())
+
+    // exact-substring spans: 2M docs × ~33 positional 8-spans = ~66M
+    // (sid, hash) pairs through the shuffle; boilerplate planted on a
+    // third of the corpus so the dup-hash set is genuinely large
+    val boiler = docs.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" all rights reserved terms of service apply contact the site administrator today")))
+        .otherwise(col("text")))
+    timed("duplicatedSpans 2M (k=8, 1/3 boilerplate)")(
+      graft.ops.Dedup.duplicatedSpans(boiler, k = 8).count())
   }
 }
