@@ -286,22 +286,15 @@ object SparkEntry {
     pairsMemo.values.forEach(dropCheckpoint(_))
     docsMemo.clear()
     pairsMemo.clear()
-    var c = scratchCheckpoints.poll()
-    while (c != null) { dropCheckpoint(c); c = scratchCheckpoints.poll() }
+    // every op-internal eager checkpoint (funnel stages, tokenized dedup
+    // bases, span-pair frames, iteration labels) registers itself in
+    // CheckpointScratch — dropped here so no scratch block lingers into
+    // the next timed bench rep
+    graft.ops.CheckpointScratch.unpersistAll()
   }
 
-  /** Eager per-invocation checkpoints (the funnel's stage frames) whose
-    * blocks must not linger into the NEXT timed bench rep: registered
-    * here, dropped by [[resetSharedState]]. Safe because Bench resets
-    * BEFORE each rep — the previous rep's result is already materialized
-    * when its blocks are reclaimed. */
-  private val scratchCheckpoints =
-    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
-  private def scratchCkpt(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint(true)
-    scratchCheckpoints.add(c)
-    c
-  }
+  private def scratchCkpt(df: DataFrame): DataFrame =
+    graft.ops.CheckpointScratch.ckpt(df)
 
   /** Multimodal asset fixture: real PNG encode (ImageIO, zlib IDAT) of
     * the image third of the assets costs more than the decode under test,
@@ -618,7 +611,7 @@ object SparkEntry {
     // saves, and the checkpointed RDD is reclaimed once unreferenced
     val cells = best.select(col("url"), col("page"), explode(col("cells")).as("c"))
       .select(col("url"), col("page"), col("c.r").as("r"), col("c.c").as("c"), col("c.v").as("v"))
-      .localCheckpoint(true)
+      .transform(graft.ops.CheckpointScratch.ckpt)
     val parse = udf((v: String) => graft.core.TextMetrics.parseNumeric(v))
     val facts = cells.withColumn("value0", parse(col("v")))
       .filter(col("value0").isNotNull && (col("r") + col("c")) % 3 === 0)
@@ -1390,26 +1383,33 @@ object SparkEntry {
        |        / CAST(greatest(COALESCE(b2.nbi, 0), 1) AS DOUBLE), 4) > 0.18) AS repetitive
        |FROM wagg w LEFT JOIN bagg b2 USING (doc_id)""".stripMargin
 
-  /** q_pack_bins oracle: the greedy fold as a recursive CTE over the
-    * per-source row sequence (bin state carried row to row). */
-  private def packBinsOracle: String =
-    s"""WITH RECURSIVE t AS (
+  /** The greedy pack fold (budget 200) as recursive-CTE text — ONE
+    * definition shared by q_pack_bins, q_pack_stats and the funnel's
+    * pack stage (a drifted copy would silently desync their oracles).
+    * `fill > 0` mirrors the operator: an EMPTY bin is never closed (a
+    * zero-token doc at a group head must not push the next doc into
+    * bin 1). Binds CTE names `t` and `rec` over a `documents`-shaped
+    * relation `src(source, doc_id, text)`. */
+  private def packFoldCte(src: String): String =
+    s"""t AS (
        |  SELECT source, doc_id,
        |    CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
        |         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS ntok,
        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-       |  FROM documents),
+       |  FROM $src),
        |rec AS (
        |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
        |  FROM t WHERE rn = 1
        |  UNION ALL
-       |  -- fill > 0 mirrors the operator: an EMPTY bin is never closed
-       |  -- (a zero-token doc at a group head must not push the next doc
-       |  -- into bin 1)
        |  SELECT t.source, t.doc_id, t.ntok, t.rn,
        |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN r.bin + 1 ELSE r.bin END,
        |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN t.ntok ELSE r.fill + t.ntok END
-       |  FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+       |  FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)""".stripMargin
+
+  /** q_pack_bins oracle: the greedy fold as a recursive CTE over the
+    * per-source row sequence (bin state carried row to row). */
+  private def packBinsOracle: String =
+    s"""WITH RECURSIVE ${packFoldCte("documents")}
        |SELECT source, doc_id, ntok AS n_tokens, CAST(bin AS BIGINT) AS bin_id
        |FROM rec""".stripMargin
 
@@ -1446,23 +1446,10 @@ object SparkEntry {
        |LEFT JOIN dup du USING (doc_id)""".stripMargin
   }
 
-  /** q_pack_stats oracle: the pack-bins recursive fold, then per-bin
-    * aggregation (docs, used tokens, fill fraction vs the 200 budget). */
+  /** q_pack_stats oracle: the SHARED pack fold, then per-bin aggregation
+    * (docs, used tokens, fill fraction vs the 200 budget). */
   private def packStatsOracle: String =
-    s"""WITH RECURSIVE t AS (
-       |  SELECT source, doc_id,
-       |    CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
-       |         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS ntok,
-       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-       |  FROM documents),
-       |rec AS (
-       |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
-       |  FROM t WHERE rn = 1
-       |  UNION ALL
-       |  SELECT t.source, t.doc_id, t.ntok, t.rn,
-       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN r.bin + 1 ELSE r.bin END,
-       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN t.ntok ELSE r.fill + t.ntok END
-       |  FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+    s"""WITH RECURSIVE ${packFoldCte("documents")}
        |SELECT source, CAST(bin AS BIGINT) AS bin_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(ntok) AS BIGINT) AS used,
@@ -1642,17 +1629,7 @@ object SparkEntry {
        |s5 AS (SELECT doc_id, source, text FROM (
        |    SELECT doc_id, source, text, ${saltedHashSql("split")} AS hu FROM s4)
        |  WHERE hu < CAST('$trainCut' AS UBIGINT)),
-       |pt AS (SELECT source, doc_id, CAST($tokN AS BIGINT) AS ntok,
-       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-       |       FROM s5),
-       |prec AS (
-       |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
-       |  FROM pt WHERE rn = 1
-       |  UNION ALL
-       |  SELECT t.source, t.doc_id, t.ntok, t.rn,
-       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN r.bin + 1 ELSE r.bin END,
-       |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN t.ntok ELSE r.fill + t.ntok END
-       |  FROM prec r JOIN pt t ON t.source = r.source AND t.rn = r.rn + 1),
+       |${packFoldCte("s5")},
        |stages AS (
        |  SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs,
        |    COALESCE(sum($tokN), 0) AS n_tokens FROM all0
@@ -1662,7 +1639,7 @@ object SparkEntry {
        |  UNION ALL SELECT 4, 'decontaminated', count(*), COALESCE(sum($tokN), 0) FROM s4
        |  UNION ALL SELECT 5, 'train_split', count(*), COALESCE(sum($tokN), 0) FROM s5
        |  UNION ALL SELECT 6, 'packed_bins', count(*), COALESCE(sum(toks), 0)
-       |    FROM (SELECT source, bin, sum(ntok) AS toks FROM prec GROUP BY source, bin))
+       |    FROM (SELECT source, bin, sum(ntok) AS toks FROM rec GROUP BY source, bin))
        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
        |FROM stages ORDER BY stage_idx""".stripMargin

@@ -105,7 +105,7 @@ object Dedup {
       .toDF("sid", "sh")
       // consumed twice (corpus counts + per-doc join): without the eager
       // checkpoint both consumers re-tokenize the full corpus
-      .localCheckpoint(true)
+      .transform(CheckpointScratch.ckpt)
     val dupSet = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("sh"), lit(1).as("dup"))
     val counts = sh.join(dupSet, Seq("sh"), "left")
@@ -176,7 +176,7 @@ object Dedup {
     // sides) consumes this checkpointed frame — without it each consumer
     // re-runs the shingling over the full corpus
     val base = docs.select(col(idCol).as("id"), shUdf(col(textCol)).as("shs"))
-      .localCheckpoint(true)
+      .transform(CheckpointScratch.ckpt)
     val bandUdf = udf((shs: Seq[Long]) =>
       lshBandKeys(minhashFromHashes(shs.toArray, numHashes), bands))
     // the band-key explode carries ONLY (id, key): carrying text/shingles
@@ -248,7 +248,7 @@ object Dedup {
       // count probe below, but the backing RDD is reclaimed by the
       // ContextCleaner once unreferenced — CacheManager entries from
       // persist() leak across repeated invocations in one session
-      .localCheckpoint(true)
+      .transform(CheckpointScratch.ckpt)
     // RDD-derived frames carry no stats, so AQE cannot see that a small
     // dictionary fits in a broadcast — probe the (already materialized)
     // SIZE and hint explicitly; large dictionaries take the shuffle join.
@@ -346,7 +346,7 @@ object Dedup {
     // analyzer/optimizer time grows superlinearly with rounds and dwarfs
     // the actual work. Checkpointing keeps each round's plan flat.
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+      .select(col("id"), col("id").as("lbl")).transform(CheckpointScratch.ckpt)
     // checkpointed (RDD-backed) frames carry no stats, so AQE never
     // broadcasts them — probe the endpoint count ONCE and hint the label
     // side explicitly when it fits, removing every per-round shuffle of
@@ -380,7 +380,7 @@ object Dedup {
           col("a.lbl") === col("jid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .transform(CheckpointScratch.ckpt)
       hop.unpersist()
       // labels decrease monotonically, so the (exact, decimal) label sum is
       // a strict change witness — one aggregate per round, no diff join
@@ -520,7 +520,7 @@ object Dedup {
     val tagged = batch.select(col(idCol), col(textCol))
       .withColumn("mc", graft.functions.functions.graft_might_contain(
         lit(bloom), xxhash64(coalesce(col(textCol), lit("")))))
-      .localCheckpoint(true)
+      .transform(CheckpointScratch.ckpt)
     val definitelyNew = tagged.filter(!col("mc")).drop("mc")
     val verifiedNew = tagged.filter(col("mc")).drop("mc")
       .join(seen.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
@@ -552,7 +552,7 @@ object Dedup {
     // far below the 4-decimal jaccard rounding).
     val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("words"))
-      .localCheckpoint(true)
+      .transform(CheckpointScratch.ckpt)
     val a = base.select(col("blk"), col("id").as("id_a"), col("words").as("wa"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("words").as("wb"))
     val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
@@ -587,7 +587,7 @@ object Dedup {
     // ties by hash) preserves exact recall.
     val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("words"))
-      .localCheckpoint(true)
+      .transform(CheckpointScratch.ckpt)
     val n = size(col("words"))
     val toks = base.select(col("blk"), col("id"),
       (n - ceil(lit(threshold) * n) + 1).cast("int").as("pl"),

@@ -160,8 +160,9 @@ object Multimodal {
         val frameSize = fmt.getFrameSize
         val rate = fmt.getSampleRate
         if (frameSize <= 0 || rate <= 0f || fmt.getChannels <= 0) return invalid
-        // a hostile header can declare absurd channel counts → huge frames;
-        // 1 MB/frame is far beyond any real PCM layout
+        // belt-and-braces: WAV's 2-byte blockAlign caps a PARSED frame at
+        // 65535 B, but AudioSystem serves other providers whose formats
+        // could report larger frames; 1 MB/frame is beyond any PCM layout
         if (frameSize > (1 << 20)) return invalid
         var ck = 0xcbf29ce484222325L
         var totalBytes = 0L

@@ -73,13 +73,16 @@ object TextAnalysis {
       df.withColumn(s"_h_$lang",
         size(array_intersect(col("_toks"), typedLit(stopwords(lang)))))
     }
+    // NULL text propagates to m = NULL (size(null) is null in Spark 4):
+    // must land in 'und' like zero hits — without the isNull arm the
+    // when-chain's otherwise() would claim the row for the LAST language
     val m = greatest(langs.map(l => col(s"_h_$l")): _*)
     val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
       when(col(s"_h_$l") === m, lit(l)).otherwise(rest)
     }
     withHits
-      .withColumn("pred_lang", when(m === 0, lit("und")).otherwise(pred))
-      .withColumn("lang_hits", m.cast("long"))
+      .withColumn("pred_lang", when(m.isNull || m === 0, lit("und")).otherwise(pred))
+      .withColumn("lang_hits", coalesce(m, lit(0)).cast("long"))
       .drop("_toks" +: langs.map(l => s"_h_$l"): _*)
   }
 

@@ -175,15 +175,19 @@ object SnapshotStore {
     lineage.write.mode("overwrite").parquet(s"$root/lineage/run-$runId")
 
     // manifest column stats: new files always; prior snapshots' entries
-    // carry over untouched (files are immutable once committed). A LEGACY
-    // manifest (dirs but no file lines) gets its old dirs BACKFILLED here
-    // — committing partial coverage would make readCommittedRange prune
-    // away every legacy file silently (its full-scan fallback only fires
-    // when files is entirely empty).
-    val prevFiles =
-      if (prev.dataDirs.nonEmpty && prev.files.isEmpty)
-        prev.dataDirs.flatMap(d => collectFileStats(spark, d))
-      else prev.files
+    // carry over untouched (files are immutable once committed). Any
+    // committed dir with NO stats coverage (a legacy manifest, or one
+    // written by a partially-covering intermediate build) is BACKFILLED
+    // here — committing partial coverage would make readCommittedRange
+    // prune away the uncovered dirs' rows silently (its full-scan
+    // fallback only fires when files is entirely empty).
+    // stats paths are input_file_name() URIs (file:///...), dataDirs are
+    // plain paths — normalize before the containment check or every dir
+    // reads as uncovered and gets re-scanned each run
+    def norm(p: String) = p.stripPrefix("file:").replaceAll("^/+", "/")
+    val uncovered = prev.dataDirs.filterNot(d =>
+      prev.files.exists(f => norm(f.path).startsWith(norm(d))))
+    val prevFiles = prev.files ++ uncovered.flatMap(d => collectFileStats(spark, d))
     val snap = Snapshot(snapId, prev.buckets ++ pending, prev.dataDirs :+ dataDir,
       prevFiles ++ collectFileStats(spark, dataDir))
     commitManifest(root, snap)

@@ -222,12 +222,16 @@ class FuzzSpec extends AnyFunSuite {
         Multimodal.decode(s.toLong, real.take(cut))
         cut += 16
       }
-      // hostile fmt chunk: absurd channel count -> giant frame size must
-      // be rejected, not allocated
+      // hostile fmt chunk: corrupt the channel count (offset 22 in a
+      // canonical RIFF fmt chunk). NOTE this cannot reach the 1 MB
+      // frame-size guard — WAV blockAlign is a 2-byte field, so a parsed
+      // frame size caps at 65535; the guard covers non-WAV providers.
+      // The contract here is containment: return wav-shaped meta, no
+      // throw, no unbounded allocation.
       val bad = Multimodal.makeWav(s.toLong, nFrames = 8)
-      // channels field is at offset 22 in a canonical RIFF fmt chunk
       if (bad.length > 23) { bad(22) = 0xFF.toByte; bad(23) = 0x7F.toByte }
-      Multimodal.decode(s.toLong, bad)
+      val mb = Multimodal.decode(s.toLong, bad)
+      assert(mb.assetId == s.toLong && mb.format == "wav")
     }
   }
 

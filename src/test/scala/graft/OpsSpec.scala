@@ -225,6 +225,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = TextAnalysis.langId(d).select($"doc_id", $"pred_lang")
       .as[(Long, String)].collect().toMap
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
+    // NULL text must land in 'und' with 0 hits (size(null) is null in
+    // Spark 4 — the when-chain's otherwise() must not claim the row)
+    val nul = TextAnalysis.langId(docsDF(Seq((9L, null.asInstanceOf[String]))))
+      .select($"pred_lang", $"lang_hits").as[(String, Long)].collect().head
+    assert(nul == ("und", 0L), nul.toString)
   }
 
   test("token counts: words vs BPE-ish subtokens") {
