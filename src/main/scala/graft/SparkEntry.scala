@@ -269,13 +269,10 @@ object SparkEntry {
 
   /** Eagerly unpersist a localCheckpoint-backed frame's blocks: dropping
     * the reference alone leaves them to GC + ContextCleaner, whose
-    * asynchronous reclaim lands inside subsequent timed bench reps. */
+    * asynchronous reclaim lands inside subsequent timed bench reps.
+    * ONE implementation — CheckpointScratch.drop. */
   private def dropCheckpoint(df: Dataset[_]): Unit =
-    try df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    } catch { case _: Throwable => () }
+    graft.ops.CheckpointScratch.drop(df)
 
   /** Drop all cross-query memo state (Bench calls this before every timed
     * rep so per-query numbers measure the OPERATOR, not a warm memo; it
@@ -605,10 +602,11 @@ object SparkEntry {
   private def xValidate(s: SparkSession, dir: String): DataFrame = {
     val docs = sharedDocs(s, xDocCount(dir) / 4)
     val best = graft.spark.ExtractJob.bestTables(docs)
-    // localCheckpoint: both the fact derivation and the banded join consume
+    // checkpoint: both the fact derivation and the banded join consume
     // `cells`, and without it each side re-runs the full extraction
     // upstream — the cells inventory is tiny relative to the parse it
-    // saves, and the checkpointed RDD is reclaimed once unreferenced
+    // saves; registered scratch, dropped at the next bench-rep reset (or
+    // GC-reclaimed when unreferenced — the registry holds weak refs)
     val cells = best.select(col("url"), col("page"), explode(col("cells")).as("c"))
       .select(col("url"), col("page"), col("c.r").as("r"), col("c.c").as("c"), col("c.v").as("v"))
       .transform(graft.ops.CheckpointScratch.ckpt)

@@ -387,6 +387,10 @@ object Dedup {
       val s = labelSum(next)
       done = s.compareTo(prevSum) == 0
       prevSum = s
+      // the superseded round's label blocks are dead the moment `next` is
+      // materialized (labelSum above) — drop them NOW so peak storage
+      // stays O(1) label frames regardless of graph diameter
+      CheckpointScratch.drop(labels)
       labels = next
       iter += 1
     }

@@ -108,7 +108,7 @@ object Sketches {
     val cands = toks.groupBy(col(groupCol))
       .agg(graft.functions.functions.graft_spacesaving(col("tok"), lit(m)).as("cand"),
         count(lit(1)).as("n_total"))
-      .localCheckpoint(true) // consumed twice (candidate join + n_total)
+      .transform(CheckpointScratch.ckpt _) // consumed twice (candidate join + n_total)
     val candFlat = broadcast(cands.select(col(groupCol), explode(col("cand")).as("tok")))
     val exact = toks.join(candFlat, Seq(groupCol, "tok"))
       .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
@@ -136,7 +136,7 @@ object Sketches {
     // gets an overlap estimate — that is the query's output), so G must be
     // sketch-sized, not data-sized. Guard it: 4096 groups = 8.4M output
     // rows × k longs is the most a driver-facing overlap matrix can want.
-    val sk = kmvSketches(docs, groupCol, k, textCol).localCheckpoint(true)
+    val sk = CheckpointScratch.ckpt(kmvSketches(docs, groupCol, k, textCol))
     val nGroups = sk.count()
     require(nGroups <= maxGroups,
       s"kmvOverlap enumerates all group pairs (O(G²) output): $nGroups groups " +

@@ -184,9 +184,13 @@ object SnapshotStore {
     // stats paths are input_file_name() URIs (file:///...), dataDirs are
     // plain paths — normalize before the containment check or every dir
     // reads as uncovered and gets re-scanned each run
+    // dir prefix carries a trailing separator: bare startsWith would let
+    // run-r10's files mark sibling run-r1 as covered
     def norm(p: String) = p.stripPrefix("file:").replaceAll("^/+", "/")
-    val uncovered = prev.dataDirs.filterNot(d =>
-      prev.files.exists(f => norm(f.path).startsWith(norm(d))))
+    val uncovered = prev.dataDirs.filterNot { d =>
+      val prefix = norm(d).stripSuffix("/") + "/"
+      prev.files.exists(f => norm(f.path).startsWith(prefix))
+    }
     val prevFiles = prev.files ++ uncovered.flatMap(d => collectFileStats(spark, d))
     val snap = Snapshot(snapId, prev.buckets ++ pending, prev.dataDirs :+ dataDir,
       prevFiles ++ collectFileStats(spark, dataDir))
