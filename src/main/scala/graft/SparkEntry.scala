@@ -746,6 +746,18 @@ object SparkEntry {
     graft.ops.Dedup.incrementalNew(seen, batch).orderBy(col("doc_id"))
   }
 
+  /** Text normalization over a deterministically-messied corpus (the
+    * driver texts are already clean, so tabs/controls/newline layout and
+    * sentence punctuation are planted identically on both engines):
+    * control-strip, whitespace collapse, trim + line/sentence counts. */
+  private def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("  \tpad "), col("text"),
+      lit("\nsecond  line here. Done! Ok? \n\n\ttail  "))
+    graft.ops.Normalize.normalize(
+        t(s, dir, "documents").select(col("doc_id"), messy.as("text")))
+      .select(col("doc_id"), col("clean_text"), col("n_lines"), col("n_sentences"))
+  }
+
   /** Exact-substring duplication profile (Lee et al. ACL 2022 signal):
     * per-doc fraction of 8-token spans occurring more than once in the
     * corpus. Every 3rd doc gets a shared 12-word boilerplate suffix, so
@@ -876,6 +888,7 @@ object SparkEntry {
     "q_pack_bins"        -> qPackBins _,
     "q_pack_stats"       -> qPackStats _,
     "q_dup_spans"        -> qDupSpans _,
+    "q_normalize"        -> qNormalize _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
     "q_incremental_new"  -> qIncrementalNew _,
@@ -1411,6 +1424,35 @@ object SparkEntry {
        |SELECT source, doc_id, ntok AS n_tokens, CAST(bin AS BIGINT) AS bin_id
        |FROM rec""".stripMargin
 
+  /** q_normalize oracle: identical messy construction (chr() for the
+    * control/tab/newline bytes), identical RE2-safe patterns. Both
+    * engines' `$` semantics agree here because clean_text carries no
+    * newlines (all collapsed) and the line counter spells `\n` explicitly. */
+  private def normalizeOracle: String = {
+    val ctrl = graft.ops.Normalize.ControlRe
+    val ws = graft.ops.Normalize.WsRunRe
+    val edge = graft.ops.Normalize.EdgeWsRe
+    val sent = graft.ops.Normalize.SentenceEndRe
+    val line = graft.ops.Normalize.ContentLineRe
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    '  ' || chr(9) || 'pad ' || text || chr(10) || 'second  line'
+       |      || chr(7) || ' here. Done! Ok? ' || chr(10) || chr(10)
+       |      || chr(9) || 'tail' || chr(1) || '  ' AS t
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, t,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$ctrl', '', 'g'),
+       |      '$ws', ' ', 'g'),
+       |      '$edge', '', 'g') AS clean_text
+       |  FROM m)
+       |SELECT doc_id, clean_text,
+       |  CAST(len(regexp_extract_all(t, '$line')) AS BIGINT) AS n_lines,
+       |  CAST(len(regexp_extract_all(clean_text, '$sent')) AS BIGINT) AS n_sentences
+       |FROM c""".stripMargin
+  }
+
   /** q_dup_spans oracle: identical boilerplate planting, POSITIONAL
     * 8-token spans (every occurrence, no dedup), fnv1a span hashes,
     * corpus-wide occurrence counts, per-doc duplicated-span tallies. */
@@ -1659,6 +1701,7 @@ object SparkEntry {
     "q_pack_bins" -> packBinsOracle,
     "q_pack_stats" -> packStatsOracle,
     "q_dup_spans" -> dupSpansOracle,
+    "q_normalize" -> normalizeOracle,
     "q_cosine_neardup" -> cosineNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_fingerprint" -> fingerprintOracle,

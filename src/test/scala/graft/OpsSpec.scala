@@ -415,6 +415,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.format == "png" && !m2.valid)
   }
 
+  test("normalize: control strip, whitespace collapse, trim; line and sentence counts") {
+    import spark.implicits._
+    val d = docsDF(Seq(
+      (1L, "  \tHello world.  This is fine!  \n\n  Second line? \n\t "),
+      (2L, "plain"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "ends with period.")))
+    val r = graft.ops.Normalize.normalize(d)
+      .select($"doc_id", $"clean_text", $"n_lines", $"n_sentences")
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == "Hello world. This is fine! Second line?", r(1L)._2)
+    assert(r(1L)._3 == 2L, s"lines: ${r(1L)._3}") // two content lines; blank/ws-only don't count
+    assert(r(1L)._4 == 3L) // . ! ?
+    assert(r(2L)._2 == "plain" && r(2L)._3 == 1L && r(2L)._4 == 0L)
+    assert(r(3L)._2 == "" && r(3L)._3 == 0L && r(3L)._4 == 0L)
+    assert(r(4L)._4 == 1L) // terminator at end-of-text counts
+  }
+
   test("duplicated spans: shared boilerplate flagged positionally, unique text zero, repeats within a doc count") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10 shared words
