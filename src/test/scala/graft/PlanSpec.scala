@@ -117,10 +117,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
   }
 
-  test("splits and pii scrub are narrow: zero Exchange in the plan") {
-    // split/sample/scrub must stay one codegen'd scan at 100 TB — a shuffle
-    // here would mean hashing or regexp got planned as a wide op
-    for (q <- Seq("q_train_split", "q_hash_sample", "q_pii_scrub")) {
+  test("dup spans plan: equi-joins only, never cartesian; no lambda") {
+    val p = plan(SparkEntry.queries("q_dup_spans")(spark, sf), "extended")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(!p.toLowerCase.contains("lambdafunction"), "dup-spans plan contains a HOF")
+  }
+
+  test("splits, pii scrub and normalize are narrow: zero Exchange in the plan") {
+    // split/sample/scrub/normalize must stay one codegen'd scan at 100 TB —
+    // a shuffle here would mean hashing or regexp got planned as a wide op
+    for (q <- Seq("q_train_split", "q_hash_sample", "q_pii_scrub", "q_normalize")) {
       val p = plan(SparkEntry.queries(q)(spark, sf), "simple")
       assert(!p.contains("Exchange"), s"$q: ${p.take(1500)}")
       assert(!p.contains("ScalaUDF"), s"$q plans an interpreted UDF: ${p.take(1500)}")
