@@ -177,24 +177,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
     // the same narrow operators used in batch apply verbatim to a stream:
-    // PII scrub, quality features, deterministic split — no state, no
-    // watermark needed (stateless row transforms)
+    // normalize, PII scrub, quality features, deterministic split — no
+    // state, no watermark needed (stateless row transforms)
     val curated = graft.ops.Splits.hashSplit(
       graft.ops.TextAnalysis.qualityScore(
-        graft.ops.Scrub.scrub(stream.toDS().toDF("doc_id", "text")),
+        graft.ops.Scrub.scrub(
+          graft.ops.Normalize.normalize(stream.toDS().toDF("doc_id", "text"))
+            .drop("text").withColumnRenamed("clean_text", "text")),
         textCol = "clean_text"))
-      .select($"doc_id", $"n_emails", $"quality_score", $"split")
+      .select($"doc_id", $"n_emails", $"quality_score", $"split", $"n_sentences")
     val q = curated.writeStream.format("memory").queryName("curate_mem")
       .outputMode("append").start()
     stream.addData(
-      (1L, "the data of value mail me at a@b.io please and more of the words here"),
+      (1L, "  the data of value mail me\tat a@b.io please. and more of the words here  "),
       (2L, "x"))
     q.processAllAvailable()
     q.stop()
     val got = spark.table("curate_mem")
-      .as[(Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
-    assert(got(1L)._2 == 1L) // email detected
+      .as[(Long, Long, Double, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1L) // email detected through the normalized text
     assert(got(1L)._3 > got(2L)._3) // quality gate separates the docs
+    assert(got(1L)._5 == 1L && got(2L)._5 == 0L) // sentence stat flows through
     // split matches the batch assignment for the same ids (determinism)
     val batch = graft.ops.Splits.hashSplit(
       Seq((1L, "t"), (2L, "t")).toDF("doc_id", "text"))
