@@ -114,6 +114,21 @@ object SnapshotStore {
     java.util.Arrays.compareUnsigned(ab, bb) <= 0
   }
 
+  /** Committed data dirs with NO file-stats coverage (a legacy manifest,
+    * or one written by a partially-covering intermediate build). Stats
+    * paths are input_file_name() URIs (file:///...), dataDirs are plain
+    * paths — normalize before the containment check; and the dir prefix
+    * carries a trailing separator, or run-r10's files would mark sibling
+    * run-r1 as covered and its backfill would be skipped (silent row loss
+    * in every later ranged read). */
+  def uncoveredDirs(s: Snapshot): Vector[String] = {
+    def norm(p: String) = p.stripPrefix("file:").replaceAll("^/+", "/")
+    s.dataDirs.filterNot { d =>
+      val prefix = norm(d).stripSuffix("/") + "/"
+      s.files.exists(f => norm(f.path).startsWith(prefix))
+    }
+  }
+
   /** Manifest-only file pruning for a ranged read: keep files whose
     * [tsMin,tsMax] overlaps the requested ts window and whose
     * [hostMin,hostMax] could contain `host`. Stats bound a SUPERSET —
@@ -184,13 +199,7 @@ object SnapshotStore {
     // stats paths are input_file_name() URIs (file:///...), dataDirs are
     // plain paths — normalize before the containment check or every dir
     // reads as uncovered and gets re-scanned each run
-    // dir prefix carries a trailing separator: bare startsWith would let
-    // run-r10's files mark sibling run-r1 as covered
-    def norm(p: String) = p.stripPrefix("file:").replaceAll("^/+", "/")
-    val uncovered = prev.dataDirs.filterNot { d =>
-      val prefix = norm(d).stripSuffix("/") + "/"
-      prev.files.exists(f => norm(f.path).startsWith(prefix))
-    }
+    val uncovered = uncoveredDirs(prev)
     val prevFiles = prev.files ++ uncovered.flatMap(d => collectFileStats(spark, d))
     val snap = Snapshot(snapId, prev.buckets ++ pending, prev.dataDirs :+ dataDir,
       prevFiles ++ collectFileStats(spark, dataDir))

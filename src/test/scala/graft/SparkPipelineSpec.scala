@@ -383,6 +383,36 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fallback.select($"url").as[String].collect().toSet == expect)
   }
 
+  test("manifest coverage: sibling dir prefixes never mask a missing backfill; partial coverage repaired on next run") {
+    import graft.spark.SnapshotStore.{FileStats, Snapshot}
+    // run-r10's files must NOT cover run-r1 (bare startsWith would match)
+    val s = Snapshot(1L, Set(0), Vector("/t/data/run-r1", "/t/data/run-r10"),
+      Vector(FileStats("file:///t/data/run-r10/part-0.parquet", 1L, 2L, "a", "b")))
+    assert(SnapshotStore.uncoveredDirs(s) == Vector("/t/data/run-r1"))
+    // covered via URI-form paths; legacy (no stats at all) → all uncovered
+    val covered = s.copy(files = s.files :+
+      FileStats("file:///t/data/run-r1/part-0.parquet", 1L, 2L, "a", "b"))
+    assert(SnapshotStore.uncoveredDirs(covered).isEmpty)
+    assert(SnapshotStore.uncoveredDirs(s.copy(files = Vector.empty)) == s.dataDirs)
+    // end-to-end: a PARTIAL manifest (stats stripped for run 1's dir) is
+    // repaired by the next run() — afterwards a ranged read over the old
+    // dir's rows is complete again
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-cover").toString
+    val pages = PagesTable.pagesDF(spark, 60)
+    SnapshotStore.run(spark, pages, root, runId = "r1", nBuckets = 4, maxBuckets = 2)
+    val manifest = java.nio.file.Paths.get(root).resolve("snapshot-1.tsv")
+    val partial = java.nio.file.Files.readAllLines(manifest).asScala
+      .filterNot(_.startsWith("file\t")).mkString("\n")
+    java.nio.file.Files.write(manifest, partial.getBytes)
+    val s2 = SnapshotStore.run(spark, pages, root, runId = "r2", nBuckets = 4)
+    assert(SnapshotStore.uncoveredDirs(s2).isEmpty, "backfill must cover the stripped dir")
+    val all = SnapshotStore.readCommitted(spark, root).get.count()
+    val ranged = SnapshotStore.readCommittedRange(spark, root,
+      tsMin = Some(Long.MinValue), tsMax = Some(Long.MaxValue)).get.count()
+    assert(ranged == all, s"ranged read lost rows: $ranged != $all")
+  }
+
   test("distributed image surface: real bbox/dims/payload per placement (S7)") {
     import spark.implicits._
     val docs = ExtractJob.extractDocs(spark, PagesTable.pagesDF(spark, N))
