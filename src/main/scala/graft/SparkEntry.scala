@@ -685,6 +685,15 @@ object SparkEntry {
     graft.ops.Splits.stratifiedSample(t(s, dir, "documents"), "source", k = 5)
       .select(col("doc_id"), col("source"))
 
+  /** Deterministic mixture sampling: configured per-source rates (the
+    * data-mixing step); sources outside the mixture are dropped. */
+  val MixtureRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+
+  private def qMixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.mixtureSample(t(s, dir, "documents"), MixtureRates)
+      .select(col("doc_id"), col("source"))
+
   /** Benchmark decontamination: 3-shingle overlap of every doc against
     * the "benchmark" subset (doc_id % 97 == 0). */
   private def qContamination(s: SparkSession, dir: String): DataFrame = {
@@ -881,6 +890,7 @@ object SparkEntry {
     "q_pii_scrub"        -> qPiiScrub _,
     "q_train_split"      -> qTrainSplit _,
     "q_hash_sample"      -> qHashSample _,
+    "q_mixture_sample"   -> qMixtureSample _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_contamination"    -> qContamination _,
     "q_bm25"             -> qBm25 _,
@@ -1305,6 +1315,18 @@ object SparkEntry {
        |FROM h""".stripMargin
   }
 
+  /** q_mixture_sample oracle: the same per-source unsigned thresholds as
+    * exact literals (rate 1.0 keeps unconditionally; absent sources drop). */
+  private def mixtureSampleOracle: String = {
+    val arms = MixtureRates.toSeq.sortBy(_._1).map { case (src, p) =>
+      if (p >= 1.0) s"(source = '$src')"
+      else s"(source = '$src' AND hu < CAST('${graft.ops.Splits.thresholdU64(p)}' AS UBIGINT))"
+    }.mkString("\n       |   OR ")
+    s"""WITH h AS (SELECT doc_id, source, ${saltedHashSql("mix")} AS hu FROM documents)
+       |SELECT doc_id, source FROM h
+       |WHERE $arms""".stripMargin
+  }
+
   private def hashSampleOracle: String = {
     val t = graft.ops.Splits.thresholdU64(0.25)
     s"""WITH h AS (SELECT doc_id, source, ${saltedHashSql("sample")} AS hu FROM documents)
@@ -1694,6 +1716,7 @@ object SparkEntry {
     "q_pii_scrub" -> piiScrubOracle,
     "q_train_split" -> trainSplitOracle,
     "q_hash_sample" -> hashSampleOracle,
+    "q_mixture_sample" -> mixtureSampleOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
     "q_contamination" -> contaminationOracle,
     "q_bm25" -> bm25Oracle,

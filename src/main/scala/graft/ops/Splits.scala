@@ -81,6 +81,33 @@ object Splits {
       docs.filter(h < lit(flipped(thresholdU64(p))))
     }
 
+  /** Deterministic MIXTURE sampling — the data-mixing step of a training
+    * run (Pile/Dolma-style): every source is Bernoulli-sampled at its own
+    * configured rate, so the output corpus realizes the target mixture
+    * weights. Rates are CONFIG (as in real pipelines), not derived from
+    * observed counts, so the per-source thresholds are exact unsigned
+    * literals and any engine reproduces the sample bit-for-bit. Sources
+    * absent from `rates` are dropped (rate 0) — a mixture definition is
+    * exhaustive by intent; a stray source silently passing through at
+    * full weight is the dangerous default. Narrow: hash + per-source
+    * threshold compare, zero shuffle. */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+      sourceCol: String = "source", idCol: String = "doc_id",
+      salt: String = "mix"): DataFrame = {
+    require(rates.nonEmpty, "mixture needs at least one source rate")
+    rates.foreach { case (s, p) =>
+      require(p >= 0.0 && p <= 1.0, s"rate for '$s' must be in [0,1], got $p")
+    }
+    val h = hashCol(docs, salt, idCol).bitwiseXOR(lit(Long.MinValue))
+    // per-source keep predicate; rate 1.0 keeps unconditionally (the
+    // threshold literal for 1.0 would be 2^64-1, off by one row in 2^64)
+    val keep = rates.toSeq.sortBy(_._1).map { case (s, p) =>
+      if (p >= 1.0) col(sourceCol) === s
+      else col(sourceCol) === s && h < lit(flipped(thresholdU64(p)))
+    }.reduce(_ || _)
+    docs.filter(keep)
+  }
+
   /** Deterministic stratified sample: exactly the hash-smallest `k` rows
     * per group (a per-stratum deterministic "reservoir").
     *

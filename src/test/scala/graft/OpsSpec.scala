@@ -368,6 +368,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = graft.ops.Splits.stratifiedSample(d, "source", k = 4)
       .groupBy($"source").count().as[(String, Long)].collect().toMap
     assert(st.values.toSet == Set(4L) && st.size == 7)
+    // mixture: per-source rates hold, absent sources DROP, deterministic
+    val mix = graft.ops.Splits.mixtureSample(d,
+      Map("src0" -> 1.0, "src1" -> 0.3, "src6" -> 0.0))
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val bySrc = mix.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 286) // 2000/7 rounded: every src0 row kept
+    assert(bySrc.get("src6").isEmpty && bySrc.get("src2").isEmpty) // 0-rate + absent drop
+    assert(bySrc("src1") > 40 && bySrc("src1") < 140, bySrc.toString) // ~30% of 286
+    val mix2 = graft.ops.Splits.mixtureSample(d,
+      Map("src0" -> 1.0, "src1" -> 0.3, "src6" -> 0.0))
+      .select($"doc_id").as[Long].collect()
+    assert(mix.map(_._1).sorted.sameElements(mix2.sorted))
     // two-phase parity: saltBuckets = 1 IS the single-window form; any
     // fan-out must select the identical row set (the VERDICT r4 #1 claim)
     def ids(buckets: Int) = graft.ops.Splits
