@@ -170,7 +170,18 @@ object SnapshotStore {
       nBuckets: Int = 16, maxBuckets: Int = Int.MaxValue): Snapshot = {
     val prev = lastSnapshot(root).getOrElse(Snapshot(0L, Set.empty, Vector.empty))
     val pending = (0 until nBuckets).filterNot(prev.buckets).take(maxBuckets)
-    if (pending.isEmpty) return prev
+    if (pending.isEmpty) {
+      // nothing to extract — but a FULLY-committed store can still carry a
+      // partially-covered manifest (legacy/intermediate builds); repair it
+      // here or ranged reads keep pruning the uncovered dirs' rows forever
+      // (the backfill below this guard would never be reached again)
+      val missing = uncoveredDirs(prev)
+      if (missing.isEmpty) return prev
+      val repaired = Snapshot(prev.id + 1, prev.buckets, prev.dataDirs,
+        prev.files ++ missing.flatMap(d => collectFileStats(spark, d)))
+      commitManifest(root, repaired)
+      return repaired
+    }
 
     val withBucket = pages.withColumn("_bucket",
       pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))

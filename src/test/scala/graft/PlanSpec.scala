@@ -127,7 +127,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("splits, pii scrub and normalize are narrow: zero Exchange in the plan") {
     // split/sample/scrub/normalize must stay one codegen'd scan at 100 TB —
     // a shuffle here would mean hashing or regexp got planned as a wide op
-    for (q <- Seq("q_train_split", "q_hash_sample", "q_pii_scrub", "q_normalize")) {
+    for (q <- Seq("q_train_split", "q_hash_sample", "q_mixture_sample",
+        "q_pii_scrub", "q_normalize")) {
       val p = plan(SparkEntry.queries(q)(spark, sf), "simple")
       assert(!p.contains("Exchange"), s"$q: ${p.take(1500)}")
       assert(!p.contains("ScalaUDF"), s"$q plans an interpreted UDF: ${p.take(1500)}")

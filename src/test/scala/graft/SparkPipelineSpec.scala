@@ -411,6 +411,21 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ranged = SnapshotStore.readCommittedRange(spark, root,
       tsMin = Some(Long.MinValue), tsMax = Some(Long.MaxValue)).get.count()
     assert(ranged == all, s"ranged read lost rows: $ranged != $all")
+    // FULLY-committed store: strip stats again — a no-pending run() must
+    // still repair the manifest (it used to early-return before the
+    // backfill, leaving ranged reads lossy forever)
+    val manifest2 = java.nio.file.Paths.get(root).resolve(s"snapshot-${s2.id}.tsv")
+    val partial2 = java.nio.file.Files.readAllLines(manifest2).asScala
+      .filterNot(_.startsWith("file\t")).mkString("\n")
+    java.nio.file.Files.write(manifest2, partial2.getBytes)
+    val s3 = SnapshotStore.run(spark, pages, root, runId = "r3", nBuckets = 4)
+    assert(s3.id == s2.id + 1 && SnapshotStore.uncoveredDirs(s3).isEmpty,
+      "no-pending run must commit a repaired manifest")
+    val ranged2 = SnapshotStore.readCommittedRange(spark, root,
+      tsMin = Some(Long.MinValue), tsMax = Some(Long.MaxValue)).get.count()
+    assert(ranged2 == all, s"repaired ranged read lost rows: $ranged2 != $all")
+    // idempotent: a further run with full coverage commits nothing new
+    assert(SnapshotStore.run(spark, pages, root, runId = "r4", nBuckets = 4).id == s3.id)
   }
 
   test("distributed image surface: real bbox/dims/payload per placement (S7)") {
