@@ -128,5 +128,13 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
         .otherwise(col("text")))
     timed("duplicatedSpans 2M (k=8, 1/3 boilerplate)")(
       graft.ops.Dedup.duplicatedSpans(boiler, k = 8).count())
+
+    timed("normalize 2M")(
+      graft.ops.Normalize.normalize(docs)
+        .agg(sum(length(col("clean_text"))) + sum(col("n_sentences")))
+        .head().getLong(0))
+    timed("mixtureSample 2M (4 of 1000 sources)")(
+      graft.ops.Splits.mixtureSample(docs,
+        Map("s1" -> 1.0, "s2" -> 0.5, "s3" -> 0.25, "s4" -> 0.1)).count())
   }
 }
