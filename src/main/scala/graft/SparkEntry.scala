@@ -711,18 +711,21 @@ object SparkEntry {
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.repetitionStats(t(s, dir, "documents"))
 
-  /** Greedy sequence packing into 200-token bins per source shard. */
+  /** Greedy two-level sequence packing into 200-token bins per
+    * (source, salted sub-shard) — shard count shared with the oracle. */
   private def qPackBins(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Packing.packGreedy(t(s, dir, "documents"), budget = 200)
+    graft.ops.Packing.packGreedy(t(s, dir, "documents"), budget = 200,
+        shards = PackShards)
       .orderBy(col("source"), col("doc_id"))
 
   /** Bin-utilization report over the packed corpus (docs/bin, used
     * tokens, fill fraction) — the packing-efficiency summary a data
-    * loader monitors. */
+    * loader monitors; bin identity is (source, shard, bin). */
   private def qPackStats(s: SparkSession, dir: String): DataFrame =
     graft.ops.Packing.packStats(
-      graft.ops.Packing.packGreedy(t(s, dir, "documents"), budget = 200), budget = 200)
-      .orderBy(col("source"), col("bin_id"))
+      graft.ops.Packing.packGreedy(t(s, dir, "documents"), budget = 200,
+        shards = PackShards), budget = 200)
+      .orderBy(col("source"), col("shard_id"), col("bin_id"))
 
   /** Approximate quantiles from a bottom-k uniform sample (mergeable O(k)
     * state — the scale path where exact percentile would sort the group). */
@@ -867,9 +870,10 @@ object SparkEntry {
     // stage 5 — deterministic train split
     val s5 = scratchCkpt(
       Splits.hashSplit(s4).filter(col("split") === "train").drop("split"))
-    // stage 6 — sequence packing into 200-token bins per source
-    val binStat = Packing.packGreedy(s5, budget = 200)
-      .groupBy(col("source"), col("bin_id")).agg(sum(col("n_tokens")).as("toks"))
+    // stage 6 — sequence packing into 200-token bins per (source, shard)
+    val binStat = Packing.packGreedy(s5, budget = 200, shards = PackShards)
+      .groupBy(col("source"), col("shard_id"), col("bin_id"))
+      .agg(sum(col("n_tokens")).as("toks"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("toks")), lit(0L)).as("n_tokens"))
       .select(lit(6L).as("stage_idx"), lit("packed_bins").as("stage"),
         col("n_docs"), col("n_tokens"))
@@ -1416,34 +1420,47 @@ object SparkEntry {
        |        / CAST(greatest(COALESCE(b2.nbi, 0), 1) AS DOUBLE), 4) > 0.18) AS repetitive
        |FROM wagg w LEFT JOIN bagg b2 USING (doc_id)""".stripMargin
 
-  /** The greedy pack fold (budget 200) as recursive-CTE text — ONE
-    * definition shared by q_pack_bins, q_pack_stats and the funnel's
-    * pack stage (a drifted copy would silently desync their oracles).
+  /** Shard count for the two-level pack fold — shared by the Spark
+    * queries and the oracle CTE (one constant, zero drift). */
+  private val PackShards = 4
+
+  /** The greedy two-level pack fold (budget 200, `PackShards` salted
+    * sub-shards) as recursive-CTE text — ONE definition shared by
+    * q_pack_bins, q_pack_stats and the funnel's pack stage (a drifted
+    * copy would silently desync their oracles). The shard is the
+    * UBIGINT image of the shared salted row hash, `(h >> 1) % S` —
+    * identical bits to Spark's `shiftrightunsigned(h, 1) % S` for ANY S
+    * (signed pmod of the raw hash would only agree for power-of-two S).
     * `fill > 0` mirrors the operator: an EMPTY bin is never closed (a
-    * zero-token doc at a group head must not push the next doc into
-    * bin 1). Binds CTE names `t` and `rec` over a `documents`-shaped
-    * relation `src(source, doc_id, text)`. */
+    * zero-token doc at a cell head must not push the next doc into
+    * bin 1). Binds CTE names `t0`, `t` and `rec` over a
+    * `documents`-shaped relation `src(source, doc_id, text)`. */
   private def packFoldCte(src: String): String =
-    s"""t AS (
+    s"""t0 AS (
        |  SELECT source, doc_id,
        |    CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
        |         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS ntok,
-       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |    CAST(((${saltedHashSql("pack")}) >> 1) % $PackShards AS BIGINT) AS shard
        |  FROM $src),
+       |t AS (
+       |  SELECT source, doc_id, ntok, shard,
+       |    row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+       |  FROM t0),
        |rec AS (
-       |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
+       |  SELECT source, doc_id, ntok, shard, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
        |  FROM t WHERE rn = 1
        |  UNION ALL
-       |  SELECT t.source, t.doc_id, t.ntok, t.rn,
+       |  SELECT t.source, t.doc_id, t.ntok, t.shard, t.rn,
        |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN r.bin + 1 ELSE r.bin END,
        |    CASE WHEN r.fill > 0 AND r.fill + t.ntok > 200 THEN t.ntok ELSE r.fill + t.ntok END
-       |  FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)""".stripMargin
+       |  FROM rec r JOIN t ON t.source = r.source AND t.shard = r.shard AND t.rn = r.rn + 1)""".stripMargin
 
   /** q_pack_bins oracle: the greedy fold as a recursive CTE over the
-    * per-source row sequence (bin state carried row to row). */
+    * per-(source, shard) row sequence (bin state carried row to row). */
   private def packBinsOracle: String =
     s"""WITH RECURSIVE ${packFoldCte("documents")}
-       |SELECT source, doc_id, ntok AS n_tokens, CAST(bin AS BIGINT) AS bin_id
+       |SELECT source, doc_id, ntok AS n_tokens, shard AS shard_id,
+       |  CAST(bin AS BIGINT) AS bin_id
        |FROM rec""".stripMargin
 
   /** q_normalize oracle: identical messy construction (chr() for the
@@ -1512,12 +1529,12 @@ object SparkEntry {
     * (docs, used tokens, fill fraction vs the 200 budget). */
   private def packStatsOracle: String =
     s"""WITH RECURSIVE ${packFoldCte("documents")}
-       |SELECT source, CAST(bin AS BIGINT) AS bin_id,
+       |SELECT source, shard AS shard_id, CAST(bin AS BIGINT) AS bin_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(ntok) AS BIGINT) AS used,
        |  round(CAST(least(sum(ntok), 200) AS DOUBLE) / 200, 4) AS fill_frac
-       |FROM rec GROUP BY source, bin
-       |ORDER BY source, bin""".stripMargin
+       |FROM rec GROUP BY source, shard, bin
+       |ORDER BY source, shard, bin""".stripMargin
 
   /** q_sketch_quantiles oracle: same mix64∘fnv1a row hash, k smallest per
     * group (hash-tie → min value, mirroring BottomKSample's merge rule),
@@ -1701,7 +1718,8 @@ object SparkEntry {
        |  UNION ALL SELECT 4, 'decontaminated', count(*), COALESCE(sum($tokN), 0) FROM s4
        |  UNION ALL SELECT 5, 'train_split', count(*), COALESCE(sum($tokN), 0) FROM s5
        |  UNION ALL SELECT 6, 'packed_bins', count(*), COALESCE(sum(toks), 0)
-       |    FROM (SELECT source, bin, sum(ntok) AS toks FROM rec GROUP BY source, bin))
+       |    FROM (SELECT source, shard, bin, sum(ntok) AS toks
+       |          FROM rec GROUP BY source, shard, bin))
        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
        |FROM stages ORDER BY stage_idx""".stripMargin

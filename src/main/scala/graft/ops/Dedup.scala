@@ -309,17 +309,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** N-gram (word) Jaccard near-dup pairs with candidates bounded by a
-    * blocking column (e.g. source bucket) — the composable exact variant.
-    * O(bucket²): use ONLY when the blocking column bounds bucket sizes;
-    * [[jaccardPrefixPairs]] is the scale path with identical results. */
+  /** N-gram (word k-shingle) Jaccard near-dup pairs with candidates
+    * bounded by a blocking column (e.g. source bucket) — the composable
+    * exact variant. O(bucket²) candidates: use ONLY when the blocking
+    * column bounds bucket sizes; [[jaccardPrefixPairs]] is the scale path.
+    *
+    * Verify uses the minhashLsh discipline (VERDICT r5 #6 — this was the
+    * last text-carrying pair verify): shingle-hash each doc ONCE into a
+    * checkpointed distinct `Array[Long]`, self-join (blk, id) only, and
+    * rejoin the hash arrays per candidate side for `array_intersect`
+    * arithmetic. The old form shipped both RAW texts through the bucket
+    * join and a UDF re-shingled each side of every pair — a doc in P
+    * pairs crossed the shuffle P times as full text. Results are
+    * identical to the scalar [[jaccard]] (same shingleHashes sets). */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val a = docs.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(textCol).as("ta"))
-    val b = docs.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(textCol).as("tb"))
-    val jacUdf = udf((x: String, y: String) => jaccard(x, y, k))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+    val shUdf = udf((text: String) => shingleHashes(if (text == null) "" else text, k))
+    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        shUdf(col(textCol)).as("shs"))
+      .transform(CheckpointScratch.ckpt)
+    val slim = base.select(col("blk"), col("id"))
+    val cands = slim.select(col("blk"), col("id").as("id_a"))
+      .join(slim.select(col("blk"), col("id").as("id_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    cands
+      .join(base.select(col("id").as("id_a"), col("shs").as("sa")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("shs").as("sb")), Seq("id_b"))
+      .withColumn("jaccard",
+        when(size(col("sa")) === 0 && size(col("sb")) === 0, lit(1.0))
+          .otherwise(inter / (size(col("sa")) + size(col("sb")) - inter)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -6,54 +6,77 @@ import org.apache.spark.sql.functions._
 /** Greedy sequence packing: assign documents to fixed-token-budget bins
   * (context windows) for training, the standard "pack examples into
   * sequences of length L" step (T5 / GPT data loaders). Docs are packed
-  * in id order within each group; a doc that would overflow the current
-  * bin closes it and opens the next. A doc larger than the budget gets
-  * its own bin (never split here — truncation is a separate policy).
+  * in id order within each (group, shard); a doc that would overflow the
+  * current bin closes it and opens the next. A doc larger than the budget
+  * gets its own bin (never split here — truncation is a separate policy).
   *
-  * Shape at 100 TB: packing is SEQUENTIAL per group by definition
-  * (bin N+1 depends on bin N), so parallelism comes from the grouping —
-  * groups are shards/sources, thousands of them in a real corpus. One
-  * shuffle: repartition by group, sort within partitions by (group, id),
-  * then a single O(1)-state pass per partition. Only (group, id, tokens)
-  * cross the wire, never text.
+  * Shape at 100 TB: the greedy fold is SEQUENTIAL by definition (bin N+1
+  * depends on bin N), so parallelism must come from the partitioning —
+  * and "one fold per group" dies when one source holds 50% of the corpus
+  * (the exact skew class the stratified sampler's salted top-k fixed).
+  * TWO-LEVEL packing instead: each group is split into `shards`
+  * deterministic salted sub-shards (`(salted_hash(id) >>> 1) % shards` —
+  * recomputable by any engine), the greedy fold runs per (group, shard),
+  * and bin identity is (group, shard, bin). That is also the contract
+  * real data loaders use — packing is per OUTPUT SHARD, and a training
+  * run reads shards, not whole sources. One shuffle: repartition by
+  * (group, shard), sort within partitions, single O(1)-state pass. Only
+  * (group, shard, id, tokens) cross the wire, never text. Max fold length
+  * drops from |mega-group| to ~|mega-group|/shards; raise `shards` to
+  * bound it at any corpus size.
   */
 object Packing {
 
-  /** (groupCol, idCol, n_tokens, bin_id). Token count = whitespace words
-    * of `textCol` (the WET convention used across the ops layer). */
+  /** (groupCol, idCol, n_tokens, shard_id, bin_id). Token count =
+    * whitespace words of `textCol` (the WET convention used across the
+    * ops layer). `shards` >= 1; shards = 1 reproduces whole-group packing
+    * (shard_id 0 everywhere). */
   def packGreedy(docs: DataFrame, budget: Int, groupCol: String = "source",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      shards: Int = 16): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.functions.register(spark)
+    // deterministic sub-shard from the shared salted row hash. The
+    // unsigned >>> 1 keeps the value non-negative so a plain % equals the
+    // unsigned mod an external engine computes on the UBIGINT image of
+    // the same hash (no signed-pmod 2^64-alignment trap).
+    val shard = pmod(shiftrightunsigned(
+      graft.functions.functions.graft_salted_hash("pack", col(idCol)), 1),
+      lit(shards.toLong))
     val slim = docs.select(col(groupCol).cast("string").as("g"),
+        shard.as("shard"),
         col(idCol).cast("long").as("id"),
         // null/empty text → 0 tokens, explicitly: size(split('', ' ')) is 1
         // (the empty string counts as a word) and size(split(null)) is
         // null/-1, either of which corrupts the fill accounting
         when(length(coalesce(col(textCol), lit(""))) === 0, 0L)
           .otherwise(size(split(col(textCol), " ")).cast("long")).as("ntok"))
-      .repartition(col("g"))
-      .sortWithinPartitions(col("g"), col("id"))
-    slim.as[(String, Long, Long)].mapPartitions { it =>
-      // partitions contain whole groups (repartition on g); state resets
-      // at each group boundary
+      .repartition(col("g"), col("shard"))
+      .sortWithinPartitions(col("g"), col("shard"), col("id"))
+    slim.as[(String, Long, Long, Long)].mapPartitions { it =>
+      // partitions contain whole (group, shard) cells (repartition on
+      // both); state resets at each cell boundary
       var curG: String = null
+      var curS = -1L
       var bin = 0L
       var fill = 0L
-      it.map { case (g, id, ntok) =>
-        if (g != curG) { curG = g; bin = 0L; fill = 0L }
+      it.map { case (g, sh, id, ntok) =>
+        if (g != curG || sh != curS) { curG = g; curS = sh; bin = 0L; fill = 0L }
         if (fill > 0L && fill + ntok > budget) { bin += 1L; fill = ntok }
         else fill += ntok
-        (g, id, ntok, bin)
+        (g, id, ntok, sh, bin)
       }
-    }.toDF(groupCol, idCol, "n_tokens", "bin_id")
+    }.toDF(groupCol, idCol, "n_tokens", "shard_id", "bin_id")
   }
 
-  /** Bin-level utilization summary: (groupCol, bin_id, n_docs, used,
-    * fill_frac) — the packing-efficiency report a data loader wants. */
+  /** Bin-level utilization summary: (groupCol, shard_id, bin_id, n_docs,
+    * used, fill_frac) — the packing-efficiency report a data loader
+    * wants, keyed by the full bin identity. */
   def packStats(packed: DataFrame, budget: Int, groupCol: String = "source"): DataFrame =
-    packed.groupBy(col(groupCol), col("bin_id"))
+    packed.groupBy(col(groupCol), col("shard_id"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("used"))
       .withColumn("fill_frac",
         round(least(col("used"), lit(budget.toLong)).cast("double") / budget, 4))

@@ -89,8 +89,13 @@ object Splits {
     * literals and any engine reproduces the sample bit-for-bit. Sources
     * absent from `rates` are dropped (rate 0) — a mixture definition is
     * exhaustive by intent; a stray source silently passing through at
-    * full weight is the dangerous default. Narrow: hash + per-source
-    * threshold compare, zero shuffle. */
+    * full weight is the dangerous default. Narrow: hash + ONE map probe
+    * per row (native MixtureKeep over a plan-time HashMap), zero
+    * shuffle — a Dolma-style 1000+-source mixture costs the same per
+    * row as a 4-source one, where a per-source OR chain would breach
+    * codegen's 64 KB method limit and fall back to interpretation.
+    * Rate 1.0 is a NULL threshold in the map (keep unconditionally: the
+    * 2⁶⁴−1 literal would drop one hash value in 2⁶⁴). */
   def mixtureSample(docs: DataFrame, rates: Map[String, Double],
       sourceCol: String = "source", idCol: String = "doc_id",
       salt: String = "mix"): DataFrame = {
@@ -99,13 +104,13 @@ object Splits {
       require(p >= 0.0 && p <= 1.0, s"rate for '$s' must be in [0,1], got $p")
     }
     val h = hashCol(docs, salt, idCol).bitwiseXOR(lit(Long.MinValue))
-    // per-source keep predicate; rate 1.0 keeps unconditionally (the
-    // threshold literal for 1.0 would be 2^64-1, off by one row in 2^64)
-    val keep = rates.toSeq.sortBy(_._1).map { case (s, p) =>
-      if (p >= 1.0) col(sourceCol) === s
-      else col(sourceCol) === s && h < lit(flipped(thresholdU64(p)))
-    }.reduce(_ || _)
-    docs.filter(keep)
+    val (keys, vals) = rates.toSeq.sortBy(_._1).map { case (s, p) =>
+      (lit(s), if (p >= 1.0) lit(null).cast("long")
+               else lit(flipped(thresholdU64(p))))
+    }.unzip
+    val thresholds = map_from_arrays(array(keys: _*), array(vals: _*))
+    docs.filter(graft.functions.functions.graft_mixture_keep(
+      col(sourceCol).cast("string"), h, thresholds))
   }
 
   /** Deterministic stratified sample: exactly the hash-smallest `k` rows

@@ -66,7 +66,10 @@ object SnapshotStore {
     Snapshot(id, buckets.result(), dirs.result(), files.result())
   }
 
-  /** Atomic manifest commit: write tmp in the same directory, then rename. */
+  /** Atomic manifest commit: write tmp in the same directory, then rename.
+    * File stats are deduped by path — a repeated backfill of the same dir
+    * (e.g. a formerly-unnormalizable relative root) must not accumulate
+    * duplicate entries that pruneFiles would feed to the reader twice. */
   def commitManifest(root: String, s: Snapshot): Unit = {
     val dir = Paths.get(root)
     Files.createDirectories(dir)
@@ -74,7 +77,7 @@ object SnapshotStore {
     body ++= s"snapshot\t${s.id}\n"
     s.buckets.toVector.sorted.foreach(b => body ++= s"bucket\t$b\n")
     s.dataDirs.foreach(d => body ++= s"dir\t$d\n")
-    s.files.foreach { f =>
+    s.files.distinctBy(_.path).foreach { f =>
       body ++= s"file\t${f.path}\t${f.tsMin}\t${f.tsMax}\t${f.hostMin}\t${f.hostMax}\n"
     }
     val tmp = dir.resolve(s"snapshot-${s.id}.tsv.tmp")
@@ -122,10 +125,16 @@ object SnapshotStore {
     * run-r1 as covered and its backfill would be skipped (silent row loss
     * in every later ranged read). */
   def uncoveredDirs(s: Snapshot): Vector[String] = {
-    def norm(p: String) = p.stripPrefix("file:").replaceAll("^/+", "/")
+    def normFile(p: String) = p.stripPrefix("file:").replaceAll("^/+", "/")
+    // dirs may be RELATIVE (a relative store root): resolve to absolute
+    // normalized paths — input_file_name() URIs are always absolute, so a
+    // relative prefix never matches and every dir would read as uncovered
+    // on every run (duplicate stats entries + redundant re-scans, ADVICE r5)
+    def normDir(d: String) =
+      Paths.get(d.stripPrefix("file:")).toAbsolutePath.normalize.toString
     s.dataDirs.filterNot { d =>
-      val prefix = norm(d).stripSuffix("/") + "/"
-      s.files.exists(f => norm(f.path).startsWith(prefix))
+      val prefix = normDir(d).stripSuffix("/") + "/"
+      s.files.exists(f => normFile(f.path).startsWith(prefix))
     }
   }
 
@@ -143,7 +152,12 @@ object SnapshotStore {
   /** Ranged read over the committed state: prune data FILES from the
     * manifest stats, scan only the survivors, then apply the exact
     * predicate (the stats are a superset bound). Falls back to a full
-    * scan + filter when the manifest predates file stats. */
+    * scan + filter when the manifest predates file stats entirely; a
+    * PARTIALLY-covered manifest (some dirs with no stats entries — the
+    * legacy/intermediate state run() repairs on its next commit) scans
+    * the uncovered dirs in full alongside the pruned files: a read-only
+    * consumer must see correct results BEFORE any repair commit happens,
+    * not silently lose the uncovered dirs' rows (ADVICE r5). */
   def readCommittedRange(spark: SparkSession, root: String,
       tsMin: Option[Long] = None, tsMax: Option[Long] = None,
       host: Option[String] = None): Option[DataFrame] =
@@ -151,7 +165,7 @@ object SnapshotStore {
       val base =
         if (s.files.isEmpty) spark.read.parquet(s.dataDirs: _*)
         else {
-          val paths = pruneFiles(s, tsMin, tsMax, host)
+          val paths = pruneFiles(s, tsMin, tsMax, host) ++ uncoveredDirs(s)
           if (paths.isEmpty) spark.read.parquet(s.dataDirs: _*).limit(0)
           else spark.read.parquet(paths: _*)
         }
@@ -167,7 +181,8 @@ object SnapshotStore {
     * many pending buckets this run takes (the kill-mid-job test knob).
     * Returns the committed snapshot. */
   def run(spark: SparkSession, pages: DataFrame, root: String, runId: String,
-      nBuckets: Int = 16, maxBuckets: Int = Int.MaxValue): Snapshot = {
+      nBuckets: Int = 16, maxBuckets: Int = Int.MaxValue,
+      clusterWrite: Boolean = true, clusterPartitions: Int = 0): Snapshot = {
     val prev = lastSnapshot(root).getOrElse(Snapshot(0L, Set.empty, Vector.empty))
     val pending = (0 until nBuckets).filterNot(prev.buckets).take(maxBuckets)
     if (pending.isEmpty) {
@@ -178,7 +193,8 @@ object SnapshotStore {
       val missing = uncoveredDirs(prev)
       if (missing.isEmpty) return prev
       val repaired = Snapshot(prev.id + 1, prev.buckets, prev.dataDirs,
-        prev.files ++ missing.flatMap(d => collectFileStats(spark, d)))
+        (prev.files ++ missing.flatMap(d => collectFileStats(spark, d)))
+          .distinctBy(_.path))
       commitManifest(root, repaired)
       return repaired
     }
@@ -189,7 +205,31 @@ object SnapshotStore {
 
     val extracted = ExtractJob.extractTexts(spark, selected)
     val dataDir = s"$root/data/run-$runId"
-    extracted.write.mode("overwrite").parquet(dataDir)
+    // CLUSTER the write layout so the manifest's (host, warcTs) min/max
+    // stats are TIGHT per file: the resume unit is a url-HASH bucket, so
+    // an as-extracted write gives every data file near-domain-wide host
+    // bounds and pruneFiles on a host range selects everything — the
+    // stats were decorative for store-written data (VERDICT r5 #2).
+    // repartitionByRange assigns each file a contiguous host range (the
+    // range sampler splits a skewed mega-host across files whose bounds
+    // stay the tight [h, h]); the within-partition sort additionally
+    // clusters parquet row groups for min/max skipping inside a file.
+    // clusterWrite=false preserves the caller's input layout (e.g. a
+    // crawl table pre-sorted by fetch time for ts-ranged reads);
+    // clusterPartitions=0 lets AQE size the range partitions (≈ target
+    // file size at scale), >0 pins the file count (tests, compaction).
+    val toWrite =
+      if (!clusterWrite) extracted
+      else {
+        val hosted = extracted
+          .withColumn("_host", coalesce(parse_url(col("url"), lit("HOST")), lit("")))
+        val ranged =
+          if (clusterPartitions > 0)
+            hosted.repartitionByRange(clusterPartitions, col("_host"), col("warcTs"))
+          else hosted.repartitionByRange(col("_host"), col("warcTs"))
+        ranged.sortWithinPartitions(col("_host"), col("warcTs")).drop("_host")
+      }
+    toWrite.write.mode("overwrite").parquet(dataDir)
 
     // lineage folded from the just-written data (one read, column-pruned —
     // never re-extracts) and committed before the manifest flips.
@@ -213,7 +253,7 @@ object SnapshotStore {
     val uncovered = uncoveredDirs(prev)
     val prevFiles = prev.files ++ uncovered.flatMap(d => collectFileStats(spark, d))
     val snap = Snapshot(snapId, prev.buckets ++ pending, prev.dataDirs :+ dataDir,
-      prevFiles ++ collectFileStats(spark, dataDir))
+      (prevFiles ++ collectFileStats(spark, dataDir)).distinctBy(_.path))
     commitManifest(root, snap)
     snap
   }

@@ -389,6 +389,63 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(64) == ref && ids(7) == ref && ids(2000) == ref)
   }
 
+  test("mixture sampling with 1000 sources: one map probe, exact parity with per-source thresholds") {
+    import spark.implicits._
+    // Dolma-scale mixture: the OR-chain form would emit 1000 string
+    // comparisons into one generated method (64 KB limit → interpreted
+    // fallback); the map-probe form must stay a single native filter AND
+    // make the identical per-row decision
+    val rates = (0 until 1000).map(k => s"s$k" -> (k % 11) / 10.0).toMap
+    // range-backed (NOT a LocalRelation: ConvertToLocalRelation would
+    // pre-evaluate the filter at optimization time and the plan assertions
+    // would see an empty LocalTableScan); sources 1000-1099 are absent
+    val d = spark.range(0L, 4000L, 1L, 4).selectExpr("id AS doc_id",
+      "concat('s', id % 1100) AS source", "'t' AS text")
+    val q = graft.ops.Splits.mixtureSample(d, rates)
+    assert(q.queryExecution.executedPlan.toString.contains("graft_mixture_keep"))
+    assert(!q.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    val got = q.select($"doc_id", $"source").as[(Long, String)].collect().toSet
+    // reference decision recomputed per row with the same public hash chain
+    def flip(u: BigInt): Long = (u - (BigInt(1) << 63)).toLong
+    def keep(id: Long, src: String): Boolean = rates.get(src).exists { p =>
+      p >= 1.0 || (graft.ops.Dedup.mix64(graft.ops.Dedup.fnv1a(s"mix:$id")) ^
+        Long.MinValue) < flip(graft.ops.Splits.thresholdU64(p))
+    }
+    val want = d.select($"doc_id", $"source").as[(Long, String)].collect()
+      .filter { case (id, src) => keep(id, src) }.toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.nonEmpty && got.size < 4000)
+  }
+
+  test("ngram jaccard pairs (hashed verify) equal the scalar shingle jaccard over all block pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val texts = (0L until 40L).map { i =>
+      val words = (1 to 25).map(w =>
+        if (rnd.nextInt(3) == 0) s"u$i-$w" else s"common$w")
+      (s"b${i % 3}", i, words.mkString(" "))
+    } ++ Seq(
+      ("b0", 100L, ""), ("b0", 101L, "one two"), // sub-k and empty docs
+      // planted near-dups: identical pair and a one-word edit (the random
+      // corpus alone rarely clears the shingle threshold)
+      ("b1", 102L, (1 to 30).map(w => s"dup$w").mkString(" ")),
+      ("b1", 103L, (1 to 30).map(w => s"dup$w").mkString(" ")),
+      ("b1", 104L, ((1 to 29).map(w => s"dup$w") :+ "tail").mkString(" ")))
+    val d = texts.toDF("source", "doc_id", "text")
+    val got = graft.ops.Dedup.ngramJaccardPairs(d, "source", threshold = 0.3)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    // brute-force reference via the public scalar function
+    val rows = texts.map(t => (t._1, t._2, t._3))
+    val want = (for {
+      (ba, ia, ta) <- rows; (bb, ib, tb) <- rows
+      if ba == bb && ia < ib
+      j = graft.ops.Dedup.jaccard(ta, tb, 3)
+      if j >= 0.3
+    } yield (ia, ib, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("minhash LSH hashed verify: emitted jaccard equals the scalar shingle-set jaccard") {
     import spark.implicits._
     // the verify stage now intersects pre-hashed shingle arrays — its
@@ -519,16 +576,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // zero-token doc at a group head: must NOT close the empty bin — the
       // oversized follower stays in bin 0 (operator and oracle agree)
       ("g3", 7L, ""), ("g3", 8L, words(250))).toDF("source", "doc_id", "text")
-    val r = graft.ops.Packing.packGreedy(d, budget = 200)
+    // shards = 1: the whole-group fold, so the expected mapping is the
+    // hand-computed greedy sequence over each group
+    val r = graft.ops.Packing.packGreedy(d, budget = 200, shards = 1)
       .select($"doc_id", $"bin_id").as[(Long, Long)].collect().toMap
     assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L,
       7L -> 0L, 8L -> 0L), r.toString)
     val stats = graft.ops.Packing.packStats(
-      graft.ops.Packing.packGreedy(d, budget = 200), budget = 200)
+      graft.ops.Packing.packGreedy(d, budget = 200, shards = 1), budget = 200)
       .select($"source", $"bin_id", $"n_docs", $"used").as[(String, Long, Long, Long)]
       .collect().toSet
     assert(stats.contains(("g1", 0L, 2L, 190L)))
     assert(stats.contains(("g1", 2L, 1L, 250L)))
+  }
+
+  test("two-level packing: each (group, shard) cell folds exactly like a shards=1 pack of its slice") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val d = (0L until 300L).map { i =>
+      (s"g${i % 3}", i, (1 to (1 + rnd.nextInt(120))).map(_ => "w").mkString(" "))
+    }.toDF("source", "doc_id", "text")
+    val sharded = graft.ops.Packing.packGreedy(d, budget = 150, shards = 5)
+      .select($"source", $"doc_id", $"n_tokens", $"shard_id", $"bin_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // shard assignment is the documented deterministic hash — recompute it
+    def shardOf(id: Long): Long =
+      (graft.ops.Dedup.mix64(graft.ops.Dedup.fnv1a(s"pack:$id")) >>> 1) % 5
+    sharded.foreach { case (_, id, _, sh, _) => assert(sh == shardOf(id), s"doc $id") }
+    // every cell's fold == an independent shards=1 pack of just that slice
+    for (g <- 0 until 3; sh <- 0L until 5L) {
+      val slice = d.filter($"source" === s"g$g")
+        .filter(udf((i: Long) => shardOf(i) == sh).apply($"doc_id"))
+      val expect = graft.ops.Packing.packGreedy(slice, budget = 150, shards = 1)
+        .select($"doc_id", $"bin_id").as[(Long, Long)].collect().toMap
+      val got = sharded.filter(x => x._1 == s"g$g" && x._4 == sh)
+        .map(x => x._2 -> x._5).toMap
+      assert(got == expect, s"g$g shard $sh")
+    }
   }
 
   test("sample quantiles: estimate equals exact percentile of the hash-sample; small groups exact") {
@@ -561,9 +645,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (s"g${i % 5}", i, (1 to n).map(_ => "w").mkString(" "))
     }
     val d = docs.toDF("source", "doc_id", "text")
+    // default shards (two-level): the invariants hold per (group, shard)
     val out = graft.ops.Packing.packGreedy(d, budget)
-      .select($"source", $"doc_id", $"n_tokens", $"bin_id")
-      .as[(String, Long, Long, Long)].collect()
+      .select($"source", $"doc_id", $"n_tokens", $"shard_id", $"bin_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => (s"${x._1}/${x._4}", x._2, x._3, x._5))
     // 1. every doc exactly once
     assert(out.length == 600 && out.map(_._2).distinct.length == 600)
     out.groupBy(_._1).foreach { case (g, rows) =>

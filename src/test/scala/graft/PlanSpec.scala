@@ -190,10 +190,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no salted two-column partition spec found:\n${specs.mkString("\n")}")
   }
 
-  test("sequence packing has exactly one Exchange (the group repartition)") {
+  test("sequence packing has exactly one Exchange, partitioned by (group, shard) — never whole-group") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.Packing.packGreedy(d, budget = 200), "simple")
     assert(p.linesIterator.count(_.contains("Exchange")) == 1, p.take(1500))
+    // the salted sub-shard must be a partitioning key: a mega-group fans
+    // out over `shards` folds instead of one sequential task (VERDICT r5)
+    val ex = p.linesIterator.find(_.contains("Exchange hashpartitioning"))
+      .getOrElse(fail(s"no hash Exchange in\n${p.take(1500)}"))
+    assert(ex.matches(".*hashpartitioning\\(g#\\d+, shard#\\d+L?.*"), ex)
   }
 
   test("exact dedup shuffles only hash+length, not the text") {
