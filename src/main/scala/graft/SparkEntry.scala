@@ -763,8 +763,11 @@ object SparkEntry {
     * sentence punctuation are planted identically on both engines):
     * control-strip, whitespace collapse, trim + line/sentence counts. */
   private def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    // the u0007/u0001 string escapes mirror the oracle's chr(7)/chr(1) (they
+    // were previously RAW bytes here — planted, but invisible to review):
+    // both engines exercise the C0-control strip on the same input
     val messy = concat(lit("  \tpad "), col("text"),
-      lit("\nsecond  line here. Done! Ok? \n\n\ttail  "))
+      lit("\nsecond  line\u0007 here. Done! Ok? \n\n\ttail\u0001  "))
     graft.ops.Normalize.normalize(
         t(s, dir, "documents").select(col("doc_id"), messy.as("text")))
       .select(col("doc_id"), col("clean_text"), col("n_lines"), col("n_sentences"))

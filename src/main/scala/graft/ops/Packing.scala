@@ -54,7 +54,12 @@ object Packing {
         // null/-1, either of which corrupts the fill accounting
         when(length(coalesce(col(textCol), lit(""))) === 0, 0L)
           .otherwise(size(split(col(textCol), " ")).cast("long")).as("ntok"))
-      .repartition(col("g"), col("shard"))
+      // EXPLICIT partition count: a bare repartition(cols) is fair game
+      // for AQE coalescing, which at probe scale collapsed the exchange to
+      // 2-4 partitions and serialized the folds the shard fan-out exists
+      // to parallelize — a user-specified N is never coalesced
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("g"), col("shard"))
       .sortWithinPartitions(col("g"), col("shard"), col("id"))
     slim.as[(String, Long, Long, Long)].mapPartitions { it =>
       // partitions contain whole (group, shard) cells (repartition on

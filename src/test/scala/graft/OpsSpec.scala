@@ -487,10 +487,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("normalize: control strip, whitespace collapse, trim; line and sentence counts") {
     import spark.implicits._
     val d = docsDF(Seq(
-      (1L, "  \tHello world.  This is fine!  \n\n  Second line? \n\t "),
+      (1L, "  \tHello world.  This is fine!  \n\n  Second line? \n\t "),
       (2L, "plain"),
       (3L, null.asInstanceOf[String]),
-      (4L, "ends with period.")))
+      (4L, "ends with period."),
+      // real C0 bytes (BEL, SOH, NUL): ControlRe strips them BEFORE the
+      // whitespace collapse — an interior control joins its neighbors
+      // ("mid"+"dle"), a space-flanked one leaves a collapsible run
+      // (ADVICE r5: the oracle exercised this strip but the unit suite
+      // had no case with actual control bytes)
+      (5L, "a\u0007b \u0001 mid\u0000dle  end")))
     val r = graft.ops.Normalize.normalize(d)
       .select($"doc_id", $"clean_text", $"n_lines", $"n_sentences")
       .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
@@ -500,6 +506,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2L)._2 == "plain" && r(2L)._3 == 1L && r(2L)._4 == 0L)
     assert(r(3L)._2 == "" && r(3L)._3 == 0L && r(3L)._4 == 0L)
     assert(r(4L)._4 == 1L) // terminator at end-of-text counts
+    assert(r(5L)._2 == "ab middle end", r(5L)._2) // controls stripped, ws-runs collapsed
   }
 
   test("duplicated spans: shared boilerplate flagged positionally, unique text zero, repeats within a doc count") {

@@ -137,4 +137,48 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Splits.mixtureSample(docs,
         Map("s1" -> 1.0, "s2" -> 0.5, "s3" -> 0.25, "s4" -> 0.1)).count())
   }
+
+  ignore("round-6 reshaped ops at scale: mega-source packing (opt-in probe)") {
+    // mega-source: ONE source holds 50% of 2M docs — the shape where the
+    // whole-group fold packed its entire token stream in ONE task
+    // (VERDICT r5 #1). The skew-bounding evidence is the MAX TASK
+    // duration of the fold stage, not total wall (at probe scale the
+    // per-row fold is so cheap that shuffle + host noise dominate wall;
+    // at 100 TB the one-task fold is days while the sharded one is
+    // minutes): shards=32 must cap the longest task far below the
+    // shards=1 mega task that folds+sorts 1M rows alone.
+    val docs = corpus(2000000L).localCheckpoint(true)
+    val skewed = docs.withColumn("source",
+      when(col("doc_id") % 2 === 0, lit("mega")).otherwise(col("source")))
+      .localCheckpoint(true)
+    // FOLD-stage tasks only (the ones reading the (g, shard) exchange):
+    // scan/shuffle-write tasks and cold-JIT noise would otherwise swamp
+    // the signal — the skew claim is about the post-exchange fold
+    def maxFoldTaskMs(body: => Long): Long = {
+      val durs = scala.collection.mutable.ArrayBuffer[Long]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null &&
+            t.taskMetrics.shuffleReadMetrics.recordsRead > 0)
+            durs.synchronized { durs += t.taskInfo.duration }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1500) /* listener bus drain */ }
+      finally spark.sparkContext.removeSparkListener(l)
+      durs.synchronized { durs.max }
+    }
+    // warm both shapes once (codegen + JIT) before measuring
+    graft.ops.Packing.packGreedy(skewed, budget = 512, shards = 32).count()
+    graft.ops.Packing.packGreedy(skewed, budget = 512, shards = 1).count()
+    val m32 = maxFoldTaskMs(
+      graft.ops.Packing.packGreedy(skewed, budget = 512, shards = 32).count())
+    val m1 = maxFoldTaskMs(
+      graft.ops.Packing.packGreedy(skewed, budget = 512, shards = 1).count())
+    println(s"SCALE packGreedy mega-source max fold task: shards=32 -> $m32 ms, " +
+      s"shards=1 -> $m1 ms")
+    assert(m32.toDouble < m1.toDouble / 2.0,
+      s"sharding must bound the longest fold task: $m32 vs $m1 ms")
+    timed("packGreedy 2M balanced 1000 sources, shards=16 (default)")(
+      graft.ops.Packing.packGreedy(docs, budget = 512).count())
+  }
 }
