@@ -789,6 +789,18 @@ object SparkEntry {
     graft.ops.Dedup.duplicatedSpans(planted, k = 8)
   }
 
+  /** Exact-substring CUT over the same planting as q_dup_spans: remove
+    * maximal ≥ 12-token runs of corpus-duplicated 8-span coverage. The
+    * 12-word boilerplate suffix is a 12-token covered run (its 5 interior
+    * spans repeat corpus-wide; boundary spans embed doc-specific words) —
+    * exactly minRun, so it is cut; any shorter incidental echo is kept. */
+  private def qCutSpans(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(BoilerplateSuffix)))
+        .otherwise(col("text")).as("text"))
+    graft.ops.Dedup.cutDuplicatedSpans(planted, k = 8, minRun = 12)
+  }
+
   /** URL canonicalization: deterministic MESSY url spellings built from
     * doc_id (mixed-case scheme/host, default and non-default ports,
     * fragments, queries, missing paths, non-http schemes), collapsed to
@@ -905,6 +917,7 @@ object SparkEntry {
     "q_pack_bins"        -> qPackBins _,
     "q_pack_stats"       -> qPackStats _,
     "q_dup_spans"        -> qDupSpans _,
+    "q_cut_spans"        -> qCutSpans _,
     "q_normalize"        -> qNormalize _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
@@ -1528,6 +1541,61 @@ object SparkEntry {
        |LEFT JOIN dup du USING (doc_id)""".stripMargin
   }
 
+  /** q_cut_spans oracle: identical planting to q_dup_spans, positional
+    * spans WITH their 1-based start index (struct-valued unnest), dup
+    * hashes corpus-wide, token coverage via a range join, maximal covered
+    * runs by the gaps-and-islands trick (j − row_number), runs ≥ minRun
+    * cut, survivors re-joined in order. */
+  private def cutSpansOracle: String = {
+    val k = 8
+    val minRun = 12
+    val joinWords = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || '$BoilerplateSuffix'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |words AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
+       |  FROM base),
+       |spans AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - $k + 2),
+       |    i -> {'i': i, 'w': $joinWords})) AS s
+       |  FROM words WHERE len(ws) >= $k),
+       |sh AS (SELECT doc_id, i, $fnvWordSql AS sh
+       |       FROM (SELECT doc_id, s.i AS i, s.w AS w FROM spans)),
+       |cnt AS (SELECT sh, count(*) AS c FROM sh GROUP BY 1),
+       |dup AS (SELECT s.doc_id, s.i FROM sh s JOIN cnt USING (sh) WHERE cnt.c >= 2),
+       |tok AS (SELECT doc_id, t.j AS j, t.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      j -> {'j': j, 'w': ws[j]})) AS t
+       |    FROM words)),
+       |cov AS (SELECT DISTINCT tok.doc_id, tok.j
+       |        FROM tok JOIN dup ON dup.doc_id = tok.doc_id
+       |          AND tok.j BETWEEN dup.i AND dup.i + $k - 1),
+       |runs AS (SELECT doc_id, j,
+       |    j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+       |  FROM cov),
+       |cut AS (SELECT doc_id, j FROM (
+       |    SELECT doc_id, j, count(*) OVER (PARTITION BY doc_id, grp) AS runlen
+       |    FROM runs) WHERE runlen >= $minRun),
+       |kept AS (SELECT tok.doc_id, tok.j, tok.w FROM tok
+       |         LEFT JOIN cut ON cut.doc_id = tok.doc_id AND cut.j = tok.j
+       |         WHERE cut.j IS NULL),
+       |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS clean_text
+       |        FROM kept GROUP BY 1),
+       |nt AS (SELECT doc_id, len(ws) AS n FROM words),
+       |nc AS (SELECT doc_id, count(*) AS ncut FROM cut GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(a.clean_text, '') AS clean_text,
+       |  CAST(COALESCE(nt.n, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(nc.ncut, 0) AS BIGINT) AS n_cut
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN nt USING (doc_id)
+       |LEFT JOIN agg a USING (doc_id)
+       |LEFT JOIN nc USING (doc_id)""".stripMargin
+  }
+
   /** q_pack_stats oracle: the SHARED pack fold, then per-bin aggregation
     * (docs, used tokens, fill fraction vs the 200 budget). */
   private def packStatsOracle: String =
@@ -1744,6 +1812,7 @@ object SparkEntry {
     "q_repetition" -> repetitionOracle,
     "q_pack_bins" -> packBinsOracle,
     "q_pack_stats" -> packStatsOracle,
+    "q_cut_spans" -> cutSpansOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_normalize" -> normalizeOracle,
     "q_cosine_neardup" -> cosineNearDupOracle,

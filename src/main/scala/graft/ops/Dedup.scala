@@ -122,6 +122,85 @@ object Dedup {
           .as("dup_span_frac"))
   }
 
+  /** The row-level ExactSubstr cut fold (shared by the distributed op and
+    * its tests): tokens covered by any duplicated k-span at the given
+    * 0-based start positions are dropped when their MAXIMAL covered run is
+    * at least `minRun` tokens long; shorter covered runs are kept (the
+    * Lee et al. policy removes long duplicated substrings, not every
+    * incidental k-gram echo). Returns (clean_text, n_tokens, n_cut). */
+  def cutByDupStarts(text: String, starts: Seq[Int], k: Int,
+      minRun: Int): (String, Long, Long) = {
+    val words = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
+    val n = words.length
+    if (n == 0) return ("", 0L, 0L)
+    val covered = new Array[Boolean](n)
+    starts.foreach { s =>
+      var j = s
+      val e = math.min(s + k, n)
+      while (j < e) { covered(j) = true; j += 1 }
+    }
+    val cut = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (covered(i)) {
+        var e = i
+        while (e < n && covered(e)) e += 1
+        if (e - i >= minRun) { var j = i; while (j < e) { cut(j) = true; j += 1 } }
+        i = e
+      } else i += 1
+    }
+    val sb = new java.lang.StringBuilder(text.length)
+    var nCut = 0L
+    var j = 0
+    while (j < n) {
+      if (cut(j)) nCut += 1
+      else { if (sb.length > 0) sb.append(' '); sb.append(words(j)) }
+      j += 1
+    }
+    (sb.toString, n.toLong, nCut)
+  }
+
+  /** Exact-substring CUT — the removal half of the ExactSubstr operator
+    * (Lee et al., ACL 2022 remove the duplicated substrings themselves,
+    * not whole documents): rebuild each doc's text with every maximal
+    * ≥ `minRun`-token run of corpus-duplicated k-span coverage removed.
+    * [[duplicatedSpans]] is the PROFILE half (per-doc dup fractions);
+    * this produces the cleaned corpus. `minRun` is clamped up to k (a
+    * duplicated span always covers k consecutive tokens, so no maximal
+    * covered run is shorter).
+    *
+    * Shape at 100 TB: same skeleton as the profile — one positional-
+    * shingle explode shuffling (doc_id, pos, 8-byte hash); the
+    * duplicated-hash set joins back on the hash key (never broadcast);
+    * the only per-doc state is the sorted duplicated-START list (bounded
+    * by the doc's own token count), folded by one scalar pass per row.
+    * Output: (idCol, clean_text, n_tokens, n_cut). */
+  def cutDuplicatedSpans(docs: DataFrame, k: Int = 20, minRun: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val runMin = math.max(minRun, k)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(idCol).cast("long").as("sid"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (i, t) =>
+        positionalShingleHashes(t, k).iterator.zipWithIndex
+          .map { case (h, p) => (i, p, h) } }
+      .toDF("sid", "pos", "sh")
+      // consumed twice (corpus counts + dup-start join)
+      .transform(CheckpointScratch.ckpt)
+    val dupSet = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("sh"))
+    val dupStarts = sh.join(dupSet, Seq("sh"))
+      .groupBy(col("sid")).agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val cutUdf = udf((t: String, starts: Seq[Int]) =>
+      cutByDupStarts(t, if (starts == null) Seq.empty else starts, k, runMin))
+    docs.select(col(idCol).cast("long").as("sid"), col(textCol).as("t"))
+      .join(dupStarts, Seq("sid"), "left")
+      .withColumn("cutres", cutUdf(col("t"), col("starts")))
+      .select(col("sid").as(idCol), col("cutres._1").as("clean_text"),
+        col("cutres._2").as("n_tokens"), col("cutres._3").as("n_cut"))
+  }
+
   /** MinHash signature: sig(j) = min over shingles of mix64(h ^ seed_j). */
   def minhashSignature(text: String, numHashes: Int, k: Int): Array[Long] =
     minhashFromHashes(shingleHashes(text, k), numHashes)

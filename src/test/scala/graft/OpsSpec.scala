@@ -389,6 +389,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(64) == ref && ids(7) == ref && ids(2000) == ref)
   }
 
+  test("cut duplicated spans: overlap merges, whole-doc dup empties, short echoes kept, sub-k untouched") {
+    import spark.implicits._
+    // k=3, minRun=5: a covered run must reach 5 tokens to be cut
+    val boiler = "b1 b2 b3 b4 b5 b6" // 6 shared words → covered run 6 ≥ 5 → cut
+    val short = "s1 s2 s3"           // one shared 3-gram → covered run 3 < 5 → kept
+    val d = docsDF(Seq(
+      (1L, s"u1a u1b u1c u1d $boiler u1e"),
+      (2L, s"u2a u2b $boiler u2c u2d"),
+      (3L, s"pre1 $short post1"),
+      (4L, s"pre2 $short post2"),
+      (5L, "w1 w2 w3 w4 w5 w6 w7"), // exact pair with 6: every span dup
+      (6L, "w1 w2 w3 w4 w5 w6 w7"),
+      (7L, "a b"),                  // sub-k doc: no spans, untouched
+      // internal repetition alone makes spans duplicated (same-doc counts)
+      (8L, "r1 r2 r3 r1 r2 r3 r1 r2 r3")))
+    val r = Dedup.cutDuplicatedSpans(d, k = 3, minRun = 5)
+      .select($"doc_id", $"clean_text", $"n_tokens", $"n_cut")
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == "u1a u1b u1c u1d u1e" && r(1L)._3 == 11L && r(1L)._4 == 6L, r(1L))
+    assert(r(2L)._2 == "u2a u2b u2c u2d" && r(2L)._4 == 6L)
+    assert(r(3L)._2 == s"pre1 $short post1" && r(3L)._4 == 0L, r(3L)) // short echo survives
+    assert(r(4L)._4 == 0L)
+    assert(r(5L)._2 == "" && r(5L)._4 == 7L)
+    assert(r(7L) == ((7L, "a b", 2L, 0L)))
+    // doc 8: r1r2r3 at 0/3/6, r2r3r1 at 1/4, r3r1r2 at 2/5 — all dup,
+    // overlapping coverage merges into one 9-token run
+    assert(r(8L)._2 == "" && r(8L)._4 == 9L)
+    // the scalar fold agrees with the profile op's boundary: minRun below
+    // k clamps to k (a dup span always covers k consecutive tokens)
+    val clamp = Dedup.cutByDupStarts("x1 x2 x3 x4", Seq(1), 3, 3)
+    assert(clamp == (("x1", 4L, 3L)), clamp)
+  }
+
   test("mixture sampling with 1000 sources: one map probe, exact parity with per-source thresholds") {
     import spark.implicits._
     // Dolma-scale mixture: the OR-chain form would emit 1000 string

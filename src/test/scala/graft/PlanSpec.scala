@@ -124,6 +124,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("lambdafunction"), "dup-spans plan contains a HOF")
   }
 
+  test("cut spans plan: equi-joins only, never cartesian; dup-set join is hash-keyed") {
+    val p = plan(SparkEntry.queries("q_cut_spans")(spark, sf), "simple")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // the duplicated-hash set joins on the 8-byte hash key. At THIS scale
+    // the planner broadcasts it (a few hundred longs — correct, and
+    // size-gated: localCheckpoint preserves stats, so a crawl-scale dup
+    // set blows the autoBroadcast threshold and plans sort-merge); the
+    // unacceptable shapes are the non-equi ones asserted above.
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("[sh#")),
+      s"no hash-keyed dup-set join found:\n${p.take(1500)}")
+  }
+
   test("splits, pii scrub and normalize are narrow: zero Exchange in the plan") {
     // split/sample/scrub/normalize must stay one codegen'd scan at 100 TB —
     // a shuffle here would mean hashing or regexp got planned as a wide op
