@@ -316,8 +316,9 @@ object SparkEntry {
         else if (id % 3 == 1) // real RIFF/WAVE stream (JDK-encoded PCM)
           graft.ops.Multimodal.makeWav(id, sampleRate = 8000,
             nFrames = 256 + (id % 256).toInt, channels = 1 + (id % 2).toInt)
-        else graft.ops.Multimodal.fakeAsset( // video: the one declared stub
-          id, "vid", 64 + (id % 64).toInt * 8, 64 + (id % 48).toInt * 8, 120))
+        else // real MJPEG-in-AVI stream (per-frame JDK JPEG encode)
+          graft.ops.Multimodal.makeAvi(id, 32 + (id % 8).toInt * 8,
+            24 + (id % 6).toInt * 8, nFrames = 4 + (id % 4).toInt))
       t(s, dir, "documents").select(col("doc_id").as("assetId"))
         .withColumn("payload", mk(col("assetId")))
         .write.mode("overwrite").parquet(fdir.toString)

@@ -31,7 +31,7 @@ object FixtureGen {
     * (SparkEntry.pagesFixture, Bench.ensurePages): without it a warm
     * /tmp fixture from an older build silently serves the OLD corpus and
     * every downstream green proves nothing about the new generator. */
-  val Version = 5 // v5: asset fixture's audio third became real WAV streams
+  val Version = 6 // v6: asset fixture's video third became real MJPEG/AVI streams
 
   val Seed = 0x5EED5EED5EEDL
   val Epoch = 1704067200000L // 2024-01-01T00:00:00Z, fixed

@@ -15,17 +15,22 @@ import org.apache.spark.sql.functions._
   *    provably comes from a decode, not a header sniff;
   *  - audio (WAV/PCM via `javax.sound.sampled.AudioSystem`):
   *    [[decodeAudio]] streams every PCM frame through the decoder and
-  *    checksums the decoded bytes.
-  * Only VIDEO keeps the deterministic GRFT fake format ([[decodeStub]] —
-  * this container genuinely ships no video codec); swap that one function
-  * for a real binding and nothing else changes.
+  *    checksums the decoded bytes;
+  *  - video (MJPEG-in-AVI via a RIFF chunk walk + per-frame ImageIO JPEG
+  *    decode): [[decodeVideo]] decodes EVERY frame's pixel grid and
+  *    chains one checksum across them.
+  * [[decodeStub]]'s deterministic GRFT fake format remains only as the
+  * fallback for payloads outside every JDK-decodable container class
+  * (e.g. codecs this container genuinely does not ship, like H.264);
+  * swap that one function for a real binding and nothing else changes.
   */
 object Multimodal {
 
   /** Typed metadata for a decoded asset. Field semantics per family:
     * images — width/height in pixels, nFrames = 1; audio — width = sample
-    * rate (Hz), height = channels, nFrames = PCM frame count; video
-    * (stub) — declared dims + frame count from the GRFT header. */
+    * rate (Hz), height = channels, nFrames = PCM frame count; video —
+    * first decoded frame's pixel dims, nFrames = decoded frame count,
+    * checksum chained over every frame's pixels. */
   final case class AssetMeta(
       assetId: Long,
       format: String,
@@ -102,8 +107,14 @@ object Multimodal {
   }
 
   /** fnv1a-64 over row-major packed ARGB ints (big-endian byte order). */
-  def pixelChecksum(img: java.awt.image.BufferedImage): Long = {
-    var ck = 0xcbf29ce484222325L
+  def pixelChecksum(img: java.awt.image.BufferedImage): Long =
+    chainPixels(0xcbf29ce484222325L, img)
+
+  /** Continue an fnv1a fold over an image's pixels — the multi-frame
+    * (video) checksum chains every decoded frame through one running
+    * state, so it can only be right if EVERY frame was decoded. */
+  def chainPixels(ck0: Long, img: java.awt.image.BufferedImage): Long = {
+    var ck = ck0
     var y = 0
     while (y < img.getHeight) {
       var x = 0
@@ -220,11 +231,190 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Codec dispatch: real raster decode, then real WAV decode, then the
-    * GRFT fake-format fallback for the (offline-stubbed) video family. */
+  /** The deterministic JPEG frame of an AVI asset (shared by the encoder
+    * and tests — an independent decode of these bytes must reproduce the
+    * container decode's chained checksum). */
+  def aviFrameJpeg(id: Long, frame: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = Dedup.mix64(id ^ (frame.toLong << 40) ^ (y.toLong << 20) ^ x.toLong)
+        img.setRGB(x, y, (v & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Encode a deterministic MJPEG-in-AVI container — a true RIFF/AVI
+    * stream (hdrl with avih + vids/MJPG strl, movi with one `00dc` JPEG
+    * chunk per frame), each frame a real ImageIO-encoded JPEG. The same
+    * JDK-only argument that retired the image and audio stubs: no
+    * external codec is needed for this container class. */
+  def makeAvi(id: Long, w: Int, h: Int, nFrames: Int, fps: Int = 10): Array[Byte] =
+    writeAvi(new java.io.ByteArrayOutputStream(4096),
+      (0 until nFrames).map(f => aviFrameJpeg(id, f, w, h)), w, h, nFrames, fps)
+
+  // --- AVI writer internals (kept explicit: RIFF is offsets, not magic) ---
+  private val StandardCharsets_ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def writeAvi(dst: java.io.ByteArrayOutputStream,
+      frames: Seq[Array[Byte]], w: Int, h: Int, nFrames: Int, fps: Int): Array[Byte] = {
+    def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
+      o.write((v >>> 16) & 0xFF); o.write((v >>> 24) & 0xFF)
+    }
+    def le16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
+    }
+    def cc(o: java.io.ByteArrayOutputStream, s: String): Unit =
+      o.write(s.getBytes(StandardCharsets_ISO), 0, 4)
+    def chunk(o: java.io.ByteArrayOutputStream, fourcc: String)(
+        body: java.io.ByteArrayOutputStream => Unit): Unit = {
+      val tmp = new java.io.ByteArrayOutputStream()
+      body(tmp)
+      cc(o, fourcc); le32(o, tmp.size)
+      tmp.writeTo(o); if ((tmp.size & 1) == 1) o.write(0)
+    }
+    def list(o: java.io.ByteArrayOutputStream, listType: String)(
+        body: java.io.ByteArrayOutputStream => Unit): Unit =
+      chunk(o, "LIST") { t => cc(t, listType); body(t) }
+
+    val riffBody = new java.io.ByteArrayOutputStream()
+    cc(riffBody, "AVI ")
+    list(riffBody, "hdrl") { hdrl =>
+      chunk(hdrl, "avih") { a =>
+        le32(a, 1000000 / math.max(fps, 1)) // dwMicroSecPerFrame
+        le32(a, 0); le32(a, 0); le32(a, 0)  // maxBytesPerSec, padding, flags
+        le32(a, nFrames)                    // dwTotalFrames
+        le32(a, 0); le32(a, 1); le32(a, 0)  // initialFrames, streams, bufSize
+        le32(a, w); le32(a, h)
+        le32(a, 0); le32(a, 0); le32(a, 0); le32(a, 0) // reserved
+      }
+      list(hdrl, "strl") { strl =>
+        chunk(strl, "strh") { s =>
+          cc(s, "vids"); cc(s, "MJPG")
+          le32(s, 0); le16(s, 0); le16(s, 0) // flags, priority, language
+          le32(s, 0)                         // initialFrames
+          le32(s, 1); le32(s, math.max(fps, 1)) // scale, rate
+          le32(s, 0); le32(s, nFrames)       // start, length
+          le32(s, 0); le32(s, -1); le32(s, 0) // bufSize, quality, sampleSize
+          le16(s, 0); le16(s, 0); le16(s, w); le16(s, h) // rcFrame
+        }
+        chunk(strl, "strf") { f =>
+          le32(f, 40); le32(f, w); le32(f, h) // BITMAPINFOHEADER
+          le16(f, 1); le16(f, 24)             // planes, bitCount
+          cc(f, "MJPG")                       // biCompression
+          le32(f, w * h * 3)
+          le32(f, 0); le32(f, 0); le32(f, 0); le32(f, 0)
+        }
+      }
+    }
+    list(riffBody, "movi") { movi =>
+      frames.foreach(j => chunk(movi, "00dc")(t => t.write(j, 0, j.length)))
+    }
+    cc(dst, "RIFF"); le32(dst, riffBody.size)
+    riffBody.writeTo(dst)
+    dst.toByteArray
+  }
+
+  /** Per-container budget for DECODED video pixels across all frames
+    * (frames × w × h): bounds a decode-bomb container (many max-size
+    * frames) the same way MaxPixels bounds one hostile raster. */
+  val MaxVideoPixels: Long = 4L * MaxPixels
+
+  /** Real MJPEG-in-AVI decode via a RIFF chunk walk + per-frame ImageIO
+    * JPEG decode. Returns None when the payload's magic is not RIFF/AVI.
+    * Frame count = actual decoded `..dc` chunks (the avih header's
+    * declared count is untrusted); dims come from the FIRST decoded
+    * frame; the checksum chains fnv1a over every frame's decoded pixels
+    * in stream order — right only if every frame went through the codec.
+    * Hostile-container guards: any chunk size pointing past the
+    * payload's real end (truncated movi) is invalid, as is a frame that
+    * fails JPEG decode, a frame over [[MaxPixels]], or a container whose
+    * total decoded pixels exceed [[MaxVideoPixels]]. A headers-only AVI
+    * (zero frames) is a VALID empty stream, mirroring decodeAudio. */
+  def decodeVideo(assetId: Long, payload: Array[Byte]): Option[AssetMeta] = {
+    if (payload == null || payload.length < 12) return None
+    val isRiffAvi = payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+      payload(10) == 'I' && payload(11) == ' '
+    if (!isRiffAvi) return None
+    def invalid = Some(AssetMeta(assetId, "avi", 0, 0, 0, payload.length.toLong, 0L, valid = false))
+    def u32(off: Int): Long =
+      ((payload(off) & 0xFFL)) | ((payload(off + 1) & 0xFFL) << 8) |
+        ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+    def cc(off: Int): String =
+      new String(payload, off, 4, StandardCharsets_ISO)
+    var frames = 0
+    var w0 = 0; var h0 = 0
+    var ck = 0xcbf29ce484222325L
+    var pixelBudget = MaxVideoPixels
+    // walk one chunk sequence in [start, end); returns false on any
+    // structural violation (truncation, bad size, undecodable frame)
+    def walk(start: Int, end: Int): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = cc(off)
+        val size = u32(off + 4)
+        if (size < 0 || size > end - off - 8) return false // truncated chunk
+        val dataOff = off + 8
+        val dataLen = size.toInt
+        if (id == "LIST") {
+          if (dataLen < 4) return false
+          // recurse into any list (movi frames may nest in 'rec ' groups)
+          if (!walk(dataOff + 4, dataOff + dataLen)) return false
+        } else if (id.length == 4 && id.endsWith("dc")) {
+          // compressed video frame — decode as JPEG
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload, dataOff, dataLen))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) return false
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val fw = reader.getWidth(0)
+              val fh = reader.getHeight(0)
+              if (fw <= 0 || fh <= 0 || fw.toLong * fh.toLong > MaxPixels) return false
+              pixelBudget -= fw.toLong * fh.toLong
+              if (pixelBudget < 0) return false // decode-bomb container
+              val img = reader.read(0)
+              if (img == null) return false
+              if (frames == 0) { w0 = img.getWidth; h0 = img.getHeight }
+              ck = chainPixels(ck, img)
+              frames += 1
+            } finally reader.dispose()
+          } finally iis.close()
+        } // other chunks (headers, audio, idx1) are walked over, not decoded
+        off = dataOff + dataLen + (dataLen & 1)
+      }
+      true
+    }
+    try {
+      val riffSize = u32(4)
+      // declared RIFF size must fit the actual payload (truncated file)
+      if (riffSize < 4 || 8 + riffSize > payload.length) return invalid
+      if (!walk(12, 8 + riffSize.toInt)) return invalid
+      Some(AssetMeta(assetId, "avi", w0, h0, frames,
+        payload.length.toLong, ck, valid = true))
+    } catch {
+      case _: Exception => invalid
+    }
+  }
+
+  /** Codec dispatch: real raster decode, then real WAV decode, then real
+    * MJPEG/AVI decode; the GRFT fake-format fallback only remains for
+    * payloads outside every JDK-decodable container class. */
   def decode(assetId: Long, payload: Array[Byte]): AssetMeta =
     decodeImage(assetId, payload)
       .orElse(decodeAudio(assetId, payload))
+      .orElse(decodeVideo(assetId, payload))
       .getOrElse(decodeStub(assetId, payload))
 
   /** Deterministic stub decode of the GRFT fake header format — the
@@ -262,7 +452,7 @@ object Multimodal {
     * as (assetId, frameIdx) rows — the downstream shape for per-frame
     * feature extraction. */
   def sampleFrames(meta: DataFrame, everyNth: Int): DataFrame =
-    meta.filter(col("format") === "vid" && col("valid"))
+    meta.filter(col("format").isin("vid", "avi") && col("valid"))
       .withColumn("frameIdx",
         explode(sequence(lit(0), greatest(col("nFrames") - 1, lit(0)), lit(everyNth))))
       .select(col("assetId").as("asset_id"), col("frameIdx").cast("long").as("frame_idx"))

@@ -235,6 +235,37 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("video decoder never crashes on hostile AVI bytes") {
+    import graft.ops.Multimodal
+    for (s <- 0 until 60) {
+      val body = randBytes(s.toLong + 5000, 512)
+      // RIFF/AVI magic + garbage: the chunk walk must be contained —
+      // avi-shaped meta back, no throw, no unbounded allocation. (Random
+      // garbage can legitimately parse as a valid EMPTY container when
+      // its declared size closes before any frame chunk; a valid result
+      // must then carry zero frames.)
+      val avi = "RIFF".getBytes ++ body.take(4) ++ "AVI ".getBytes ++ body
+      val m = Multimodal.decode(s.toLong, avi)
+      assert(m.assetId == s.toLong && m.format == "avi")
+      assert(!m.valid || m.nFrames == 0, m.toString)
+      // truncated real AVI: cut a valid stream at every 16th byte —
+      // must return (valid or invalid), never throw or hang
+      val real = Multimodal.makeAvi(s.toLong, 16, 12, nFrames = 2)
+      var cut = 1
+      while (cut < real.length) {
+        Multimodal.decode(s.toLong, real.take(cut))
+        cut += 16
+      }
+      // bit-flip fuzz inside the container body (headers, sizes, JPEG
+      // payloads): contained, avi-shaped, never a crash
+      val flipped = real.clone()
+      val at = 12 + (FixtureGen.mix(777L, s.toLong).abs % (real.length - 12)).toInt
+      flipped(at) = (flipped(at) ^ 0xFF).toByte
+      val mf = Multimodal.decode(s.toLong, flipped)
+      assert(mf.assetId == s.toLong && mf.format == "avi")
+    }
+  }
+
   test("xbrl scanner never crashes or hangs: random bytes, unclosed tags, hostile attrs") {
     import graft.sources.XbrlInstance
     for (sd <- 0 until 100) {

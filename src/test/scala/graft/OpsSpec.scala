@@ -315,6 +315,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mb.format == "wav" && mb.checksum == m0.checksum && mb.valid)
   }
 
+  test("multimodal: real MJPEG/AVI decode — frame-exact count, dims, chained pixel checksum") {
+    import spark.implicits._
+    val avi = Multimodal.makeAvi(21L, w = 48, h = 32, nFrames = 5)
+    assert(new String(avi.take(4)) == "RIFF" && new String(avi.slice(8, 12)) == "AVI ")
+    val m0 = Multimodal.decode(21L, avi)
+    assert(m0.format == "avi" && m0.valid && m0.width == 48 && m0.height == 32 &&
+      m0.nFrames == 5, m0.toString)
+    // frame-exact: independently JPEG-decode the same frame bytes and
+    // chain the checksum — equal only if the container decode really
+    // decoded every frame in stream order
+    var ck = 0xcbf29ce484222325L
+    for (f <- 0 until 5) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.aviFrameJpeg(21L, f, 48, 32)))
+      ck = Multimodal.chainPixels(ck, img)
+    }
+    assert(m0.checksum == ck, "checksum must chain every decoded frame")
+    // truncated movi (payload cut mid-frame): sniffs avi, valid=false
+    val mt = Multimodal.decode(22L, avi.take(avi.length - 20))
+    assert(mt.format == "avi" && !mt.valid)
+    // headers-only AVI: a VALID empty stream (decodeAudio discipline)
+    val me = Multimodal.decode(23L, Multimodal.makeAvi(23L, 16, 16, nFrames = 0))
+    assert(me.format == "avi" && me.valid && me.nFrames == 0 && me.width == 0)
+    // frame chunk whose payload is not a JPEG → invalid, not a crash
+    val dcAt = avi.toSeq.indexOfSlice("00dc".getBytes.toSeq)
+    assert(dcAt > 0)
+    val badFrame = avi.clone(); badFrame(dcAt + 8) = 0; badFrame(dcAt + 9) = 0
+    assert(!Multimodal.decode(24L, badFrame).valid)
+    // hostile chunk size pointing far past the payload → invalid
+    val badSize = avi.clone()
+    badSize(dcAt + 4) = -1; badSize(dcAt + 5) = -1
+    badSize(dcAt + 6) = -1; badSize(dcAt + 7) = 0x7F
+    assert(!Multimodal.decode(25L, badSize).valid)
+    // through the Spark batch path; real AVI drives frame sampling
+    val mb = Multimodal.decodeBatches(spark, Seq((21L, avi)).toDF("assetId", "payload"))
+    val row = mb.collect().head
+    assert(row.format == "avi" && row.checksum == m0.checksum && row.valid)
+    val frames = Multimodal.sampleFrames(mb.toDF(), everyNth = 2)
+      .select($"frame_idx").as[Long].collect().toSet
+    assert(frames == Set(0L, 2L, 4L))
+  }
+
   test("kmvOverlap: O(G²) group-pair guard rejects data-sized group counts") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, s"g$i", "alpha beta gamma"))
