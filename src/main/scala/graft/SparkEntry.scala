@@ -1452,13 +1452,19 @@ object SparkEntry {
     * zero-token doc at a cell head must not push the next doc into
     * bin 1). Binds CTE names `t0`, `t` and `rec` over a
     * `documents`-shaped relation `src(source, doc_id, text)`. */
-  private def packFoldCte(src: String): String =
+  /** The fold's NON-RECURSIVE prep (token counts + salted sub-shard) —
+    * also emitted alone as a pyfold fragment so the Python greedy fold
+    * verifies the same inputs the recursive CTE consumes. */
+  private def packPrepCte(src: String): String =
     s"""t0 AS (
        |  SELECT source, doc_id,
        |    CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
        |         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS ntok,
        |    CAST(((${saltedHashSql("pack")}) >> 1) % $PackShards AS BIGINT) AS shard
-       |  FROM $src),
+       |  FROM $src)""".stripMargin
+
+  private def packFoldCte(src: String): String =
+    s"""${margined(packPrepCte(src))},
        |t AS (
        |  SELECT source, doc_id, ntok, shard,
        |    row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
@@ -1475,7 +1481,7 @@ object SparkEntry {
   /** q_pack_bins oracle: the greedy fold as a recursive CTE over the
     * per-(source, shard) row sequence (bin state carried row to row). */
   private def packBinsOracle: String =
-    s"""WITH RECURSIVE ${packFoldCte("documents")}
+    s"""WITH RECURSIVE ${margined(packFoldCte("documents"))}
        |SELECT source, doc_id, ntok AS n_tokens, shard AS shard_id,
        |  CAST(bin AS BIGINT) AS bin_id
        |FROM rec""".stripMargin
@@ -1600,7 +1606,7 @@ object SparkEntry {
   /** q_pack_stats oracle: the SHARED pack fold, then per-bin aggregation
     * (docs, used tokens, fill fraction vs the 200 budget). */
   private def packStatsOracle: String =
-    s"""WITH RECURSIVE ${packFoldCte("documents")}
+    s"""WITH RECURSIVE ${margined(packFoldCte("documents"))}
        |SELECT source, shard AS shard_id, CAST(bin AS BIGINT) AS bin_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(ntok) AS BIGINT) AS used,
@@ -1705,26 +1711,38 @@ object SparkEntry {
     * contamination shingle machinery, the exact split threshold and the
     * pack-bins recursive fold. Each piece is the (already hash-green)
     * stage oracle, composed. */
-  private def curationFunnelOracle: String = {
+  /** Word-set jaccard ≥ 0.8 edge list over a `(doc_id, source, text)`
+    * relation — ONE definition shared by the q_dedup_clusters oracle, the
+    * funnel oracle and the pyfold fragments (drift here would desync the
+    * recursive and Python-fold verification paths). Binds CTE names `d`
+    * and `e`. */
+  private def jaccardEdgeCtes(src: String): String =
+    s"""d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words FROM $src),
+       |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+       |      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+       |          / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8)""".stripMargin
+
+  /** token count expression shared by the funnel oracle fragments. */
+  private val funnelTokN = "CASE WHEN text IS NULL OR text = '' THEN 0 " +
+    "ELSE len(string_split(text, ' ')) END"
+
+  /** Re-margin an already-stripped multi-line SQL fragment for embedding
+    * inside another `stripMargin` template: every interior line gets a
+    * leading `|` so the OUTER stripMargin strips exactly that pipe and
+    * restores the line verbatim. Without this, fragment lines that start
+    * with whitespace + `||` (string concat) lose one pipe to the outer
+    * stripMargin and the SQL silently degrades to a bitwise `|`. */
+  private def margined(frag: String): String = frag.replace("\n", "\n|")
+
+  /** The funnel oracle's NON-RECURSIVE prefix: planted corpus → scrub →
+    * PII gate (s1) → exact dedup (s2) → jaccard edge list (d, e). Shared
+    * verbatim by the full recursive oracle and the pyfold fragments. */
+  private def funnelPrefixCtes: String = {
     val email = graft.ops.Scrub.EmailRe
     val ipv4 = graft.ops.Scrub.Ipv4Re
     val phone = graft.ops.Scrub.PhoneRe
-    val trainCut = graft.ops.Splits.splitThresholds(Seq(0.8, 0.1, 0.1)).head
-    val tokN = "CASE WHEN text IS NULL OR text = '' THEN 0 " +
-      "ELSE len(string_split(text, ' ')) END"
-    def shlOf(src: String) =
-      s"""SELECT doc_id,
-         |    CASE WHEN len(ws) = 0 THEN CAST([] AS UBIGINT[])
-         |         WHEN len(ws) < 3 THEN list_transform([array_to_string(ws, ' ')], w -> $fnvWordSql)
-         |         ELSE list_distinct(list_transform(
-         |                list_transform(range(1, len(ws) - 1),
-         |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
-         |                w -> $fnvWordSql))
-         |    END AS shs
-         |  FROM (SELECT doc_id,
-         |          list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
-         |        FROM $src)""".stripMargin
-    s"""WITH RECURSIVE base AS (
+    s"""base AS (
        |  SELECT doc_id, source,
        |    text || ' contact user' || doc_id || '@example.com at 10.0.'
        |      || (doc_id % 256) || '.7 or +1-555-'
@@ -1753,20 +1771,30 @@ object SparkEntry {
        |s2 AS (SELECT doc_id, source, text FROM (
        |    SELECT doc_id, source, text, min(doc_id) OVER (PARTITION BY text) AS rep FROM s1)
        |  WHERE doc_id = rep),
-       |d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words FROM s2),
-       |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-       |      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-       |      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-       |          / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
-       |edges AS (SELECT ia AS s, ib AS t FROM e UNION ALL SELECT ib, ia FROM e),
-       |reach(id, lbl) AS (
-       |  SELECT doc_id, doc_id FROM s2
-       |  UNION
-       |  SELECT eg.t, r.lbl FROM reach r JOIN edges eg ON eg.s = r.id
-       |  WHERE r.lbl < eg.t),
-       |clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-       |s3 AS (SELECT s2.doc_id, s2.source, s2.text FROM s2
-       |       JOIN clus ON clus.id = s2.doc_id WHERE clus.cluster_id = s2.doc_id),
+       |${margined(jaccardEdgeCtes("s2"))}""".stripMargin
+  }
+
+  /** The funnel oracle's TAIL given a cluster-representative relation
+    * `repsRel(doc_id)` (s2 rows that are their own cluster label):
+    * near-dedup survivors (s3) → decontamination (s4) → train split (s5).
+    * Shared by the recursive oracle (reps from the reach CTE) and the
+    * pyfold fragments (reps from the Python union-find). */
+  private def funnelTailCtes(repsRel: String): String = {
+    val trainCut = graft.ops.Splits.splitThresholds(Seq(0.8, 0.1, 0.1)).head
+    def shlOf(src: String) =
+      s"""SELECT doc_id,
+         |    CASE WHEN len(ws) = 0 THEN CAST([] AS UBIGINT[])
+         |         WHEN len(ws) < 3 THEN list_transform([array_to_string(ws, ' ')], w -> $fnvWordSql)
+         |         ELSE list_distinct(list_transform(
+         |                list_transform(range(1, len(ws) - 1),
+         |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+         |                w -> $fnvWordSql))
+         |    END AS shs
+         |  FROM (SELECT doc_id,
+         |          list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
+         |        FROM $src)""".stripMargin
+    s"""s3 AS (SELECT s2.doc_id, s2.source, s2.text FROM s2
+       |       JOIN $repsRel ON $repsRel.doc_id = s2.doc_id),
        |shlA AS (${shlOf("s3")}),
        |shlB AS (${shlOf("(SELECT doc_id, text FROM scr WHERE doc_id % 97 = 0 AND doc_id < 1000000) bq")}),
        |benchsh AS (SELECT DISTINCT unnest(shs) AS sh FROM shlB),
@@ -1779,8 +1807,22 @@ object SparkEntry {
        |           / CAST(greatest(COALESCE(tot.ns, 0), 1) AS DOUBLE), 4) < 0.5),
        |s5 AS (SELECT doc_id, source, text FROM (
        |    SELECT doc_id, source, text, ${saltedHashSql("split")} AS hu FROM s4)
-       |  WHERE hu < CAST('$trainCut' AS UBIGINT)),
-       |${packFoldCte("s5")},
+       |  WHERE hu < CAST('$trainCut' AS UBIGINT))""".stripMargin
+  }
+
+  private def curationFunnelOracle: String = {
+    val tokN = funnelTokN
+    s"""WITH RECURSIVE ${margined(funnelPrefixCtes)},
+       |edges AS (SELECT ia AS s, ib AS t FROM e UNION ALL SELECT ib, ia FROM e),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM s2
+       |  UNION
+       |  SELECT eg.t, r.lbl FROM reach r JOIN edges eg ON eg.s = r.id
+       |  WHERE r.lbl < eg.t),
+       |clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |reps AS (SELECT id AS doc_id FROM clus WHERE cluster_id = id),
+       |${margined(funnelTailCtes("reps"))},
+       |${margined(packFoldCte("s5"))},
        |stages AS (
        |  SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs,
        |    COALESCE(sum($tokN), 0) AS n_tokens FROM all0
@@ -2032,13 +2074,8 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
     "q_dedup_clusters" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words
-        |      FROM documents),
-        |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-        |      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-        |      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-        |          / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+      s"""WITH RECURSIVE
+        |${margined(jaccardEdgeCtes("documents"))},
         |edges AS (SELECT ia AS s, ib AS t FROM e UNION ALL SELECT ib, ia FROM e),
         |reach(id, lbl) AS (
         |  SELECT doc_id, doc_id FROM documents
@@ -2073,5 +2110,56 @@ object SparkEntry {
         |      w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
         |    / len(string_split(text, ' ')), 4) AS stopword_ratio
         |FROM documents""".stripMargin,
+  )
+
+  /** NON-RECURSIVE oracle fragments for the large-scale selfcheck
+    * (`tools/selfcheck.py --pyfold`): the recursive-CTE oracles
+    * (connected components, greedy pack fold) explode in DuckDB past
+    * sf0.01, capping the VERIFIED scale even though the engine runs
+    * sf0.1 in every bench (VERDICT r5 missing #2). These fragments are
+    * the SAME CTE text the recursive oracles embed (shared builders —
+    * zero drift); Python re-implements only the two genuinely recursive
+    * folds (union-find, greedy bin fold) over them. Keys are
+    * `<query>!<fragment>`; fragments referencing `pyreps(doc_id)` expect
+    * the caller to register the Python-computed cluster representatives
+    * as a DuckDB temp relation of that name. Dumped to
+    * `pyfold_sql.json`, never `oracle_sql.json` (the driver must keep
+    * consuming only real oracles). */
+  def pyfoldSql: Map[String, String] = Map(
+    "q_dedup_clusters!docs" -> "SELECT doc_id FROM documents",
+    "q_dedup_clusters!edges" ->
+      s"""WITH ${margined(jaccardEdgeCtes("documents"))}
+         |SELECT ia, ib FROM e""".stripMargin,
+    "q_pack_bins!prep" ->
+      s"""WITH ${margined(packPrepCte("documents"))}
+         |SELECT source, doc_id, ntok, shard FROM t0""".stripMargin,
+    "q_curation_funnel!s2rows" ->
+      s"""WITH ${margined(funnelPrefixCtes)}
+         |SELECT doc_id FROM s2""".stripMargin,
+    "q_curation_funnel!edges" ->
+      s"""WITH ${margined(funnelPrefixCtes)}
+         |SELECT ia, ib FROM e""".stripMargin,
+    "q_curation_funnel!stages012" ->
+      s"""WITH ${margined(funnelPrefixCtes)}
+         |SELECT 0 AS stage_idx, 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) AS n_tokens FROM all0
+         |UNION ALL SELECT 1, 'pii_gate', CAST(count(*) AS BIGINT),
+         |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) FROM s1
+         |UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+         |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) FROM s2""".stripMargin,
+    "q_curation_funnel!stages345" ->
+      s"""WITH ${margined(funnelPrefixCtes)},
+         |${margined(funnelTailCtes("pyreps"))}
+         |SELECT 3 AS stage_idx, 'near_dedup' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) AS n_tokens FROM s3
+         |UNION ALL SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT),
+         |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) FROM s4
+         |UNION ALL SELECT 5, 'train_split', CAST(count(*) AS BIGINT),
+         |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) FROM s5""".stripMargin,
+    "q_curation_funnel!s5prep" ->
+      s"""WITH ${margined(funnelPrefixCtes)},
+         |${margined(funnelTailCtes("pyreps"))},
+         |${margined(packPrepCte("s5"))}
+         |SELECT source, doc_id, ntok, shard FROM t0""".stripMargin,
   )
 }

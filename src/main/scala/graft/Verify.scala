@@ -49,6 +49,15 @@ object Verify {
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(oraclePath, json)
     }
+    // non-recursive fragments for the large-scale selfcheck (--pyfold):
+    // a SEPARATE file — the driver consumes oracle_sql.json only and a
+    // `name!fragment` key there would read as a query with no output
+    val pyfoldPath = Paths.get(s"$outDir/pyfold_sql.json")
+    if (only.isEmpty || !Files.exists(pyfoldPath)) {
+      val json = SparkEntry.pyfoldSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(pyfoldPath, json)
+    }
     spark.stop()
   }
 }
