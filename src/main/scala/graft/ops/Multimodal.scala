@@ -356,8 +356,14 @@ object Multimodal {
     var ck = 0xcbf29ce484222325L
     var pixelBudget = MaxVideoPixels
     // walk one chunk sequence in [start, end); returns false on any
-    // structural violation (truncation, bad size, undecodable frame)
-    def walk(start: Int, end: Int): Boolean = {
+    // structural violation (truncation, bad size, undecodable frame).
+    // `depth` bounds LIST nesting: real AVIs nest 3 levels (hdrl/strl,
+    // movi/rec), but a crafted payload of thousands of nested LIST
+    // headers would otherwise recurse one stack frame per level and
+    // throw StackOverflowError — an Error the Exception catch below
+    // cannot contain (review r6)
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      if (depth > 16) return false // nested-LIST bomb
       var off = start
       while (off + 8 <= end) {
         val id = cc(off)
@@ -368,7 +374,7 @@ object Multimodal {
         if (id == "LIST") {
           if (dataLen < 4) return false
           // recurse into any list (movi frames may nest in 'rec ' groups)
-          if (!walk(dataOff + 4, dataOff + dataLen)) return false
+          if (!walk(dataOff + 4, dataOff + dataLen, depth + 1)) return false
         } else if (id.length == 4 && id.endsWith("dc")) {
           // compressed video frame — decode as JPEG
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -400,7 +406,7 @@ object Multimodal {
       val riffSize = u32(4)
       // declared RIFF size must fit the actual payload (truncated file)
       if (riffSize < 4 || 8 + riffSize > payload.length) return invalid
-      if (!walk(12, 8 + riffSize.toInt)) return invalid
+      if (!walk(12, 8 + riffSize.toInt, 0)) return invalid
       Some(AssetMeta(assetId, "avi", w0, h0, frames,
         payload.length.toLong, ck, valid = true))
     } catch {
@@ -452,7 +458,10 @@ object Multimodal {
     * as (assetId, frameIdx) rows — the downstream shape for per-frame
     * feature extraction. */
   def sampleFrames(meta: DataFrame, everyNth: Int): DataFrame =
-    meta.filter(col("format").isin("vid", "avi") && col("valid"))
+    // nFrames >= 1: a VALID zero-frame video (headers-only AVI) must emit
+    // nothing — greatest(nFrames-1, 0) alone would fabricate a phantom
+    // frame 0 for an asset that has no frames (review r6)
+    meta.filter(col("format").isin("vid", "avi") && col("valid") && col("nFrames") >= 1)
       .withColumn("frameIdx",
         explode(sequence(lit(0), greatest(col("nFrames") - 1, lit(0)), lit(everyNth))))
       .select(col("assetId").as("asset_id"), col("frameIdx").cast("long").as("frame_idx"))

@@ -348,13 +348,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     badSize(dcAt + 4) = -1; badSize(dcAt + 5) = -1
     badSize(dcAt + 6) = -1; badSize(dcAt + 7) = 0x7F
     assert(!Multimodal.decode(25L, badSize).valid)
+    // nested-LIST bomb: thousands of nested LIST headers must report
+    // invalid, not blow the stack (StackOverflowError is uncatchable as
+    // Exception — the walk carries an explicit depth bound)
+    val bomb = new java.io.ByteArrayOutputStream()
+    val levels = 20000
+    val inner = 4 // innermost list body: just its type fourcc
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    bomb.write("RIFF".getBytes)
+    bomb.write(le(4 + levels * 12 + inner))
+    bomb.write("AVI ".getBytes)
+    for (l <- 0 until levels) {
+      bomb.write("LIST".getBytes)
+      bomb.write(le((levels - 1 - l) * 12 + 4 + inner))
+      bomb.write("rec ".getBytes)
+    }
+    bomb.write("mov ".getBytes)
+    val mbomb = Multimodal.decode(26L, bomb.toByteArray)
+    assert(mbomb.format == "avi" && !mbomb.valid)
     // through the Spark batch path; real AVI drives frame sampling
-    val mb = Multimodal.decodeBatches(spark, Seq((21L, avi)).toDF("assetId", "payload"))
-    val row = mb.collect().head
-    assert(row.format == "avi" && row.checksum == m0.checksum && row.valid)
+    val mb = Multimodal.decodeBatches(spark,
+      Seq((21L, avi), (23L, Multimodal.makeAvi(23L, 16, 16, nFrames = 0)))
+        .toDF("assetId", "payload"))
+    val rows = mb.collect().map(a => a.assetId -> a).toMap
+    assert(rows(21L).format == "avi" && rows(21L).checksum == m0.checksum && rows(21L).valid)
     val frames = Multimodal.sampleFrames(mb.toDF(), everyNth = 2)
-      .select($"frame_idx").as[Long].collect().toSet
-    assert(frames == Set(0L, 2L, 4L))
+      .select($"asset_id", $"frame_idx").as[(Long, Long)].collect().toSet
+    // the valid ZERO-frame asset 23 contributes nothing — no phantom frame 0
+    assert(frames == Set((21L, 0L), (21L, 2L), (21L, 4L)))
   }
 
   test("kmvOverlap: O(G²) group-pair guard rejects data-sized group counts") {
