@@ -802,6 +802,12 @@ object SparkEntry {
     graft.ops.Dedup.cutDuplicatedSpans(planted, k = 8, minRun = 12)
   }
 
+  /** Corpus bigram-LM fluency score — the CCNet/Gopher-style perplexity
+    * quality signal, in the exactly-reproducible log-free form. */
+  private def qLmFluency(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LmScore.bigramFluency(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   /** URL canonicalization: deterministic MESSY url spellings built from
     * doc_id (mixed-case scheme/host, default and non-default ports,
     * fragments, queries, missing paths, non-http schemes), collapsed to
@@ -919,6 +925,7 @@ object SparkEntry {
     "q_pack_stats"       -> qPackStats _,
     "q_dup_spans"        -> qDupSpans _,
     "q_cut_spans"        -> qCutSpans _,
+    "q_lm_fluency"       -> qLmFluency _,
     "q_normalize"        -> qNormalize _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
@@ -1603,6 +1610,42 @@ object SparkEntry {
        |LEFT JOIN nc USING (doc_id)""".stripMargin
   }
 
+  /** q_lm_fluency oracle: the same Laplace-smoothed bigram model with the
+    * same log-free arithmetic — each P is one exact division of
+    * integer-valued doubles, and the per-doc mean folds positions in
+    * ascending order on BOTH engines (list_reduce over a pos-ordered
+    * list vs Spark's sorted aggregate), so the doubles match bit-for-bit
+    * with no float-sum order ambiguity. */
+  private def lmFluencyOracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+       |    x -> length(x) > 0) AS ws
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(ws) AS tok FROM words),
+       |uni AS (SELECT tok, count(*) AS u FROM toks GROUP BY 1),
+       |v AS (SELECT count(*) AS vocab FROM uni),
+       |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |    i -> {'pos': i, 'prev': ws[i], 'cur': ws[i+1]})) AS pc
+       |  FROM words WHERE len(ws) >= 2),
+       |bi2 AS (SELECT doc_id, pc.pos AS pos, pc.prev AS prev, pc.cur AS cur FROM bi),
+       |big AS (SELECT prev, cur, count(*) AS b FROM bi2 GROUP BY 1, 2),
+       |sc AS (SELECT bi2.doc_id, bi2.pos,
+       |    CAST(big.b + 1 AS DOUBLE) / CAST(uni.u + v.vocab AS DOUBLE) AS p,
+       |    CASE WHEN big.b >= 2 THEN 1 ELSE 0 END AS hit
+       |  FROM bi2 JOIN big USING (prev, cur) JOIN uni ON uni.tok = bi2.prev, v),
+       |agg AS (SELECT doc_id, count(*) AS nb, sum(hit) AS hits,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+       |      (a, b) -> a + b) AS psum
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams,
+       |  round(CAST(COALESCE(a.hits, 0) AS DOUBLE)
+       |    / CAST(greatest(COALESCE(a.nb, 0), 1) AS DOUBLE), 4) AS hit_rate,
+       |  round(COALESCE(a.psum, 0)
+       |    / CAST(greatest(COALESCE(a.nb, 0), 1) AS DOUBLE), 4) AS avg_p
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** q_pack_stats oracle: the SHARED pack fold, then per-bin aggregation
     * (docs, used tokens, fill fraction vs the 200 budget). */
   private def packStatsOracle: String =
@@ -1856,6 +1899,7 @@ object SparkEntry {
     "q_pack_bins" -> packBinsOracle,
     "q_pack_stats" -> packStatsOracle,
     "q_cut_spans" -> cutSpansOracle,
+    "q_lm_fluency" -> lmFluencyOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_normalize" -> normalizeOracle,
     "q_cosine_neardup" -> cosineNearDupOracle,

@@ -454,6 +454,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(64) == ref && ids(7) == ref && ids(2000) == ref)
   }
 
+  test("bigram fluency: hand-computed smoothed probabilities, hit rates, degenerate docs") {
+    import spark.implicits._
+    // corpus: U = {a:3, b:3, x:1, zz:1}, V = 4; B = {(a,b):3, (b,a):1, (b,x):1}
+    val d = docsDF(Seq(
+      (1L, "a b a b"), (2L, "a b x"), (3L, "zz"), (4L, "")))
+    val r = graft.ops.LmScore.bigramFluency(d)
+      .select($"doc_id", $"n_bigrams", $"hit_rate", $"avg_p")
+      .as[(Long, Long, Double, Double)].collect().map(x => x._1 -> x).toMap
+    // doc 1: P = 4/7, 2/7, 4/7 → avg 10/21 = 0.4762; hits: (a,b) twice of 3
+    assert(r(1L) == ((1L, 3L, 0.6667, 0.4762)), r(1L))
+    // doc 2: P = 4/7, 2/7 → avg 3/7 = 0.4286; hit only (a,b)
+    assert(r(2L) == ((2L, 2L, 0.5, 0.4286)), r(2L))
+    // single-token and empty docs: no bigrams, zero scores
+    assert(r(3L) == ((3L, 0L, 0.0, 0.0)))
+    assert(r(4L) == ((4L, 0L, 0.0, 0.0)))
+  }
+
   test("cut duplicated spans: overlap merges, whole-doc dup empties, short echoes kept, sub-k untouched") {
     import spark.implicits._
     // k=3, minRun=5: a covered run must reach 5 tokens to be cut

@@ -124,6 +124,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("lambdafunction"), "dup-spans plan contains a HOF")
   }
 
+  test("lm fluency plan: equi-joins only, never cartesian") {
+    val p = plan(SparkEntry.queries("q_lm_fluency")(spark, sf), "simple")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("cut spans plan: equi-joins only, never cartesian; dup-set join is hash-keyed") {
     val p = plan(SparkEntry.queries("q_cut_spans")(spark, sf), "simple")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
