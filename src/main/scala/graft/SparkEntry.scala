@@ -802,6 +802,22 @@ object SparkEntry {
     graft.ops.Dedup.cutDuplicatedSpans(planted, k = 8, minRun = 12)
   }
 
+  /** CCNet-style line dedup over deterministically planted multi-line
+    * docs: every doc carries a corpus-duplicated boilerplate line (cased
+    * differently on odd docs — the normalized key must still match), a
+    * whitespace-only line (always dropped), and every 2nd doc a second
+    * duplicated line vs a unique tail on the others. */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+      col("text"), lit("\n"),
+      when(col("doc_id") % 2 === 0, lit("all rights reserved"))
+        .otherwise(lit("  ALL RIGHTS RESERVED ")),
+      lit("\n   \n"),
+      when(col("doc_id") % 2 === 0, lit("Subscribe to our newsletter"))
+        .otherwise(concat(lit("unique tail "), col("doc_id")))).as("text"))
+    graft.ops.Dedup.cutDuplicateLines(planted, minCount = 2)
+  }
+
   /** Corpus bigram-LM fluency score — the CCNet/Gopher-style perplexity
     * quality signal, in the exactly-reproducible log-free form. */
   private def qLmFluency(s: SparkSession, dir: String): DataFrame =
@@ -926,6 +942,7 @@ object SparkEntry {
     "q_dup_spans"        -> qDupSpans _,
     "q_cut_spans"        -> qCutSpans _,
     "q_lm_fluency"       -> qLmFluency _,
+    "q_line_dedup"       -> qLineDedup _,
     "q_normalize"        -> qNormalize _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
@@ -1646,6 +1663,38 @@ object SparkEntry {
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** q_line_dedup oracle: identical planting, normalized-key counts,
+    * NOT-IN cut, position-ordered string_agg reassembly. */
+  private def lineDedupOracle: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text || chr(10)
+       |    || CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved'
+       |            ELSE '  ALL RIGHTS RESERVED ' END
+       |    || chr(10) || '   ' || chr(10)
+       |    || CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
+       |            ELSE 'unique tail ' || doc_id END AS text
+       |  FROM documents),
+       |l0 AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ls) + 1), i -> {'pos': i, 'line': ls[i]})) AS t
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)),
+       |lines AS (SELECT doc_id, t.pos AS pos, t.line AS line,
+       |    lower(trim(t.line)) AS key FROM l0),
+       |dup AS (SELECT key FROM lines WHERE key <> '' GROUP BY key HAVING count(*) >= 2),
+       |kept AS (SELECT doc_id, pos, line FROM lines
+       |         WHERE key <> '' AND key NOT IN (SELECT key FROM dup)),
+       |pd AS (SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(pd.clean_text, '') AS clean_text,
+       |  CAST(COALESCE(tot.n_lines, 0) AS BIGINT) AS n_lines,
+       |  CAST(COALESCE(tot.n_lines, 0) - COALESCE(pd.n_kept, 0) AS BIGINT) AS n_cut_lines
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN tot USING (doc_id)
+       |LEFT JOIN pd USING (doc_id)""".stripMargin
+
   /** q_pack_stats oracle: the SHARED pack fold, then per-bin aggregation
     * (docs, used tokens, fill fraction vs the 200 budget). */
   private def packStatsOracle: String =
@@ -1900,6 +1949,7 @@ object SparkEntry {
     "q_pack_stats" -> packStatsOracle,
     "q_cut_spans" -> cutSpansOracle,
     "q_lm_fluency" -> lmFluencyOracle,
+    "q_line_dedup" -> lineDedupOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_normalize" -> normalizeOracle,
     "q_cosine_neardup" -> cosineNearDupOracle,

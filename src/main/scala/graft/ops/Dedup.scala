@@ -201,6 +201,51 @@ object Dedup {
         col("cutres._2").as("n_tokens"), col("cutres._3").as("n_cut"))
   }
 
+  /** CCNet-style paragraph (line) deduplication — the third removal
+    * granularity real pipelines run alongside whole-doc dedup and span
+    * cutting: boilerplate LINES ("All rights reserved", cookie banners,
+    * nav text) repeat across millions of pages and are dropped line-wise.
+    * The dedup key is the normalized line (trim + lowercase, the CCNet
+    * hashing convention); the ORIGINAL line text is what gets cut or
+    * kept. Lines whose normalized key is empty (blank/whitespace) are
+    * always dropped; other lines are cut when their key occurs at least
+    * `minCount` times corpus-wide.
+    *
+    * Shape at 100 TB: one line explode whose shuffle carries (doc_id,
+    * pos, line); corpus counts partial-aggregate map-side on the
+    * normalized key; the duplicated-key set joins back on the key (never
+    * broadcast — boilerplate sets are crawl-sized); reassembly is a
+    * per-doc ordered concat (state bounded by the doc's own line count).
+    * Output: (idCol, clean_text, n_lines, n_cut_lines). */
+  def cutDuplicateLines(docs: DataFrame, minCount: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val lines = docs.select(col(idCol).cast("long").as("sid"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", lower(trim(col("line"))))
+      // consumed twice (corpus counts + the cut join)
+      .transform(CheckpointScratch.ckpt)
+    val dupKeys = lines.filter(col("key") =!= "")
+      .groupBy(col("key")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("key"))
+    val kept = lines.filter(col("key") =!= "")
+      .join(dupKeys, Seq("key"), "left_anti")
+    val perDoc = kept.groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean_text"))
+    val totals = lines.groupBy(col("sid")).agg(count(lit(1)).as("n_lines"))
+    docs.select(col(idCol).cast("long").as("sid")).distinct()
+      .join(totals, Seq("sid"), "left")
+      .join(perDoc, Seq("sid"), "left")
+      .select(col("sid").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_cut_lines"))
+  }
+
   /** MinHash signature: sig(j) = min over shingles of mix64(h ^ seed_j). */
   def minhashSignature(text: String, numHashes: Int, k: Int): Array[Long] =
     minhashFromHashes(shingleHashes(text, k), numHashes)

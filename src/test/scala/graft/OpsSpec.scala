@@ -454,6 +454,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(64) == ref && ids(7) == ref && ids(2000) == ref)
   }
 
+  test("line dedup: normalized-key cut, case/trim variants match, blanks dropped, order kept") {
+    import spark.implicits._
+    val d = docsDF(Seq(
+      (1L, "keep me one\nAll Rights Reserved\nkeep me two"),
+      (2L, "other body\n  all rights reserved  \nmore body"),
+      (3L, "solo line\n   \nfinal line"),
+      (4L, ""), // one empty line → dropped, clean ""
+      (5L, null.asInstanceOf[String])))
+    val r = graft.ops.Dedup.cutDuplicateLines(d, minCount = 2)
+      .select($"doc_id", $"clean_text", $"n_lines", $"n_cut_lines")
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    // the cased/padded boilerplate variants share one normalized key → cut
+    assert(r(1L) == ((1L, "keep me one\nkeep me two", 3L, 1L)), r(1L))
+    assert(r(2L) == ((2L, "other body\nmore body", 3L, 1L)), r(2L))
+    // blank line always dropped; unique lines keep their order
+    assert(r(3L) == ((3L, "solo line\nfinal line", 3L, 1L)), r(3L))
+    assert(r(4L) == ((4L, "", 1L, 1L)), r(4L))
+    assert(r(5L) == ((5L, "", 1L, 1L)), r(5L))
+  }
+
   test("bigram fluency: hand-computed smoothed probabilities, hit rates, degenerate docs") {
     import spark.implicits._
     // corpus: U = {a:3, b:3, x:1, zz:1}, V = 4; B = {(a,b):3, (b,a):1, (b,x):1}

@@ -124,10 +124,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("lambdafunction"), "dup-spans plan contains a HOF")
   }
 
-  test("lm fluency plan: equi-joins only, never cartesian") {
-    val p = plan(SparkEntry.queries("q_lm_fluency")(spark, sf), "simple")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      p.take(1500))
+  test("lm fluency and line dedup plans: equi-joins only, never cartesian") {
+    for (q <- Seq("q_lm_fluency", "q_line_dedup")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf), "simple")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(1500)}")
+    }
   }
 
   test("cut spans plan: equi-joins only, never cartesian; dup-set join is hash-keyed") {
