@@ -181,4 +181,25 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     timed("packGreedy 2M balanced 1000 sources, shards=16 (default)")(
       graft.ops.Packing.packGreedy(docs, budget = 512).count())
   }
+
+  ignore("round-6 new ops at scale: span cut, bigram fluency, line dedup (opt-in probe)") {
+    val docs = corpus(2000000L).localCheckpoint(true)
+    // 1/3 boilerplate suffix (the q_cut_spans planting at 4000x the rows)
+    val boiler = docs.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" all rights reserved terms of service apply contact the site administrator today")))
+        .otherwise(col("text"))).localCheckpoint(true)
+    timed("cutDuplicatedSpans 2M (k=8, minRun=12, 1/3 boilerplate)")(
+      graft.ops.Dedup.cutDuplicatedSpans(boiler, k = 8, minRun = 12)
+        .agg(sum(length(col("clean_text"))) + sum(col("n_cut"))).head().getLong(0))
+    timed("bigramFluency 2M (80M-token model + score)")(
+      graft.ops.LmScore.bigramFluency(docs)
+        .agg(sum(col("n_bigrams"))).head().getLong(0))
+    val lined = docs.withColumn("text",
+      concat(col("text"), lit("\nall rights reserved\nvisit "),
+        col("doc_id") % 7, lit(" today"))).localCheckpoint(true)
+    timed("cutDuplicateLines 2M (planted boilerplate lines)")(
+      graft.ops.Dedup.cutDuplicateLines(lined)
+        .agg(sum(col("n_cut_lines"))).head().getLong(0))
+  }
 }
