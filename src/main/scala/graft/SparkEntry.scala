@@ -802,6 +802,12 @@ object SparkEntry {
     graft.ops.Dedup.cutDuplicatedSpans(planted, k = 8, minRun = 12)
   }
 
+  /** Sliding-window chunking: 64-token windows, stride 48 (overlapping
+    * context) — the split-long-docs half of sequence shaping. */
+  private def qChunks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.chunkDocs(t(s, dir, "documents"), maxLen = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** CCNet-style line dedup over deterministically planted multi-line
     * docs: every doc carries a corpus-duplicated boilerplate line (cased
     * differently on odd docs — the normalized key must still match), a
@@ -943,6 +949,7 @@ object SparkEntry {
     "q_cut_spans"        -> qCutSpans _,
     "q_lm_fluency"       -> qLmFluency _,
     "q_line_dedup"       -> qLineDedup _,
+    "q_chunks"           -> qChunks _,
     "q_normalize"        -> qNormalize _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
@@ -1950,6 +1957,21 @@ object SparkEntry {
     "q_cut_spans" -> cutSpansOracle,
     "q_lm_fluency" -> lmFluencyOracle,
     "q_line_dedup" -> lineDedupOracle,
+    "q_chunks" ->
+      """WITH n AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN 0
+        |         WHEN n <= 64 THEN 1
+        |         ELSE 1 + (n - 64 + 48 - 1) // 48 END AS nc
+        |  FROM n),
+        |u AS (SELECT doc_id, n, unnest(range(0, nc)) AS chunk_idx FROM c WHERE nc >= 1)
+        |SELECT doc_id, chunk_idx,
+        |  chunk_idx * 48 AS start_tok,
+        |  least(64, n - chunk_idx * 48) AS chunk_len
+        |FROM u""".stripMargin,
     "q_dup_spans" -> dupSpansOracle,
     "q_normalize" -> normalizeOracle,
     "q_cosine_neardup" -> cosineNearDupOracle,

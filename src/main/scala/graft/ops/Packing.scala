@@ -77,6 +77,39 @@ object Packing {
     }.toDF(groupCol, idCol, "n_tokens", "shard_id", "bin_id")
   }
 
+  /** Sliding-window chunking — the OTHER sequence-shaping step trainers
+    * run (packing joins short docs; chunking splits long ones): cut each
+    * document's token stream into windows of at most `maxLen` tokens
+    * whose starts advance by `stride` (stride < maxLen → overlapping
+    * context, the GPT-style convention). Chunk count for an n-token doc
+    * is 1 + ceil((n − maxLen)/stride) when n > maxLen, else one chunk
+    * (zero-token docs chunk to nothing). Purely narrow — per-row
+    * arithmetic + one explode, zero shuffle at any corpus size.
+    * Output: (idCol, chunk_idx, start_tok, chunk_len). */
+  def chunkDocs(docs: DataFrame, maxLen: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    require(stride >= 1 && stride <= maxLen,
+      s"stride must be in [1, maxLen], got $stride")
+    val n = when(length(coalesce(col(textCol), lit(""))) === 0, 0L)
+      .otherwise(size(split(col(textCol), " ")).cast("long"))
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division — integer
+    // division keeps the ceil arithmetic exact and engine-independent
+    val nc = when(col("n_tokens") === 0L, 0L)
+      .when(col("n_tokens") <= maxLen, 1L)
+      .otherwise(lit(1L) +
+        expr(s"(n_tokens - $maxLen + $stride - 1) div $stride"))
+    docs.select(col(idCol).cast("long").as(idCol), n.as("n_tokens"))
+      .withColumn("n_chunks", nc.cast("long"))
+      .filter(col("n_chunks") >= 1)
+      .select(col(idCol), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(maxLen.toLong), col("n_tokens") - col("chunk_idx") * stride)
+          .as("chunk_len"))
+  }
+
   /** Bin-level utilization summary: (groupCol, shard_id, bin_id, n_docs,
     * used, fill_frac) — the packing-efficiency report a data loader
     * wants, keyed by the full bin identity. */

@@ -454,6 +454,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(64) == ref && ids(7) == ref && ids(2000) == ref)
   }
 
+  test("chunking: stride windows cover every token, overlap as configured, degenerate docs") {
+    import spark.implicits._
+    def words(k: Int) = (1 to k).map(_ => "w").mkString(" ")
+    val d = docsDF(Seq(
+      (1L, words(10)),  // n <= maxLen: one whole chunk
+      (2L, words(25)),  // 25 tokens, maxLen 10, stride 8 → 1 + ceil(15/8) = 3 chunks
+      (3L, words(18)),  // exact multiple edge: 1 + ceil(8/8) = 2
+      (4L, ""), (5L, null.asInstanceOf[String]))) // zero tokens → no chunks
+    val r = graft.ops.Packing.chunkDocs(d, maxLen = 10, stride = 8)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"chunk_len")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    assert(r(1L).toSeq == Seq((1L, 0L, 0L, 10L)))
+    assert(r(2L).sortBy(_._2).toSeq ==
+      Seq((2L, 0L, 0L, 10L), (2L, 1L, 8L, 10L), (2L, 2L, 16L, 9L)))
+    assert(r(3L).sortBy(_._2).toSeq == Seq((3L, 0L, 0L, 10L), (3L, 1L, 8L, 10L)))
+    assert(!r.contains(4L) && !r.contains(5L))
+    // every token position of doc 2 is covered by at least one window
+    val covered = r(2L).flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 25L).toSet)
+  }
+
   test("line dedup: normalized-key cut, case/trim variants match, blanks dropped, order kept") {
     import spark.implicits._
     val d = docsDF(Seq(

@@ -124,6 +124,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("lambdafunction"), "dup-spans plan contains a HOF")
   }
 
+  test("chunking is narrow: zero Exchange in the plan") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Packing.chunkDocs(d, maxLen = 64, stride = 48), "simple")
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("lm fluency and line dedup plans: equi-joins only, never cartesian") {
     for (q <- Seq("q_lm_fluency", "q_line_dedup")) {
       val p = plan(SparkEntry.queries(q)(spark, sf), "simple")
