@@ -802,6 +802,13 @@ object SparkEntry {
     graft.ops.Dedup.cutDuplicatedSpans(planted, k = 8, minRun = 12)
   }
 
+  /** Deterministic epoch ordering: the reproducible seeded global
+    * shuffle, positions assigned in salted-hash order with no
+    * single-partition window. */
+  private def qEpochOrder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.epochOrder(t(s, dir, "documents"), salt = "epoch1")
+      .orderBy(col("epoch_pos"))
+
   /** Sliding-window chunking: 64-token windows, stride 48 (overlapping
     * context) — the split-long-docs half of sequence shaping. */
   private def qChunks(s: SparkSession, dir: String): DataFrame =
@@ -950,6 +957,7 @@ object SparkEntry {
     "q_lm_fluency"       -> qLmFluency _,
     "q_line_dedup"       -> qLineDedup _,
     "q_chunks"           -> qChunks _,
+    "q_epoch_order"      -> qEpochOrder _,
     "q_normalize"        -> qNormalize _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
@@ -1956,6 +1964,11 @@ object SparkEntry {
     "q_pack_stats" -> packStatsOracle,
     "q_cut_spans" -> cutSpansOracle,
     "q_lm_fluency" -> lmFluencyOracle,
+    "q_epoch_order" ->
+      s"""WITH h AS (SELECT doc_id, ${saltedHashSql("epoch1")} AS hu FROM documents)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY hu, doc_id) - 1 AS BIGINT) AS epoch_pos
+         |FROM h""".stripMargin,
     "q_line_dedup" -> lineDedupOracle,
     "q_chunks" ->
       """WITH n AS (SELECT doc_id,

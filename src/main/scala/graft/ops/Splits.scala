@@ -113,6 +113,33 @@ object Splits {
       col(sourceCol).cast("string"), h, thresholds))
   }
 
+  /** Deterministic EPOCH ORDERING — the reproducible global shuffle a
+    * training run needs: every doc gets a contiguous 0-based position in
+    * salted-hash order, so the data order of an epoch is (a) effectively
+    * random, (b) identical run-over-run and across engines, (c) re-keyed
+    * per epoch by changing the salt. The standard "shuffle with a seed"
+    * of real data loaders, as a relational op.
+    *
+    * Shape at 100 TB: NO single-partition global window — range-partition
+    * by the salted hash (concatenation of sorted ranges is globally
+    * sorted), sort within partitions, then zipWithIndex assigns
+    * contiguous ordinals with one small count job (the distributed
+    * dense-rank machinery of minhashSignaturesSql). Positions are
+    * independent of the partition count. Output: (idCol, epoch_pos). */
+  def epochOrder(docs: DataFrame, salt: String = "epoch0",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    docs.select(col(idCol).cast("long").as("id"),
+        hashCol(docs, salt, idCol).bitwiseXOR(lit(Long.MinValue)).as("h"))
+      .repartitionByRange(parts, col("h"), col("id"))
+      .sortWithinPartitions(col("h"), col("id"))
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, _), pos) => (id, pos) }
+      .toDF(idCol, "epoch_pos")
+  }
+
   /** Deterministic stratified sample: exactly the hash-smallest `k` rows
     * per group (a per-stratum deterministic "reservoir").
     *

@@ -454,6 +454,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(64) == ref && ids(7) == ref && ids(2000) == ref)
   }
 
+  test("epoch ordering: contiguous positions in salted-hash order, partition-invariant, salt re-keys") {
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (i, "s", "t")).toDF("doc_id", "source", "text")
+    val r = graft.ops.Splits.epochOrder(d, salt = "e1")
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(r.map(_._2).toSeq == (0L until 500L), "positions must be contiguous from 0")
+    // position order == unsigned salted-hash order, recomputed by hand
+    def hu(i: Long) = graft.ops.Dedup.mix64(graft.ops.Dedup.fnv1a(s"e1:$i")) ^ Long.MinValue
+    assert(r.map(_._1).toSeq == (0L until 500L).sortBy(i => (hu(i), i)))
+    // invariant under input partitioning; a different salt re-keys the order
+    val r12 = graft.ops.Splits.epochOrder(d.repartition(12), salt = "e1")
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(r12.map(_._1).toSeq == r.map(_._1).toSeq)
+    val r2 = graft.ops.Splits.epochOrder(d, salt = "e2")
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(r2.map(_._1).toSeq != r.map(_._1).toSeq)
+  }
+
   test("chunking: stride windows cover every token, overlap as configured, degenerate docs") {
     import spark.implicits._
     def words(k: Int) = (1 to k).map(_ => "w").mkString(" ")
