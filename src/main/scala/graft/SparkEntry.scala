@@ -821,8 +821,12 @@ object SparkEntry {
     * whitespace-only line (always dropped), and every 2nd doc a second
     * duplicated line vs a unique tail on the others. */
   private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    // COALESCE on BOTH engines: a NULL text would null the whole concat
+    // in Spark (1 coalesced empty line downstream) but unnest to ZERO
+    // lines from the oracle's nulled planting — divergent on any future
+    // fixture with null text (review r6)
     val planted = t(s, dir, "documents").select(col("doc_id"), concat(
-      col("text"), lit("\n"),
+      coalesce(col("text"), lit("")), lit("\n"),
       when(col("doc_id") % 2 === 0, lit("all rights reserved"))
         .otherwise(lit("  ALL RIGHTS RESERVED ")),
       lit("\n   \n"),
@@ -1683,7 +1687,7 @@ object SparkEntry {
   private def lineDedupOracle: String =
     s"""WITH planted AS (
        |  SELECT doc_id,
-       |    text || chr(10)
+       |    COALESCE(text, '') || chr(10)
        |    || CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved'
        |            ELSE '  ALL RIGHTS RESERVED ' END
        |    || chr(10) || '   ' || chr(10)

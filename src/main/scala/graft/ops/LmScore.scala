@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus n-gram language-model fluency scoring — the quality signal the
@@ -35,12 +35,12 @@ object LmScore {
   /** (idCol, n_bigrams, hit_rate, avg_p):
     *  - n_bigrams: adjacent token pairs in the doc (0 for < 2 tokens);
     *  - hit_rate: fraction of the doc's bigrams with corpus count >= 2
-    *    (seen beyond this doc's own occurrence) — an integer ratio;
+    *    (repeated ANYWHERE — including twice within this same doc) — an
+    *    integer ratio;
     *  - avg_p: mean smoothed conditional probability, position-ordered
     *    fold, rounded to 4 decimals (0.0 for docs with no bigrams). */
   def bigramFluency(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
     val words = docs.select(col(idCol).cast("long").as("sid"),
         filter(split(coalesce(col(textCol), lit("")), "\\s+"),
           w => length(w) > 0).as("ws"))
