@@ -802,6 +802,16 @@ object SparkEntry {
     graft.ops.Dedup.cutDuplicatedSpans(planted, k = 8, minRun = 12)
   }
 
+  /** Epoch-ordered shard manifest: 64-position shards over the epoch
+    * order — the loader-facing index of the training-shard export. */
+  private def qTrainShards(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.trainingShards(t(s, dir, "documents"), maxPerShard = 64L,
+        salt = "epoch1")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("epoch_pos")).as("pos_min"),
+        max(col("epoch_pos")).as("pos_max"))
+      .orderBy(col("shard_id"))
+
   /** Deterministic epoch ordering: the reproducible seeded global
     * shuffle, positions assigned in salted-hash order with no
     * single-partition window. */
@@ -962,6 +972,7 @@ object SparkEntry {
     "q_line_dedup"       -> qLineDedup _,
     "q_chunks"           -> qChunks _,
     "q_epoch_order"      -> qEpochOrder _,
+    "q_train_shards"     -> qTrainShards _,
     "q_normalize"        -> qNormalize _,
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
@@ -1973,6 +1984,14 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(row_number() OVER (ORDER BY hu, doc_id) - 1 AS BIGINT) AS epoch_pos
          |FROM h""".stripMargin,
+    "q_train_shards" ->
+      s"""WITH h AS (SELECT doc_id, ${saltedHashSql("epoch1")} AS hu FROM documents),
+         |r AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY hu, doc_id) - 1 AS BIGINT) AS pos
+         |  FROM h)
+         |SELECT pos // 64 AS shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(pos) AS pos_min, max(pos) AS pos_max
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_line_dedup" -> lineDedupOracle,
     "q_chunks" ->
       """WITH n AS (SELECT doc_id,

@@ -140,6 +140,38 @@ object Splits {
       .toDF(idCol, "epoch_pos")
   }
 
+  /** Epoch-ordered SHARD assignment: cut the deterministic epoch order
+    * into consecutive blocks of `maxPerShard` positions — the unit a
+    * training loader actually reads. Output: (idCol, epoch_pos,
+    * shard_id); shard contents and order are reproducible run-over-run
+    * and recomputable by an independent engine. */
+  def trainingShards(docs: DataFrame, maxPerShard: Long,
+      salt: String = "epoch0", idCol: String = "doc_id"): DataFrame = {
+    require(maxPerShard >= 1, s"maxPerShard must be >= 1, got $maxPerShard")
+    epochOrder(docs, salt, idCol)
+      .withColumn("shard_id", expr(s"epoch_pos div $maxPerShard"))
+  }
+
+  /** Materialize JSONL training shards (the last-mile export a data
+    * loader consumes): one directory per shard (`shard_id=<n>/`), rows
+    * carrying every payload column plus their epoch position, written
+    * shard-partitioned with rows clustered in epoch order. Returns the
+    * shard MANIFEST (shard_id, n_docs, pos_min, pos_max) — the loader's
+    * index. One wide join (ids → payload), one shuffle to co-locate each
+    * shard's rows; shard files are bounded by `maxPerShard` regardless
+    * of corpus size. */
+  def writeTrainingShards(docs: DataFrame, dir: String, maxPerShard: Long,
+      salt: String = "epoch0", idCol: String = "doc_id"): DataFrame = {
+    val sharded = trainingShards(docs, maxPerShard, salt, idCol)
+    docs.join(sharded, Seq(idCol))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("epoch_pos"))
+      .write.mode("overwrite").partitionBy("shard_id").json(dir)
+    sharded.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("epoch_pos")).as("pos_min"),
+        max(col("epoch_pos")).as("pos_max"))
+  }
+
   /** Deterministic stratified sample: exactly the hash-smallest `k` rows
     * per group (a per-stratum deterministic "reservoir").
     *

@@ -454,6 +454,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(64) == ref && ids(7) == ref && ids(2000) == ref)
   }
 
+  test("training shards: jsonl export round-trips, shard sizes bounded, manifest matches") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, s"s${i % 5}", s"text $i")).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val manifest = graft.ops.Splits.writeTrainingShards(d, dir, maxPerShard = 64L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // 200 docs / 64 → shards 0..3 with 64/64/64/8 consecutive positions
+    assert(manifest.map(x => (x._1, x._2)).toSeq ==
+      Seq((0L, 64L), (1L, 64L), (2L, 64L), (3L, 8L)), manifest.toSeq)
+    manifest.foreach { case (sid, n, lo, hi) =>
+      assert(lo == sid * 64 && hi == lo + n - 1, s"shard $sid not consecutive")
+    }
+    // loader view: partition dirs exist, payload + position round-trip
+    val back = spark.read.json(dir)
+    assert(back.count() == 200)
+    assert(back.select($"doc_id").as[Long].collect().toSet == (0L until 200L).toSet)
+    val perShard = back.groupBy($"shard_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perShard == Map(0L -> 64L, 1L -> 64L, 2L -> 64L, 3L -> 8L))
+    // shard membership equals the pure assignment op (write changes nothing)
+    val assign = graft.ops.Splits.trainingShards(d, 64L)
+      .select($"doc_id", $"shard_id").as[(Long, Long)].collect().toMap
+    val backAssign = back.select($"doc_id", $"shard_id").as[(Long, Long)].collect().toMap
+    assert(backAssign == assign)
+  }
+
   test("epoch ordering: contiguous positions in salted-hash order, partition-invariant, salt re-keys") {
     import spark.implicits._
     val d = (0L until 500L).map(i => (i, "s", "t")).toDF("doc_id", "source", "text")
