@@ -588,7 +588,14 @@ object SparkEntry {
     * deterministic GRFT fake format (declared stub: no A/V codecs in this
     * container). */
   private def xMultimodal(s: SparkSession, dir: String): DataFrame = {
-    val meta = graft.ops.Multimodal.decodeBatches(s, assetsFixture(s, dir)).toDF()
+    // decodeBatches inherits the input partitioning, and the fixture is
+    // ONE parquet file — without a repartition the whole decode (now real
+    // JPEG work per video frame) runs on a single core. At crawl scale
+    // the scan has many files and the caller controls layout; here the
+    // fan-out is the honest parallel-decode shape.
+    val assets = assetsFixture(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val meta = graft.ops.Multimodal.decodeBatches(s, assets).toDF()
     graft.ops.Multimodal.resizePlan(meta, maxSide = 256)
       .select(col("assetId").as("asset_id"), col("format"), col("width"),
         col("height"), col("nFrames").as("n_frames"), col("out_w"), col("out_h"),
