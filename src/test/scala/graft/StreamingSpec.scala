@@ -205,6 +205,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._4 == batch(1L) && got(2L)._4 == batch(2L))
   }
 
+  test("mixture gate and chunking apply verbatim to a stream (stateless row ops)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    // data-mixing gate (native map-probe filter) then sliding-window
+    // chunking — both narrow, so they stream with no state/watermark
+    val gated = graft.ops.Splits.mixtureSample(
+      stream.toDS().toDF("doc_id", "source", "text"),
+      Map("keep" -> 1.0, "half" -> 0.5))
+    val chunks = graft.ops.Packing.chunkDocs(gated, maxLen = 4, stride = 3)
+    val q = chunks.writeStream.format("memory").queryName("mixchunk_mem")
+      .outputMode("append").start()
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    stream.addData(
+      (1L, "keep", words(10)),     // 10 tokens → 1 + ceil(6/3) = 3 chunks
+      (2L, "absent_src", words(9)), // source outside the mixture → dropped
+      (3L, "keep", words(2)))      // short doc → one chunk
+    q.processAllAvailable()
+    stream.addData((4L, "keep", words(5))) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mixchunk_mem")
+      .select($"doc_id", $"chunk_idx", $"chunk_len").as[(Long, Long, Long)]
+      .collect().groupBy(_._1)
+    assert(got(1L).map(x => (x._2, x._3)).sortBy(_._1).toSeq ==
+      Seq((0L, 4L), (1L, 4L), (2L, 4L)))
+    assert(!got.contains(2L), "source outside the mixture must drop in-stream")
+    assert(got(3L).toSeq == Seq((3L, 0L, 2L)))
+    assert(got(4L).map(x => (x._2, x._3)).sortBy(_._1).toSeq ==
+      Seq((0L, 4L), (1L, 2L)))
+  }
+
   test("bottom-k SAMPLE sketch merges streaming state across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, lit, col}
