@@ -201,6 +201,27 @@ object Dedup {
         col("cutres._2").as("n_tokens"), col("cutres._3").as("n_cut"))
   }
 
+  /** The row-level line-cut rebuild (shared by the distributed op and its
+    * tests): drop the 0-based line positions in `cuts`, rejoin the rest.
+    * split limit −1 matches Spark SQL's split (trailing empty lines are
+    * LINES, not noise — Java's default limit 0 silently drops them).
+    * Returns (clean_text, n_lines, n_cut_lines). */
+  def rebuildWithoutLines(text: String, cuts: Seq[Int]): (String, Long, Long) = {
+    val ls = (if (text == null) "" else text).split("\n", -1)
+    val cutSet = cuts.toSet
+    val sb = new java.lang.StringBuilder(if (text == null) 16 else text.length)
+    var kept = 0
+    var i = 0
+    while (i < ls.length) {
+      if (!cutSet.contains(i)) {
+        if (kept > 0) sb.append('\n')
+        sb.append(ls(i)); kept += 1
+      }
+      i += 1
+    }
+    (sb.toString, ls.length.toLong, (ls.length - kept).toLong)
+  }
+
   /** CCNet-style paragraph (line) deduplication — the third removal
     * granularity real pipelines run alongside whole-doc dedup and span
     * cutting: boilerplate LINES ("All rights reserved", cookie banners,
@@ -211,39 +232,42 @@ object Dedup {
     * always dropped; other lines are cut when their key occurs at least
     * `minCount` times corpus-wide.
     *
-    * Shape at 100 TB: one line explode whose shuffle carries (doc_id,
-    * pos, line); corpus counts partial-aggregate map-side on the
-    * normalized key; the duplicated-key set joins back on the key (never
-    * broadcast — boilerplate sets are crawl-sized); reassembly is a
-    * per-doc ordered concat (state bounded by the doc's own line count).
+    * Shape at 100 TB (the cutDuplicatedSpans discipline): line TEXT never
+    * crosses a shuffle — the explode emits (doc_id, pos, 8-byte key
+    * hash), corpus counts partial-aggregate on the hash, the dup-hash set
+    * joins back on the hash (never broadcast — boilerplate sets are
+    * crawl-sized), and only sorted CUT POSITIONS return to the doc row,
+    * where one scalar pass rebuilds the text. The single text-bearing
+    * join is the ×1 doc-level rewrite join (output is text-sized by
+    * definition — no amplification). xxhash64 of the normalized key
+    * stands in for the key itself (collisions ~2⁻⁶⁴).
     * Output: (idCol, clean_text, n_lines, n_cut_lines). */
   def cutDuplicateLines(docs: DataFrame, minCount: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val lines = docs.select(col(idCol).cast("long").as("sid"),
+    val hashed = docs.select(col(idCol).cast("long").as("sid"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
-      .withColumn("key", lower(trim(col("line"))))
+      .select(col("sid"), col("pos"), lower(trim(col("line"))).as("key"))
+      // blank key → null hash: always cut, and excluded from dup counting
+      .select(col("sid"), col("pos"),
+        when(col("key") === "", lit(null).cast("long"))
+          .otherwise(xxhash64(col("key"))).as("kh"))
       // consumed twice (corpus counts + the cut join)
       .transform(CheckpointScratch.ckpt)
-    val dupKeys = lines.filter(col("key") =!= "")
-      .groupBy(col("key")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount).select(col("key"))
-    val kept = lines.filter(col("key") =!= "")
-      .join(dupKeys, Seq("key"), "left_anti")
-    val perDoc = kept.groupBy(col("sid"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws("\n", transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line"))).as("clean_text"))
-    val totals = lines.groupBy(col("sid")).agg(count(lit(1)).as("n_lines"))
-    docs.select(col(idCol).cast("long").as("sid")).distinct()
-      .join(totals, Seq("sid"), "left")
-      .join(perDoc, Seq("sid"), "left")
-      .select(col("sid").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        (coalesce(col("n_lines"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
-          .as("n_cut_lines"))
+    val dupSet = hashed.filter(col("kh").isNotNull)
+      .groupBy(col("kh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("kh"))
+    val cutPos = hashed.filter(col("kh").isNull).select(col("sid"), col("pos"))
+      .unionByName(hashed.join(dupSet, Seq("kh")).select(col("sid"), col("pos")))
+    val cuts = cutPos.groupBy(col("sid"))
+      .agg(sort_array(collect_list(col("pos"))).as("cuts"))
+    val rebuild = udf((t: String, cuts: Seq[Int]) =>
+      rebuildWithoutLines(t, if (cuts == null) Seq.empty else cuts))
+    docs.select(col(idCol).cast("long").as("sid"), col(textCol).as("t"))
+      .join(cuts, Seq("sid"), "left")
+      .withColumn("res", rebuild(col("t"), col("cuts")))
+      .select(col("sid").as(idCol), col("res._1").as("clean_text"),
+        col("res._2").as("n_lines"), col("res._3").as("n_cut_lines"))
   }
 
   /** MinHash signature: sig(j) = min over shingles of mix64(h ^ seed_j). */

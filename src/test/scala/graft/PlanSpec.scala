@@ -138,6 +138,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("line dedup shuffles carry positions and 8-byte hashes, never line text") {
+    val p = plan(SparkEntry.queries("q_line_dedup")(spark, sf), "formatted")
+    val lines = p.linesIterator.toVector
+    // every Exchange input row must be free of the exploded line / key
+    // columns — only the ×1 doc-level rewrite join may carry text (`t`)
+    lines.zipWithIndex.filter(_._1.matches("\\(\\d+\\) Exchange.*")).foreach {
+      case (_, i) =>
+        lines.drop(i).find(_.trim.startsWith("Input")).foreach { input =>
+          assert(!input.contains("line#") && !input.contains("key#"), input)
+        }
+    }
+  }
+
   test("cut spans plan: equi-joins only, never cartesian; dup-set join is hash-keyed") {
     val p = plan(SparkEntry.queries("q_cut_spans")(spark, sf), "simple")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
