@@ -582,11 +582,11 @@ object SparkEntry {
         (sum(floor(col("value") * lit(1000000.0))) / lit(1000000.0)).as("session_value"))
   }
 
-  /** Multimodal: image assets are REAL PNG byte streams (ImageIO-encoded,
-    * zlib IDAT) fully decoded back by the JDK raster codec — width/height/
-    * checksum come from the decoded pixel grid. Audio/video keep the
-    * deterministic GRFT fake format (declared stub: no A/V codecs in this
-    * container). */
+  /** Multimodal: EVERY asset family is a real byte stream decoded by a
+    * real JDK codec — PNG rasters (pixel-grid checksum), RIFF/WAVE audio
+    * (streamed PCM checksum), MJPEG-in-AVI video (per-frame JPEG decode,
+    * checksum chained across frames). The GRFT fake format survives only
+    * as decodeStub's fallback for genuinely unshipped codecs. */
   private def xMultimodal(s: SparkSession, dir: String): DataFrame = {
     // decodeBatches inherits the input partitioning, and the fixture is
     // ONE parquet file — without a repartition the whole decode (now real
@@ -812,11 +812,9 @@ object SparkEntry {
   /** Epoch-ordered shard manifest: 64-position shards over the epoch
     * order — the loader-facing index of the training-shard export. */
   private def qTrainShards(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Splits.trainingShards(t(s, dir, "documents"), maxPerShard = 64L,
-        salt = "epoch1")
-      .groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"), min(col("epoch_pos")).as("pos_min"),
-        max(col("epoch_pos")).as("pos_max"))
+    graft.ops.Splits.shardManifest(
+      graft.ops.Splits.trainingShards(t(s, dir, "documents"),
+        maxPerShard = 64L, salt = "epoch1"))
       .orderBy(col("shard_id"))
 
   /** Deterministic epoch ordering: the reproducible seeded global

@@ -241,7 +241,9 @@ object Dedup {
     * join is the ×1 doc-level rewrite join (output is text-sized by
     * definition — no amplification). xxhash64 of the normalized key
     * stands in for the key itself (collisions ~2⁻⁶⁴).
-    * Output: (idCol, clean_text, n_lines, n_cut_lines). */
+    * Output: (idCol, clean_text, n_lines, n_cut_lines), one row per
+    * input row; `idCol` must be unique (the contract of every doc-keyed
+    * op here — [[cutDuplicatedSpans]] likewise pools positions by id). */
   def cutDuplicateLines(docs: DataFrame, minCount: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
@@ -252,7 +254,7 @@ object Dedup {
       .select(col("sid"), col("pos"),
         when(col("key") === "", lit(null).cast("long"))
           .otherwise(xxhash64(col("key"))).as("kh"))
-      // consumed twice (corpus counts + the cut join)
+      // consumed three times (corpus counts, blank-position filter, dup join)
       .transform(CheckpointScratch.ckpt)
     val dupSet = hashed.filter(col("kh").isNotNull)
       .groupBy(col("kh")).agg(count(lit(1)).as("c"))

@@ -162,15 +162,28 @@ object Splits {
     * of corpus size. */
   def writeTrainingShards(docs: DataFrame, dir: String, maxPerShard: Long,
       salt: String = "epoch0", idCol: String = "doc_id"): DataFrame = {
-    val sharded = trainingShards(docs, maxPerShard, salt, idCol)
+    // consumed twice (write join + manifest): without the checkpoint the
+    // global-ordering sort + zipWithIndex would re-run for the manifest
+    val sharded = graft.ops.CheckpointScratch.ckpt(
+      trainingShards(docs, maxPerShard, salt, idCol))
     docs.join(sharded, Seq(idCol))
-      .repartition(col("shard_id"))
+      // explicit partition count: a bare repartition(cols) is
+      // AQE-coalescible and would serialize the shard write (the
+      // packGreedy exchange lesson)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("epoch_pos"))
       .write.mode("overwrite").partitionBy("shard_id").json(dir)
+    shardManifest(sharded)
+  }
+
+  /** The loader-facing shard manifest over a `trainingShards` assignment:
+    * (shard_id, n_docs, pos_min, pos_max) — ONE definition shared by the
+    * export and the oracle-verified query. */
+  def shardManifest(sharded: DataFrame): DataFrame =
     sharded.groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), min(col("epoch_pos")).as("pos_min"),
         max(col("epoch_pos")).as("pos_max"))
-  }
 
   /** Deterministic stratified sample: exactly the hash-smallest `k` rows
     * per group (a per-stratum deterministic "reservoir").

@@ -141,14 +141,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("line dedup shuffles carry positions and 8-byte hashes, never line text") {
     val p = plan(SparkEntry.queries("q_line_dedup")(spark, sf), "formatted")
     val lines = p.linesIterator.toVector
-    // every Exchange input row must be free of the exploded line / key
-    // columns — only the ×1 doc-level rewrite join may carry text (`t`)
-    lines.zipWithIndex.filter(_._1.matches("\\(\\d+\\) Exchange.*")).foreach {
-      case (_, i) =>
-        lines.drop(i).find(_.trim.startsWith("Input")).foreach { input =>
-          assert(!input.contains("line#") && !input.contains("key#"), input)
-        }
-    }
+    val inputs = lines.zipWithIndex
+      .filter(_._1.matches("\\(\\d+\\) Exchange.*"))
+      .flatMap { case (_, i) => lines.drop(i).find(_.trim.startsWith("Input")) }
+    // non-vacuous: the op has several real exchanges (hash counts, dup
+    // join, cut-position collect, rewrite join)
+    assert(inputs.size >= 2, s"expected multiple Exchange inputs:\n${p.take(1200)}")
+    // no exchange may carry the exploded line or normalized key columns…
+    inputs.foreach(in =>
+      assert(!in.contains("line#") && !in.contains("key#"), in))
+    // …and at most ONE (the ×1 doc-level rewrite join) may carry doc text
+    assert(inputs.count(_.contains("t#")) <= 1,
+      s"text crossed more than the rewrite join:\n${inputs.mkString("\n")}")
   }
 
   test("cut spans plan: equi-joins only, never cartesian; dup-set join is hash-keyed") {
