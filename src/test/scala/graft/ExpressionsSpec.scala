@@ -82,6 +82,57 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.toLowerCase.contains("literal"), e.getMessage)
   }
 
+  test("graft_mixture_keep: one-probe gate matches per-source thresholds (Column + SQL + codegen)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, element_at, lit, map_from_arrays}
+    register(spark)
+    // thresholds map: 'all' keeps unconditionally (NULL value), 'half'
+    // keeps h < 0, 'none' absent → drop
+    val thresholds = map_from_arrays(
+      array(lit("all"), lit("half")),
+      array(lit(null).cast("long"), lit(0L)))
+    val df = spark.range(8).select(
+      element_at(array(lit("all"), lit("half"), lit("none")),
+        (($"id" % 3) + 1).cast("int")).as("src"),
+      ($"id" * 1000000007L - 4L).as("h")) // mixed-sign hashes
+    val r = df.select($"src", $"h",
+        graft_mixture_keep($"src", $"h", thresholds).as("keep"))
+      .as[(String, Long, Boolean)].collect()
+    r.foreach { case (src, h, keep) =>
+      val want = src match {
+        case "all" => true
+        case "half" => h < 0L
+        case _ => false
+      }
+      assert(keep == want, s"($src, $h)")
+    }
+    // SQL path + codegen participation (no ScalaUDF, static evaluator call)
+    df.createOrReplaceTempView("mix_t")
+    val sq = spark.sql("SELECT graft_mixture_keep(src, h, " +
+      "map_from_arrays(array('all','half'), array(CAST(NULL AS BIGINT), 0L))) AS k FROM mix_t")
+    assert(sq.collect().length == 8)
+    val cg = sq.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen") && !cg.toLowerCase.contains("scalaudf"))
+    assert(cg.contains("graft.functions.ExprEval.mixtureKeep"))
+    // null source → null (framework), which a filter drops
+    val nr = Seq((null.asInstanceOf[String], 1L)).toDF("src", "h")
+      .select(graft_mixture_keep($"src", $"h", thresholds)).collect().head
+    assert(nr.isNullAt(0))
+    // non-foldable thresholds fail analysis with a clear error
+    val e = intercept[Exception] {
+      df.select(graft_mixture_keep($"src", $"h",
+        map_from_arrays(array($"src"), array($"h")))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable") ||
+      e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+    // NULL map literal rejected at analysis (would NPE at codegen fold)
+    val e2 = intercept[Exception] {
+      df.select(graft_mixture_keep($"src", $"h",
+        lit(null).cast("map<string,bigint>"))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("non-null"), e2.getMessage)
+  }
+
   test("null inputs yield null (framework null handling)") {
     import spark.implicits._
     register(spark)
