@@ -127,10 +127,16 @@ object Splits {
     * dense-rank machinery of minhashSignaturesSql). Positions are
     * independent of the partition count. Output: (idCol, epoch_pos). */
   def epochOrder(docs: DataFrame, salt: String = "epoch0",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", numPartitions: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // positions are independent of the partition count (the ranges
+    // concatenate in sorted order regardless); numPartitions = 0 uses the
+    // session parallelism — at 100 TB pass an explicit count sized to the
+    // input (one core-count of partitions would make multi-GB sorts)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(spark.sparkContext.defaultParallelism, 1)
     docs.select(col(idCol).cast("long").as("id"),
         hashCol(docs, salt, idCol).bitwiseXOR(lit(Long.MinValue)).as("h"))
       .repartitionByRange(parts, col("h"), col("id"))
