@@ -284,4 +284,69 @@ class FuzzSpec extends AnyFunSuite {
     assert(XbrlInstance.parseFacts("<a b='>'>42</a>") ==
       Vector(XbrlInstance.Fact("a", 42.0)))
   }
+
+  test("warc scanner never crashes: random bytes, truncation, lying lengths, CRLF variance") {
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets
+    import java.nio.charset.StandardCharsets.UTF_8
+    // 1. pure noise (with and without gzip magic) → zero or few records, no throw
+    for (s <- 0 until 100) {
+      val len = (FixtureGen.mix(311L, s.toLong).abs % 4096).toInt
+      val noise = randBytes(2000L + s, len)
+      Warc.scanRecords(noise)
+      Warc.scanRecords(Array[Byte](0x1f, 0x8b.toByte) ++ noise)
+      assert(Warc.scanRecords(noise) == Warc.scanRecords(noise), s"determinism seed $s")
+    }
+    val good = (0 until 5).map(i => Warc.responseRecord(s"https://f.example/$i",
+      "2024-01-01T00:00:00Z", s"<p>page $i</p>".getBytes(UTF_8)))
+    // 2. truncated gzip member: complete earlier members salvage
+    val gz = Warc.writeWarcGz(good)
+    for (cut <- Seq(gz.length / 4, gz.length / 2, gz.length - 3)) {
+      val got = Warc.scanRecords(java.util.Arrays.copyOf(gz, cut))
+      // records that do come back are byte-perfect prefixes of the corpus
+      // (cutting only the final member's TRAILER can still salvage all 5)
+      assert(got.length <= good.length && got.zipWithIndex.forall { case (r, i) =>
+        java.util.Arrays.equals(r.payload, good(i).payload) }, s"cut=$cut")
+      if (cut <= gz.length / 2) assert(got.length < good.length, s"cut=$cut")
+    }
+    // 3. lying Content-Length (past EOF) drops THAT record, keeps the rest
+    val lying = new String(Warc.recordBytes(good(0)), StandardCharsets.ISO_8859_1)
+      .replaceFirst("Content-Length: \\d+", "Content-Length: 999999999")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ Warc.recordBytes(good(1))
+    val afterLie = Warc.scanRecords(lying)
+    assert(afterLie.length == 1 && afterLie(0).targetUri == "https://f.example/1")
+    // negative / garbage lengths likewise resync
+    for (bad <- Seq("-7", "abc", "99999999999999999999")) {
+      val b = new String(Warc.recordBytes(good(0)), StandardCharsets.ISO_8859_1)
+        .replaceFirst("Content-Length: \\d+", s"Content-Length: $bad")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ Warc.recordBytes(good(1))
+      assert(Warc.scanRecords(b).length == 1, bad)
+    }
+    // 4. Content-Length SHORTER than the actual payload: the declared
+    // slice is returned and the scanner resyncs at the next record
+    val short = new String(Warc.recordBytes(good(0)), StandardCharsets.ISO_8859_1)
+      .replaceFirst("Content-Length: (\\d+)", "Content-Length: 3")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ Warc.recordBytes(good(1))
+    val gotShort = Warc.scanRecords(short)
+    assert(gotShort.nonEmpty && gotShort(0).payload.length == 3 &&
+      gotShort.last.targetUri == "https://f.example/1")
+    // 5. header block with no blank-line terminator → resync, rest parses
+    val noBlank = ("WARC/1.0\r\nWARC-Type: response\r\n" + "X-Junk: y\r\n" * 9000)
+      .getBytes(UTF_8) ++ Warc.recordBytes(good(2))
+    val gotNB = Warc.scanRecords(noBlank)
+    assert(gotNB.exists(_.targetUri == "https://f.example/2"))
+    // 6. LF-only line endings are tolerated
+    val lfOnly = ("WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: https://lf.example/\n" +
+      "WARC-Date: 2024-02-02T00:00:00Z\nContent-Length: 5\n\nhello\n\n").getBytes(UTF_8)
+    val gotLF = Warc.scanRecords(lfOnly)
+    assert(gotLF.length == 1 && gotLF(0).targetUri == "https://lf.example/" &&
+      new String(gotLF(0).payload, UTF_8) == "hello")
+    // 7. a fake record EMBEDDED in an honest payload is jumped over, not parsed
+    val trojanText = "before\r\n\r\n" +
+      new String(Warc.recordBytes(good(3)), StandardCharsets.ISO_8859_1) + "\r\nafter"
+    val outer = Warc.conversionRecord("https://outer.example/", "2024-03-03T00:00:00Z", trojanText)
+    val gotTrojan = Warc.scanRecords(Warc.writeWarcGz(Seq(outer, good(4))))
+    assert(gotTrojan.map(_.targetUri) ==
+      Vector("https://outer.example/", "https://f.example/4"))
+  }
 }

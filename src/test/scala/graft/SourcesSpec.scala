@@ -138,4 +138,94 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.exists(r => r.getString(0).endsWith("a.csv") && r.getString(3) == "y"))
     assert(df.exists(r => r.getString(0).endsWith("b.xlsx") && r.getString(3) == "q"))
   }
+
+  // ---------------------------------------------------------------------
+  // WARC/WET ingestion (sources/Warc.scala)
+  // ---------------------------------------------------------------------
+
+  import graft.sources.Warc
+
+  private def mkHtml(i: Int): Array[Byte] =
+    s"<html><body><p>doc $i body — ünïcode ${"x" * i}</p></body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+
+  test("warc: write N records, read back byte-identical payloads (both gzip layouts)") {
+    val recs = (0 until 23).map { i =>
+      Warc.responseRecord(s"https://w.example/p$i",
+        java.time.Instant.ofEpochSecond(1700000000L + i).toString, mkHtml(i))
+    } :+ Warc.conversionRecord("https://w.example/wet",
+      "2024-01-02T03:04:05Z", "plain wet text\nline two", lang = "en")
+    for (perRecord <- Seq(true, false)) {
+      val bytes = Warc.writeWarcGz(recs, perRecordMembers = perRecord)
+      assert(Warc.isGzip(bytes))
+      val back = Warc.scanRecords(bytes)
+      assert(back.length == recs.length, s"perRecord=$perRecord")
+      back.zip(recs).foreach { case (b, r) =>
+        assert(b.warcType == r.warcType && b.targetUri == r.targetUri && b.date == r.date)
+        assert(java.util.Arrays.equals(b.payload, r.payload), b.targetUri)
+      }
+      // the HTTP header strip recovers the original html bytes exactly
+      (0 until 23).foreach { i =>
+        assert(java.util.Arrays.equals(Warc.httpBody(back(i).payload), mkHtml(i)), s"doc $i")
+      }
+    }
+    // uncompressed .warc scans identically
+    val plain = recs.iterator.flatMap(r => Warc.recordBytes(r).iterator).toArray
+    assert(Warc.scanRecords(plain).length == recs.length)
+  }
+
+  test("warc: readPages distributed scan — schema, header strip, ts parse, WET text") {
+    val dir = Files.createTempDirectory("graft-warc")
+    val recs1 = (0 until 7).map(i => Warc.responseRecord(s"https://w.example/a$i",
+      s"2023-05-0${i + 1}T00:00:00Z", mkHtml(i)))
+    val recs2 = Seq(
+      Warc.conversionRecord("https://w.example/t0", "2023-06-01T00:00:00Z", "wet täxt", "de"),
+      // unparseable date → null timestamp, record still ingested
+      Warc.conversionRecord("https://w.example/t1", "not-a-date", "more"),
+      // warcinfo / request records carry no page → skipped
+      Warc.Record("warcinfo", null, "2023-06-01T00:00:00Z", Map(), "software: graft".getBytes),
+      Warc.Record("request", "https://w.example/t1", "2023-06-01T00:00:00Z", Map(),
+        "GET / HTTP/1.1\r\n\r\n".getBytes))
+    Files.write(dir.resolve("a.warc.gz"), Warc.writeWarcGz(recs1))
+    Files.write(dir.resolve("b.warc.gz"), Warc.writeWarcGz(recs2))
+    val got = Warc.readPages(spark, dir.toString + "/*.warc.gz")
+    assert(got.columns.toSeq == Seq("url", "warc_ts", "html", "text", "lang"))
+    val rows = got.collect()
+    assert(rows.length == 9) // 7 responses + 2 conversions, 2 skipped
+    val a3 = rows.find(_.getString(0) == "https://w.example/a3").get
+    assert(java.util.Arrays.equals(a3.getAs[Array[Byte]]("html"), mkHtml(3)))
+    assert(a3.getAs[java.sql.Timestamp]("warc_ts") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2023-05-04T00:00:00Z")))
+    val t0 = rows.find(_.getString(0) == "https://w.example/t0").get
+    assert(t0.getAs[String]("text") == "wet täxt" && t0.getAs[String]("lang") == "de")
+    assert(rows.find(_.getString(0) == "https://w.example/t1").get
+      .getAs[java.sql.Timestamp]("warc_ts") == null)
+    // record-level surface
+    val recRows = Warc.readRecords(spark, dir.toString + "/*.warc.gz").collect()
+    assert(recRows.length == 11 && recRows.count(_.getString(2) == "response") == 7)
+  }
+
+  test("warc: extraction byte-identity through WARC-sourced pages") {
+    import spark.implicits._
+    val n = 48L
+    val direct = graft.gen.PagesTable.pages(spark, n).collect()
+    val dir = Files.createTempDirectory("graft-warc-pages")
+    // serialize the fixture pages as response records (html payload)
+    direct.grouped(16).zipWithIndex.foreach { case (g, i) =>
+      val recs = g.map(p => Warc.responseRecord(p.url, p.warc_ts.toInstant.toString, p.html))
+      Files.write(dir.resolve(f"p$i%03d.warc.gz"), Warc.writeWarcGz(recs.toSeq))
+    }
+    // WARC response records carry no fallback text column — restore it by
+    // url join (the WET/metadata sidecar a real pipeline would use)
+    val fallback = spark.createDataset(direct.toSeq).select($"url", $"text".as("fb"))
+    val warcPages = Warc.readPages(spark, dir.toString + "/*.warc.gz")
+      .drop("text").join(fallback, "url")
+      .withColumnRenamed("fb", "text")
+    val viaWarc = graft.spark.ExtractJob.extractTexts(spark, warcPages)
+      .select("url", "text").as[(String, String)].collect().toMap
+    val viaDirect = graft.spark.ExtractJob
+      .extractTexts(spark, spark.createDataset(direct.toSeq).toDF())
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(viaWarc.size == n && viaWarc == viaDirect) // byte-identical per url
+  }
 }
