@@ -1,0 +1,191 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Committed, resumable training-shard export (VERDICT r6 #2): the last
+  * sink in the loader tier gets the same manifest discipline
+  * `spark.SnapshotStore` gives extraction — atomic manifest rename,
+  * per-shard-range commit units, resume that skips committed shards, and
+  * a loader-facing manifest row per shard.
+  *
+  * Why it matters at 100 TB: the epoch order (global sort +
+  * zipWithIndex) and the full-text shuffle join are the expensive parts
+  * of an export; a `mode("overwrite").json(dir)` one-shot restarts BOTH
+  * from zero on any failure, and readers have no committed index to
+  * trust. Here:
+  *
+  *   - the (id, epoch_pos, shard_id) ASSIGNMENT is computed once and
+  *     committed via atomic directory rename (`assignment.tmp` →
+  *     `assignment`); every resume reads it back — the epoch order is
+  *     NEVER recomputed after its first commit;
+  *   - data is written in commit units of up to `maxShards` consecutive
+  *     pending shards (`data/unit-<lo>-<hi>/shard_id=N/` JSONL), and the
+  *     manifest (`manifest-<K>.tsv`, atomic rename) flips only after the
+  *     unit's files are fully on disk — a reader never sees a
+  *     half-written shard;
+  *   - a crash between data write and manifest commit re-runs only that
+  *     unit (overwrite of an uncommitted dir), keeping shard rows
+  *     exactly-once.
+  *
+  * Layout under `root/`:
+  *   assignment/            parquet (idCol, epoch_pos, shard_id)
+  *   data/unit-<lo>-<hi>/   JSONL, partitioned by shard_id
+  *   manifest-<K>.tsv       shard rows committed so far
+  *
+  * The manifest is metadata-scale: one row per shard (= corpus rows /
+  * maxPerShard), the same order of magnitude as an Iceberg manifest's
+  * file entries.
+  */
+object ShardStore {
+
+  final case class ShardEntry(shardId: Long, nDocs: Long, posMin: Long,
+      posMax: Long, path: String)
+  final case class Manifest(id: Long, shards: Vector[ShardEntry])
+
+  def lastManifest(root: String): Option[Manifest] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return None
+    val manifests = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-\\d+\\.tsv")).toVector
+    if (manifests.isEmpty) return None
+    Some(readManifest(manifests.maxBy(p =>
+      p.getFileName.toString.stripPrefix("manifest-").stripSuffix(".tsv").toLong)))
+  }
+
+  private def readManifest(p: Path): Manifest = {
+    var id = 0L
+    val shards = Vector.newBuilder[ShardEntry]
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.foreach { line =>
+      line.split('\t') match {
+        case Array("manifest", v) => id = v.toLong
+        case Array("shard", sid, n, lo, hi, path) =>
+          shards += ShardEntry(sid.toLong, n.toLong, lo.toLong, hi.toLong, path)
+        case _ =>
+      }
+    }
+    Manifest(id, shards.result())
+  }
+
+  /** Atomic commit: tmp file in the same directory, then rename. */
+  def commitManifest(root: String, m: Manifest): Unit = {
+    val dir = Paths.get(root)
+    Files.createDirectories(dir)
+    val body = new StringBuilder(s"manifest\t${m.id}\n")
+    m.shards.sortBy(_.shardId).foreach { s =>
+      body ++= s"shard\t${s.shardId}\t${s.nDocs}\t${s.posMin}\t${s.posMax}\t${s.path}\n"
+    }
+    val tmp = dir.resolve(s"manifest-${m.id}.tsv.tmp")
+    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"manifest-${m.id}.tsv"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toVector.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+
+  /** The committed epoch-order assignment: computed + committed exactly
+    * once (atomic directory rename — a crash mid-write leaves only the
+    * tmp dir, retried next run); every later call reads the parquet back,
+    * so the global sort + zipWithIndex never re-run on resume. */
+  def ensureAssignment(docs: DataFrame, root: String, maxPerShard: Long,
+      salt: String = "epoch0", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val aDir = Paths.get(root, "assignment")
+    if (!Files.isDirectory(aDir)) {
+      val tmp = Paths.get(root, "assignment.tmp")
+      deleteRecursively(tmp) // stale tmp from a crashed first attempt
+      Splits.trainingShards(docs, maxPerShard, salt, idCol)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.move(tmp, aDir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    spark.read.parquet(aDir.toString)
+  }
+
+  /** One resumable export step: take up to `maxShards` pending shards
+    * (the kill-mid-export test knob — SnapshotStore.run's `maxBuckets`
+    * pattern), write their JSONL unit, commit the next manifest. Returns
+    * the committed manifest; a no-op (everything committed) returns the
+    * previous one. Commits run in shard order, so the pending set is
+    * always a contiguous suffix and one `between` filter selects a unit. */
+  def export(docs: DataFrame, root: String, maxPerShard: Long,
+      salt: String = "epoch0", idCol: String = "doc_id",
+      maxShards: Int = Int.MaxValue): Manifest = {
+    require(maxShards >= 1, s"maxShards must be >= 1, got $maxShards")
+    val spark = docs.sparkSession
+    Files.createDirectories(Paths.get(root))
+    val assignment = ensureAssignment(docs, root, maxPerShard, salt, idCol)
+    val prev = lastManifest(root).getOrElse(Manifest(0L, Vector.empty))
+    val done = prev.shards.map(_.shardId).toSet
+
+    // shard stats straight from the assignment — no data-file rescan;
+    // driver-side but manifest-scale (one row per shard)
+    val stats = assignment.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n"), min(col("epoch_pos")).as("lo"),
+        max(col("epoch_pos")).as("hi"))
+      .orderBy(col("shard_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pending = stats.filter(s => !done(s._1)).take(maxShards)
+    if (pending.isEmpty) return prev
+
+    val (lo, hi) = (pending.head._1, pending.last._1)
+    require(!done.exists(s => s >= lo && s <= hi),
+      s"non-contiguous committed shards inside unit [$lo,$hi] — foreign manifest?")
+    val unitDir = s"$root/data/unit-$lo-$hi"
+    docs.join(assignment.filter(col("shard_id").between(lo, hi)), Seq(idCol))
+      // explicit partition count: a bare repartition(cols) is
+      // AQE-coalescible and would serialize the shard write
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("epoch_pos"))
+      .write.mode("overwrite").partitionBy("shard_id").json(unitDir)
+
+    val entries = pending.map { case (sid, n, pMin, pMax) =>
+      ShardEntry(sid, n, pMin, pMax, s"$unitDir/shard_id=$sid")
+    }
+    val next = Manifest(prev.id + 1, prev.shards ++ entries)
+    commitManifest(root, next)
+    next
+  }
+
+  /** Drive `export` until every shard is committed. */
+  def exportAll(docs: DataFrame, root: String, maxPerShard: Long,
+      salt: String = "epoch0", idCol: String = "doc_id",
+      maxShardsPerCommit: Int = Int.MaxValue): Manifest = {
+    var m = export(docs, root, maxPerShard, salt, idCol, maxShardsPerCommit)
+    var made = true
+    while (made) {
+      val next = export(docs, root, maxPerShard, salt, idCol, maxShardsPerCommit)
+      made = next.id != m.id
+      m = next
+    }
+    m
+  }
+
+  /** Loader view: union of all COMMITTED unit dirs (uncommitted unit
+    * writes are invisible — the manifest is the source of truth; units
+    * commit atomically, so unit granularity equals shard granularity).
+    * Each unit is read against its own root so the `shard_id=N`
+    * partition column infers per unit (a shared basePath would make
+    * Spark parse the non-kv `unit-<lo>-<hi>` segments as conflicting
+    * partition structures); the union is manifest-scale (one read per
+    * commit unit, not per shard). */
+  def readCommitted(spark: SparkSession, root: String): Option[DataFrame] =
+    lastManifest(root).filter(_.shards.nonEmpty).map { m =>
+      val units = m.shards.map(_.path.replaceFirst("/shard_id=\\d+$", "")).distinct
+      units.map(u => spark.read.json(u))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
+  /** The committed manifest as a DataFrame (the loader's index). */
+  def manifestDF(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    lastManifest(root).getOrElse(Manifest(0L, Vector.empty))
+      .shards.map(s => (s.shardId, s.nDocs, s.posMin, s.posMax, s.path))
+      .toDF("shard_id", "n_docs", "pos_min", "pos_max", "path")
+  }
+}

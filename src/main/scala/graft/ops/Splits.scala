@@ -159,28 +159,23 @@ object Splits {
   }
 
   /** Materialize JSONL training shards (the last-mile export a data
-    * loader consumes): one directory per shard (`shard_id=<n>/`), rows
-    * carrying every payload column plus their epoch position, written
-    * shard-partitioned with rows clustered in epoch order. Returns the
-    * shard MANIFEST (shard_id, n_docs, pos_min, pos_max) — the loader's
-    * index. One wide join (ids → payload), one shuffle to co-locate each
-    * shard's rows; shard files are bounded by `maxPerShard` regardless
-    * of corpus size. */
+    * loader consumes): rows carrying every payload column plus their
+    * epoch position, written shard-partitioned with rows clustered in
+    * epoch order. Returns the shard MANIFEST (shard_id, n_docs, pos_min,
+    * pos_max) — the loader's index. Shard files are bounded by
+    * `maxPerShard` regardless of corpus size.
+    *
+    * COMMITTED + RESUMABLE (VERDICT r6 #1): delegates to
+    * [[ShardStore.exportAll]] — the epoch-order assignment is committed
+    * once via atomic rename (never recomputed on resume), data lands in
+    * atomic per-shard-range commit units, and a failed export re-runs
+    * only its uncommitted suffix. Read the result back with
+    * [[ShardStore.readCommitted]]. */
   def writeTrainingShards(docs: DataFrame, dir: String, maxPerShard: Long,
       salt: String = "epoch0", idCol: String = "doc_id"): DataFrame = {
-    // consumed twice (write join + manifest): without the checkpoint the
-    // global-ordering sort + zipWithIndex would re-run for the manifest
-    val sharded = graft.ops.CheckpointScratch.ckpt(
-      trainingShards(docs, maxPerShard, salt, idCol))
-    docs.join(sharded, Seq(idCol))
-      // explicit partition count: a bare repartition(cols) is
-      // AQE-coalescible and would serialize the shard write (the
-      // packGreedy exchange lesson)
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("shard_id"))
-      .sortWithinPartitions(col("shard_id"), col("epoch_pos"))
-      .write.mode("overwrite").partitionBy("shard_id").json(dir)
-    shardManifest(sharded)
+    ShardStore.exportAll(docs, dir, maxPerShard, salt, idCol)
+    ShardStore.manifestDF(docs.sparkSession, dir)
+      .select(col("shard_id"), col("n_docs"), col("pos_min"), col("pos_max"))
   }
 
   /** The loader-facing shard manifest over a `trainingShards` assignment:

@@ -48,6 +48,17 @@ object SnapshotStore {
     Some(readManifest(latest))
   }
 
+  /** Time travel (Iceberg's `VERSION AS OF`): the manifest committed as
+    * snapshot `id`, when it still exists ([[expireSnapshots]] may have
+    * dropped it). Data files are immutable once committed and survive
+    * until NO retained manifest references them, so a historical
+    * manifest reconstructs that snapshot's exact table state — including
+    * its file stats, so ranged reads prune against the state AS OF then. */
+  def snapshotAt(root: String, id: Long): Option[Snapshot] = {
+    val p = Paths.get(root).resolve(s"snapshot-$id.tsv")
+    if (Files.isRegularFile(p)) Some(readManifest(p)) else None
+  }
+
   private def readManifest(p: Path): Snapshot = {
     var id = 0L
     val buckets = Set.newBuilder[Int]
@@ -160,8 +171,9 @@ object SnapshotStore {
     * not silently lose the uncovered dirs' rows (ADVICE r5). */
   def readCommittedRange(spark: SparkSession, root: String,
       tsMin: Option[Long] = None, tsMax: Option[Long] = None,
-      host: Option[String] = None): Option[DataFrame] =
-    lastSnapshot(root).filter(_.dataDirs.nonEmpty).map { s =>
+      host: Option[String] = None, asOf: Option[Long] = None): Option[DataFrame] =
+    asOf.fold(lastSnapshot(root))(snapshotAt(root, _))
+      .filter(_.dataDirs.nonEmpty).map { s =>
       val base =
         if (s.files.isEmpty) spark.read.parquet(s.dataDirs: _*)
         else {
@@ -258,9 +270,12 @@ object SnapshotStore {
     snap
   }
 
-  /** Read the committed table state (union of all committed data dirs). */
-  def readCommitted(spark: SparkSession, root: String): Option[DataFrame] =
-    lastSnapshot(root).filter(_.dataDirs.nonEmpty)
+  /** Read the committed table state (union of all committed data dirs);
+    * `asOf` reads a PRIOR snapshot's state instead of the latest. */
+  def readCommitted(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): Option[DataFrame] =
+    asOf.fold(lastSnapshot(root))(snapshotAt(root, _))
+      .filter(_.dataDirs.nonEmpty)
       .map(s => spark.read.parquet(s.dataDirs: _*))
 
   /** Compaction (Iceberg-style table maintenance): rewrite all committed

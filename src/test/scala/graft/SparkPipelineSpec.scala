@@ -338,6 +338,43 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SnapshotStore.readCommitted(spark, root).get.select($"url").distinct().count() == 150)
   }
 
+  test("snapshot time travel: AS OF reads a prior snapshot byte-identically, even after compaction") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-tt").toString
+    val pages = PagesTable.pagesDF(spark, 120)
+    // snapshot 1 commits part of the corpus, snapshot 2 the rest
+    val s1 = SnapshotStore.run(spark, pages, root, runId = "r1", nBuckets = 8, maxBuckets = 4)
+    val v1 = SnapshotStore.readCommitted(spark, root).get
+      .select($"url", $"text").as[(String, String)].collect().toSet
+    val s2 = SnapshotStore.run(spark, pages, root, runId = "r2", nBuckets = 8)
+    assert(s2.id == s1.id + 1)
+    assert(SnapshotStore.readCommitted(spark, root).get.count() == 120)
+    // AS OF the first snapshot: exactly the state committed then
+    def asOf1() = SnapshotStore.readCommitted(spark, root, asOf = Some(s1.id)).get
+      .select($"url", $"text").as[(String, String)].collect().toSet
+    assert(asOf1() == v1)
+    // compaction rewrites the CURRENT state into one dir and commits a
+    // third snapshot — the historical manifests still reference the
+    // original immutable files, so AS OF reads are unchanged
+    val c = SnapshotStore.compact(spark, root, runId = "c1")
+    assert(c.id == s2.id + 1 && c.dataDirs.length == 1)
+    assert(asOf1() == v1, "pre-compaction snapshot must read byte-identically")
+    assert(SnapshotStore.readCommitted(spark, root, asOf = Some(s2.id)).get.count() == 120)
+    assert(SnapshotStore.readCommitted(spark, root).get.count() == 120)
+    // pruning works against the HISTORICAL manifest's stats: a host-ranged
+    // AS OF read returns exactly snapshot 1's rows for that host
+    val snap1 = SnapshotStore.snapshotAt(root, s1.id).get
+    assert(snap1.files.nonEmpty, "historical manifest must carry file stats")
+    val host = java.net.URI.create(v1.head._1).getHost
+    val ranged = SnapshotStore.readCommittedRange(spark, root,
+      host = Some(host), asOf = Some(s1.id)).get
+      .select($"url").as[String].collect().toSet
+    assert(ranged == v1.filter(p => java.net.URI.create(p._1).getHost == host).map(_._1))
+    // a dropped / never-committed snapshot id resolves to None
+    assert(SnapshotStore.snapshotAt(root, 999L).isEmpty)
+    assert(SnapshotStore.readCommitted(spark, root, asOf = Some(999L)).isEmpty)
+  }
+
   test("manifest column stats prune data files on a ranged read (Iceberg-style scan pruning)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.input_file_name
