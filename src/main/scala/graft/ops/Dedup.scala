@@ -468,10 +468,14 @@ object Dedup {
     * last text-carrying pair verify): shingle-hash each doc ONCE into a
     * checkpointed distinct `Array[Long]`, self-join (blk, id) only, and
     * rejoin the hash arrays per candidate side for `array_intersect`
-    * arithmetic. The old form shipped both RAW texts through the bucket
-    * join and a UDF re-shingled each side of every pair — a doc in P
-    * pairs crossed the shuffle P times as full text. Results are
-    * identical to the scalar [[jaccard]] (same shingleHashes sets). */
+    * arithmetic. The win over the old form is WHAT crosses the shuffle
+    * and the removal of the per-pair UDF re-shingling — NOT the fan-out:
+    * a doc in P candidate pairs still ships its shingle-hash array P
+    * times (~8 B/shingle, roughly text-sized at k = 3), where it used to
+    * ship raw text P times and re-shingle per pair. The adaptive probe
+    * ([[jaccardAdaptivePairs]]) bounds P before this path is entered.
+    * Results are identical to the scalar [[jaccard]] (same shingleHashes
+    * sets). */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val shUdf = udf((text: String) => shingleHashes(if (text == null) "" else text, k))
@@ -503,6 +507,13 @@ object Dedup {
     * component diameter (near-dup clusters are shallow). Labels converge
     * monotonically, so the fixpoint is unique and deterministic.
     * Output: (idCol, cluster_id). */
+  /** Rounds the most recent [[dedupClusters]] call took to converge —
+    * test/probe instrumentation (the label-propagation loop is
+    * driver-side eager, so the value is final when the call returns).
+    * The pointer jump makes this O(log diameter): the OpsSpec 10k-node
+    * chain asserts the bound. */
+  val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -565,6 +576,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    lastClusterRounds.set(iter)
     require(done, s"dedupClusters did not converge in $maxIter rounds")
     docs.select(col(idCol).as("id")).distinct()
       .join(side(labels), Seq("id"), "left")

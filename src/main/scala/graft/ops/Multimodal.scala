@@ -375,8 +375,16 @@ object Multimodal {
           if (dataLen < 4) return false
           // recurse into any list (movi frames may nest in 'rec ' groups)
           if (!walk(dataOff + 4, dataOff + dataLen, depth + 1)) return false
-        } else if (id.length == 4 && id.endsWith("dc")) {
-          // compressed video frame — decode as JPEG
+        } else if (id.length == 4 && id.endsWith("dc") &&
+            id.charAt(0).isDigit && id.charAt(1).isDigit) {
+          // compressed video frame of a NUMBERED stream — the RIFF/AVI
+          // convention is two ASCII stream-number digits + "dc"; a
+          // non-digit prefix (hostile '7Xdc', vendor chunks) is skipped
+          // like any other foreign chunk instead of being JPEG-decoded
+          // into this stream's frame chain (ADVICE r6). A genuine second
+          // video stream ('01dc') still chains — single-checksum-per-
+          // container is the contract.
+          // decode as JPEG:
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(payload, dataOff, dataLen))
           try {

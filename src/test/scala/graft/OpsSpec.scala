@@ -466,8 +466,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     manifest.foreach { case (sid, n, lo, hi) =>
       assert(lo == sid * 64 && hi == lo + n - 1, s"shard $sid not consecutive")
     }
-    // loader view: partition dirs exist, payload + position round-trip
-    val back = spark.read.json(dir)
+    // loader view: committed units only, payload + position round-trip
+    val back = graft.ops.ShardStore.readCommitted(spark, dir).get
     assert(back.count() == 200)
     assert(back.select($"doc_id").as[Long].collect().toSet == (0L until 200L).toSet)
     val perShard = back.groupBy($"shard_id").count()
@@ -478,6 +478,109 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"doc_id", $"shard_id").as[(Long, Long)].collect().toMap
     val backAssign = back.select($"doc_id", $"shard_id").as[(Long, Long)].collect().toMap
     assert(backAssign == assign)
+  }
+
+  test("shard export: kill mid-export resumes exactly-once; epoch order never recomputed") {
+    import spark.implicits._
+    import graft.ops.ShardStore
+    val d = (0L until 200L).map(i => (i, s"s${i % 5}", s"text $i")).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-resume").toString
+    // run 1 "killed" after one commit unit of 2 shards (of 4 total)
+    val m1 = ShardStore.export(d, dir, maxPerShard = 64L, maxShards = 2)
+    assert(m1.id == 1 && m1.shards.map(_.shardId).sorted == Vector(0L, 1L))
+    val part = ShardStore.readCommitted(spark, dir).get
+    assert(part.select($"shard_id").distinct().as[Long].collect().toSet == Set(0L, 1L))
+    assert(part.count() == 128) // 64 + 64, no half-written shard visible
+    // the committed assignment must never be rewritten by a resume — the
+    // epoch order (global sort + zipWithIndex) is the expensive part
+    val aDir = java.nio.file.Paths.get(dir, "assignment")
+    def assignmentState() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(aDir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString, java.nio.file.Files.getLastModifiedTime(p),
+          java.nio.file.Files.size(p))).toVector.sortBy(_._1)
+    }
+    val before = assignmentState()
+    // a crashed run may leave a stale uncommitted unit — it must be
+    // invisible to readers and harmlessly overwritten by the resume
+    val staleUnit = java.nio.file.Paths.get(dir, "data", "unit-2-3", "shard_id=2")
+    java.nio.file.Files.createDirectories(staleUnit)
+    java.nio.file.Files.write(staleUnit.resolve("part-garbage.json"),
+      """{"doc_id":999999,"source":"sX","text":"ghost","epoch_pos":0,"shard_id":2}"""
+        .getBytes("UTF-8"))
+    assert(ShardStore.readCommitted(spark, dir).get.count() == 128)
+    // run 2: resume commits ONLY the remaining shards, one unit at a time
+    val m2 = ShardStore.exportAll(d, dir, maxPerShard = 64L, maxShardsPerCommit = 2)
+    assert(m2.shards.map(_.shardId).sorted == Vector(0L, 1L, 2L, 3L))
+    assert(assignmentState() == before, "resume must reuse the committed assignment")
+    val back = ShardStore.readCommitted(spark, dir).get
+    assert(back.count() == 200, "exactly-once rows after kill/resume")
+    assert(back.select($"doc_id").as[Long].collect().toSet == (0L until 200L).toSet)
+    assert(back.filter($"doc_id" === 999999L).isEmpty, "stale unit rows must be gone")
+    // fully-committed store: another export is a no-op (same manifest id)
+    assert(ShardStore.export(d, dir, maxPerShard = 64L).id == m2.id)
+    // manifest rows mirror the assignment stats
+    val mdf = ShardStore.manifestDF(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(mdf.map(x => (x._1, x._2)).toSeq ==
+      Seq((0L, 64L), (1L, 64L), (2L, 64L), (3L, 8L)))
+  }
+
+  test("dedupClusters: pointer jumping converges a 10k-node chain in O(log d) rounds") {
+    import spark.implicits._
+    // worst-case diameter graph: a path 0-1-2-…-9999 (template series /
+    // mirror chains in crawl data). Min-label propagation alone needs
+    // ~diameter rounds; with the pointer jump the reach doubles per round.
+    val n = 10000
+    val docs = spark.range(n).select($"id".as("doc_id")).toDF
+    val pairs = spark.range(n - 1)
+      .select($"id".as("id_a"), ($"id" + 1L).as("id_b")).toDF
+    val cl = graft.ops.Dedup.dedupClusters(docs, pairs, maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(cl.length == n && cl.forall(_._2 == 0L), "one component labeled by its min id")
+    val rounds = graft.ops.Dedup.lastClusterRounds.get()
+    assert(rounds <= 16, s"10k chain should converge in <= 16 rounds, took $rounds")
+  }
+
+  test("ngramFluency: trigram probabilities match a hand-computed table") {
+    import spark.implicits._
+    val d = Seq((0L, "a b a b c"), (1L, "a b a"), (2L, "x"))
+      .toDF("doc_id", "text")
+    // V = |{a,b,c,x}| = 4; contexts: "a b"×3, "b a"×2, "b c"×1
+    // trigrams: ("a b"→a)×2, ("b a"→b)×1, ("a b"→c)×1
+    // doc0: P = [3/7, 2/6, 2/7], hits = [1,0,0] → avg 0.3492, rate 0.3333
+    // doc1: P = [3/7], hit → avg 0.4286, rate 1.0
+    val r = graft.ops.LmScore.ngramFluency(d, 3)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r(0) == ((0L, 3L, 0.3333, 0.3492)), r(0).toString)
+    assert(r(1) == ((1L, 1L, 1.0, 0.4286)), r(1).toString)
+    assert(r(2) == ((2L, 0L, 0.0, 0.0)), r(2).toString)
+    // the n = 2 case is the bigram op: same columns, same contract
+    val b = graft.ops.LmScore.bigramFluency(d)
+    assert(b.columns.toSeq == Seq("doc_id", "n_bigrams", "hit_rate", "avg_p"))
+  }
+
+  test("url blocklist: host and prefix rules gate exactly; bloom-miss rows bypass the verify join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "http://Blocked.example.com:80/x"),   // host rule (via canonical lowercasing)
+      (2L, "http://ok.example.com/path"),        // kept
+      (3L, "https://sub.example.org/bad/area1"), // prefix rule
+      (4L, "https://sub.example.org/good/1"),    // same host, other subtree → kept
+      (5L, "not a url"),                         // non-url passthrough → kept
+      (6L, "http://blocked.example.com/other"),  // host rule
+      (7L, null.asInstanceOf[String])            // null url → kept (no host)
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("Blocked.example.com ", "host"),          // rules normalize (trim+lower)
+      ("https://sub.example.org/bad/", "prefix"),
+      ("unused.example.net", "host")).toDF("rule", "kind")
+    val kept = graft.ops.UrlFilter.blocklistFilter(docs, rules)
+    assert(kept.columns.toSeq == Seq("doc_id", "url"))
+    assert(kept.select($"doc_id").as[Long].collect().toSet == Set(2L, 4L, 5L, 7L))
+    // empty blocklist keeps everything, including the null-url row
+    assert(graft.ops.UrlFilter.blocklistFilter(docs, rules.limit(0)).count() == 7)
   }
 
   test("epoch ordering: contiguous positions in salted-hash order, partition-invariant, salt re-keys") {

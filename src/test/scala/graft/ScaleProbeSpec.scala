@@ -202,4 +202,25 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Dedup.cutDuplicateLines(lined)
         .agg(sum(col("n_cut_lines"))).head().getLong(0))
   }
+
+  ignore("round-7: dedupClusters pointer-jump rounds on adversarial-diameter graphs at 2M (opt-in probe)") {
+    // worst case for label propagation: ONE chain through the whole edge
+    // set. Plain min-propagation would need ~2M rounds (hundreds of full
+    // edge-set shuffles even for diameter-100 template chains); pointer
+    // jumping converges in O(log d) — this RECORDS the round count at 2M.
+    val n = 2000000L
+    val docs = spark.range(n).select(col("id").as("doc_id")).toDF
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b")).toDF
+    timed(s"dedupClusters 2M chain (diameter ${n - 1})")(
+      graft.ops.Dedup.dedupClusters(docs, chain, maxIter = 40)
+        .filter(col("cluster_id") === 0L).count())
+    println(s"SCALE dedupClusters 2M chain rounds: ${graft.ops.Dedup.lastClusterRounds.get()}")
+    // realistic shape: 200k separate 10-node chains (shallow clusters)
+    val shallow = spark.range(n - 1).filter(pmod(col("id") + 1L, lit(10L)) =!= 0L)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b")).toDF
+    timed("dedupClusters 2M x 10-node chains")(
+      graft.ops.Dedup.dedupClusters(docs, shallow, maxIter = 40).count())
+    println(s"SCALE dedupClusters 10-node-chain rounds: ${graft.ops.Dedup.lastClusterRounds.get()}")
+  }
 }
