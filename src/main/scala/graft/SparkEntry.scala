@@ -326,13 +326,66 @@ object SparkEntry {
     s.read.parquet(fdir.toString)
   }
 
+  /** WARC fixture: the sf dir's `documents` table serialized as real
+    * multi-member `.warc.gz` WET files (Common-Crawl layout — one gzip
+    * member per record, one file per shard, records ordered by doc_id
+    * within a file). INGESTION is the operator under test
+    * (`Warc.readPages`), so serialization is generation and is
+    * materialized once per (dir), like the asset fixture. The per-shard
+    * write runs distributed (`groupByKey(shard).mapGroups`) to the local
+    * FS — on a real cluster the same shape writes to shared storage. */
+  private def warcFixture(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val dirTag = java.lang.Long.toHexString(graft.ops.Dedup.fnv1a(dir))
+    val fdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_warc_fixture_$dirTag")
+    graft.gen.FixtureStore.ensure(fdir, s"$dirTag-v${graft.gen.FixtureGen.Version}") {
+      import s.implicits._
+      val target = fdir.toString
+      val nFiles = 8
+      t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+          coalesce(col("lang"), lit("und")).as("lang"))
+        .as[(Long, String, String)]
+        .groupByKey { case (id, _, _) => java.lang.Math.floorMod(id, nFiles.toLong) }
+        .mapGroups { (k, it) =>
+          val recs = it.toVector.sortBy(_._1).map { case (id, text, lang) =>
+            graft.sources.Warc.conversionRecord(s"http://docs.example/$id",
+              java.time.Instant.ofEpochSecond(1600000000L + id).toString, text, lang)
+          }
+          val p = java.nio.file.Paths.get(target, f"docs-$k%05d.warc.gz")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, graft.sources.Warc.writeWarcGz(recs))
+          (k, recs.size)
+        }.collect()
+    }
+    fdir.toString
+  }
+
   /** Pre-materialize every fixture a verify/bench run will read, so
     * generation cost never lands inside a timed query. */
   def ensureFixtures(s: SparkSession, dir: String): Unit = {
     val n = xDocCount(dir)
     Seq(n, n / 4, n / 8).distinct.foreach(c => pagesFixture(s, c).count())
     assetsFixture(s, dir).count()
+    warcFixture(s, dir)
   }
+
+  /** WARC ingestion round-trip (the Common-Crawl first mile): the
+    * documents table serialized into real multi-member `.warc.gz` WET
+    * files, then re-ingested by the distributed scanner — the oracle is
+    * the source table itself, so a single mis-sliced payload byte or a
+    * dropped record breaks the hash. */
+  private def qWarcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.readPages(s, warcFixture(s, dir) + "/*.warc.gz")
+      .select(col("url"), col("text"), col("lang"))
+
+  /** Record-level WARC scan surface: one row per well-formed record with
+    * container-level facts (type, payload size) — the stats a crawl
+    * triage pass reads before committing to full extraction. */
+  private def xWarc(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.readRecords(s, warcFixture(s, dir) + "/*.warc.gz")
+      .select(col("rec_idx"), col("warc_type"), col("url"), col("n_bytes"))
 
   /** E1: pages → salted repartition → parse/classify → text surface. */
   private def xExtractText(s: SparkSession, dir: String): DataFrame =
@@ -856,12 +909,20 @@ object SparkEntry {
     graft.ops.LmScore.bigramFluency(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
-  /** URL canonicalization: deterministic MESSY url spellings built from
+  /** Order-3 LM fluency (VERDICT r6 #5): the same log-free
+    * P = (C_3 + 1)/(C_2 + V) contract at trigram order — most of the
+    * signal gap between a bigram screen and a KenLM-class filter. */
+  private def qLmTrigram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LmScore.ngramFluency(t(s, dir, "documents"), 3)
+      .orderBy(col("doc_id"))
+
+  /** The planted url mix — deterministic MESSY url spellings built from
     * doc_id (mixed-case scheme/host, default and non-default ports,
-    * fragments, queries, missing paths, non-http schemes), collapsed to
-    * the canonical per-url identity the north rule keys on. */
-  private def qUrlCanonical(s: SparkSession, dir: String): DataFrame = {
-    val url = when(col("doc_id") % 5 === 0,
+    * fragments, queries, missing paths, non-http schemes). ONE definition
+    * shared by q_url_canonical (collapse to the canonical per-url
+    * identity the north rule keys on) and q_url_blocklist. */
+  private def plantedUrl: org.apache.spark.sql.Column =
+    when(col("doc_id") % 5 === 0,
         concat(lit("HTTP://Host-"), col("doc_id") % 7,
           lit(".Example.COM:80/dir//page-"), col("doc_id"),
           lit(".html#frag"), col("doc_id")))
@@ -873,10 +934,30 @@ object SparkEntry {
           col("doc_id") % 7, lit(".example.com:8080/p/"), col("doc_id")))
       .when(col("doc_id") % 5 === 3, lit("HTTPS://Example.NET"))
       .otherwise(concat(lit("ftp://Files.Example.com:21/pub/f"), col("doc_id")))
-    t(s, dir, "documents").select(col("doc_id")).withColumn("url", url)
+
+  private def qUrlCanonical(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id")).withColumn("url", plantedUrl)
       .select(col("doc_id"), col("url"),
         graft.ops.UrlOps.canonicalize(col("url")).as("canon_url"),
         graft.ops.UrlOps.host(col("url")).as("host"))
+
+  /** URL blocklist gate (UT1-style, ops/UrlFilter): host rules + prefix
+    * rules over the same planted url mix — two hosts and two prefixes
+    * hit (incl. a whole-host prefix), one of each is a no-op; the common
+    * case is pruned corpus-side by the rule-host Bloom and never joins. */
+  private def qUrlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = Seq(
+      ("host-3.example.com", "host"),
+      ("files.example.com", "host"),
+      ("never.example.com", "host"),
+      ("https://cdn.example.org/assets/doc1", "prefix"),
+      ("https://example.net/", "prefix"),
+      ("http://unused.example.com/x", "prefix")).toDF("rule", "kind")
+    val docs = t(s, dir, "documents").select(col("doc_id")).withColumn("url", plantedUrl)
+    graft.ops.UrlFilter.blocklistFilter(docs, rules)
+      .select(col("doc_id"),
+        graft.ops.UrlOps.canonicalize(col("url")).as("canon_url"))
   }
 
   /** End-to-end curation funnel (VERDICT r4 #9): the tier's operators
@@ -974,6 +1055,8 @@ object SparkEntry {
     "q_dup_spans"        -> qDupSpans _,
     "q_cut_spans"        -> qCutSpans _,
     "q_lm_fluency"       -> qLmFluency _,
+    "q_lm_trigram"       -> qLmTrigram _,
+    "q_url_blocklist"    -> qUrlBlocklist _,
     "q_line_dedup"       -> qLineDedup _,
     "q_chunks"           -> qChunks _,
     "q_epoch_order"      -> qEpochOrder _,
@@ -982,6 +1065,8 @@ object SparkEntry {
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
     "q_incremental_new"  -> qIncrementalNew _,
+    "q_warc_roundtrip"   -> qWarcRoundtrip _,
+    "x_warc"          -> xWarc _,
     "x_extract_text"  -> xExtractText _,
     "x_validate"      -> xValidate _,
     "x_exports"       -> xExports _,
@@ -1698,6 +1783,56 @@ object SparkEntry {
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** q_lm_trigram oracle: the order-3 instance of the same log-free
+    * contract — contexts are 2-token windows counted over ALL their
+    * positions, P = (C_3 + 1)/(C_2 + V) one exact division each, per-doc
+    * mean via the position-ordered fold. */
+  private def lmTrigramOracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+       |    x -> length(x) > 0) AS ws
+       |  FROM documents),
+       |toks AS (SELECT unnest(ws) AS tok FROM words),
+       |v AS (SELECT count(DISTINCT tok) AS vocab FROM toks),
+       |ctxs AS (SELECT unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i+1])) AS ctx
+       |  FROM words WHERE len(ws) >= 2),
+       |cc AS (SELECT ctx, count(*) AS u FROM ctxs GROUP BY 1),
+       |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |    i -> {'pos': i, 'ctx': ws[i] || ' ' || ws[i+1], 'cur': ws[i+2]})) AS t
+       |  FROM words WHERE len(ws) >= 3),
+       |g AS (SELECT doc_id, t.pos AS pos, t.ctx AS ctx, t.cur AS cur FROM g0),
+       |gc AS (SELECT ctx, cur, count(*) AS b FROM g GROUP BY 1, 2),
+       |sc AS (SELECT g.doc_id, g.pos,
+       |    CAST(gc.b + 1 AS DOUBLE) / CAST(cc.u + v.vocab AS DOUBLE) AS p,
+       |    CASE WHEN gc.b >= 2 THEN 1 ELSE 0 END AS hit
+       |  FROM g JOIN gc USING (ctx, cur) JOIN cc USING (ctx), v),
+       |agg AS (SELECT doc_id, count(*) AS nb, sum(hit) AS hits,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+       |      (a, b) -> a + b) AS psum
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_ngrams,
+       |  round(CAST(COALESCE(a.hits, 0) AS DOUBLE)
+       |    / CAST(greatest(COALESCE(a.nb, 0), 1) AS DOUBLE), 4) AS hit_rate,
+       |  round(COALESCE(a.psum, 0)
+       |    / CAST(greatest(COALESCE(a.nb, 0), 1) AS DOUBLE), 4) AS avg_p
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** q_url_blocklist oracle: the canonicalization CTE (the q_url_canonical
+    * oracle verbatim) gated by the same host / canonical-prefix rules —
+    * exact NOT IN on host, starts_with on canonical url. */
+  private def urlBlocklistOracle: String =
+    s"""WITH c AS (
+       |${margined(urlCanonicalOracle)}
+       |)
+       |SELECT doc_id, canon_url FROM c
+       |WHERE host NOT IN ('host-3.example.com', 'files.example.com', 'never.example.com')
+       |  AND NOT starts_with(canon_url, 'https://cdn.example.org/assets/doc1')
+       |  AND NOT starts_with(canon_url, 'https://example.net/')
+       |  AND NOT starts_with(canon_url, 'http://unused.example.com/x')""".stripMargin
+
   /** q_line_dedup oracle: identical planting, normalized-key counts,
     * NOT-IN cut, position-ordered string_agg reassembly. */
   private def lineDedupOracle: String =
@@ -1862,13 +1997,10 @@ object SparkEntry {
     * stripMargin and the SQL silently degrades to a bitwise `|`. */
   private def margined(frag: String): String = frag.replace("\n", "\n|")
 
-  /** The funnel oracle's NON-RECURSIVE prefix: planted corpus → scrub →
-    * PII gate (s1) → exact dedup (s2) → jaccard edge list (d, e). Shared
-    * verbatim by the full recursive oracle and the pyfold fragments. */
-  private def funnelPrefixCtes: String = {
-    val email = graft.ops.Scrub.EmailRe
-    val ipv4 = graft.ops.Scrub.Ipv4Re
-    val phone = graft.ops.Scrub.PhoneRe
+  /** Funnel planted corpus (base + union planting): concat-only, CHEAP
+    * to recompute — split out so the pyfold contract can materialize the
+    * expensive scrub exactly once and still count stage 0 from here. */
+  private def funnelAll0Ctes: String =
     s"""base AS (
        |  SELECT doc_id, source,
        |    text || ' contact user' || doc_id || '@example.com at 10.0.'
@@ -1883,8 +2015,16 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT doc_id + 1000000, source, text || ' near dup copy' FROM base WHERE doc_id % 10 = 1
        |  UNION ALL
-       |  SELECT doc_id + 3000000, source, text FROM base WHERE doc_id % 7 = 0),
-       |scr AS (
+       |  SELECT doc_id + 3000000, source, text FROM base WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** The triple-regex PII scrub over all0 — the EXPENSIVE prefix stage
+    * (dominates the funnel fragments' DuckDB wall time; the pyfold
+    * contract materializes it ONCE as `pyscr`, ADVICE r6). */
+  private def funnelScrCte: String = {
+    val email = graft.ops.Scrub.EmailRe
+    val ipv4 = graft.ops.Scrub.Ipv4Re
+    val phone = graft.ops.Scrub.PhoneRe
+    s"""scr AS (
        |  SELECT doc_id, source,
        |    len(regexp_extract_all(text, '$email'))
        |      + len(regexp_extract_all(text, '$ipv4'))
@@ -1893,20 +2033,34 @@ object SparkEntry {
        |      '$email', '<EMAIL>', 'g'),
        |      '$ipv4', '<IP>', 'g'),
        |      '$phone', '<PHONE>', 'g') AS text
-       |  FROM all0),
-       |s1 AS (SELECT doc_id, source, text FROM scr WHERE hits <= 3),
+       |  FROM all0)""".stripMargin
+  }
+
+  /** Prefix stages DOWNSTREAM of the scrub over a relation
+    * `scrRel(doc_id, source, hits, text)`: PII gate (s1) → exact dedup
+    * (s2) → jaccard edge list (d, e). */
+  private def funnelPostScrCtes(scrRel: String): String =
+    s"""s1 AS (SELECT doc_id, source, text FROM $scrRel WHERE hits <= 3),
        |s2 AS (SELECT doc_id, source, text FROM (
        |    SELECT doc_id, source, text, min(doc_id) OVER (PARTITION BY text) AS rep FROM s1)
        |  WHERE doc_id = rep),
        |${margined(jaccardEdgeCtes("s2"))}""".stripMargin
-  }
+
+  /** The funnel oracle's NON-RECURSIVE prefix: planted corpus → scrub →
+    * PII gate (s1) → exact dedup (s2) → jaccard edge list (d, e). Shared
+    * verbatim (via the three component builders) by the full recursive
+    * oracle and the pyfold fragments. */
+  private def funnelPrefixCtes: String =
+    s"""${margined(funnelAll0Ctes)},
+       |${margined(funnelScrCte)},
+       |${margined(funnelPostScrCtes("scr"))}""".stripMargin
 
   /** The funnel oracle's TAIL given a cluster-representative relation
     * `repsRel(doc_id)` (s2 rows that are their own cluster label):
     * near-dedup survivors (s3) → decontamination (s4) → train split (s5).
     * Shared by the recursive oracle (reps from the reach CTE) and the
     * pyfold fragments (reps from the Python union-find). */
-  private def funnelTailCtes(repsRel: String): String = {
+  private def funnelTailCtes(repsRel: String, scrRel: String = "scr"): String = {
     val trainCut = graft.ops.Splits.splitThresholds(Seq(0.8, 0.1, 0.1)).head
     def shlOf(src: String) =
       s"""SELECT doc_id,
@@ -1923,7 +2077,7 @@ object SparkEntry {
     s"""s3 AS (SELECT s2.doc_id, s2.source, s2.text FROM s2
        |       JOIN $repsRel ON $repsRel.doc_id = s2.doc_id),
        |shlA AS (${shlOf("s3")}),
-       |shlB AS (${shlOf("(SELECT doc_id, text FROM scr WHERE doc_id % 97 = 0 AND doc_id < 1000000) bq")}),
+       |shlB AS (${shlOf(s"(SELECT doc_id, text FROM $scrRel WHERE doc_id % 97 = 0 AND doc_id < 1000000) bq")}),
        |benchsh AS (SELECT DISTINCT unnest(shs) AS sh FROM shlB),
        |docsh AS (SELECT doc_id, unnest(shs) AS sh FROM shlA),
        |tot AS (SELECT doc_id, count(*) AS ns FROM docsh GROUP BY 1),
@@ -1967,6 +2121,10 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_warc_roundtrip" ->
+      """SELECT 'http://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+        |  COALESCE(text, '') AS text, COALESCE(lang, 'und') AS lang
+        |FROM documents""".stripMargin,
     "q_curation_funnel" -> curationFunnelOracle,
     "q_url_canonical" -> urlCanonicalOracle,
     "q_incremental_new" -> incrementalNewOracle,
@@ -1984,6 +2142,8 @@ object SparkEntry {
     "q_pack_stats" -> packStatsOracle,
     "q_cut_spans" -> cutSpansOracle,
     "q_lm_fluency" -> lmFluencyOracle,
+    "q_lm_trigram" -> lmTrigramOracle,
+    "q_url_blocklist" -> urlBlocklistOracle,
     "q_epoch_order" ->
       s"""WITH h AS (SELECT doc_id, ${saltedHashSql("epoch1")} AS hu FROM documents)
          |SELECT doc_id,
@@ -2220,13 +2380,49 @@ object SparkEntry {
       """SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995
         |EXCEPT
         |SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996""".stripMargin,
+    // The ENGINE's magnitude-banded equi-join, ported into the oracle
+    // (VERDICT r6 #6): the naive part × lineitem × scales inequality join
+    // dominated the whole sf0.1 certification (~17 min wall). Band
+    // arithmetic mirrors ValidateJob (RegimeSplit 16, ±32 clamp, 0.02 abs
+    // band, ln·256 log bands, ±1-band probes per reachable regime); the
+    // EXACT tolerance predicate still decides every match, and ±1-band
+    // coverage exceeds the 0.1% relative tolerance in each engine's own
+    // floating-point arithmetic, so the result set is identical to the
+    // naive join's. Each (row, scale) probe matches a fact's single band
+    // key at most once — counts are join-shape-independent.
     "q_theta_band" ->
-      """SELECT p_partkey, count(*) AS n_matches
-        |FROM part, lineitem, (SELECT unnest([1.0, 1000.0]) AS scale) scales
-        |WHERE abs(l_extendedprice * scale - p_retailprice)
-        |      <= greatest(0.01, 0.001 * abs(p_retailprice))
-        |GROUP BY p_partkey
-        |ORDER BY p_partkey""".stripMargin,
+      """WITH f AS (
+        |  SELECT p_partkey, p_retailprice,
+        |    CASE WHEN abs(p_retailprice) < 16.0 THEN 0
+        |         WHEN p_retailprice >= 0 THEN 1 ELSE 2 END AS regime,
+        |    CASE WHEN abs(p_retailprice) < 16.0
+        |         THEN CAST(floor(least(greatest(p_retailprice, -32.0), 32.0) / 0.02) AS BIGINT)
+        |         ELSE CAST(floor(ln(greatest(abs(p_retailprice), 1e-12)) * 256.0) AS BIGINT)
+        |    END AS band
+        |  FROM part),
+        |c0 AS (
+        |  SELECT l_extendedprice * scale AS scaled
+        |  FROM lineitem, (SELECT unnest([1.0, 1000.0]) AS scale) scales),
+        |p0 AS (
+        |  SELECT scaled,
+        |    CASE WHEN abs(scaled) < 17.0 THEN 0 ELSE -1 END AS ar,
+        |    CASE WHEN abs(scaled) > 15.0
+        |         THEN CASE WHEN scaled >= 0 THEN 1 ELSE 2 END ELSE -1 END AS lr,
+        |    CAST(floor(least(greatest(scaled, -32.0), 32.0) / 0.02) AS BIGINT) AS ab,
+        |    CAST(floor(ln(greatest(abs(scaled), 1e-12)) * 256.0) AS BIGINT) AS lb
+        |  FROM c0),
+        |pr0 AS (
+        |  SELECT scaled, unnest([
+        |    {'r': ar, 'b': ab - 1}, {'r': ar, 'b': ab}, {'r': ar, 'b': ab + 1},
+        |    {'r': lr, 'b': lb - 1}, {'r': lr, 'b': lb}, {'r': lr, 'b': lb + 1}]) AS t
+        |  FROM p0),
+        |probes AS (SELECT scaled, t.r AS regime, t.b AS band FROM pr0 WHERE t.r >= 0)
+        |SELECT f.p_partkey, count(*) AS n_matches
+        |FROM probes JOIN f ON probes.regime = f.regime AND probes.band = f.band
+        |WHERE abs(probes.scaled - f.p_retailprice)
+        |      <= greatest(0.01, 0.001 * abs(f.p_retailprice))
+        |GROUP BY f.p_partkey
+        |ORDER BY f.p_partkey""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
@@ -2290,14 +2486,23 @@ object SparkEntry {
     "q_pack_bins!prep" ->
       s"""WITH ${margined(packPrepCte("documents"))}
          |SELECT source, doc_id, ntok, shard FROM t0""".stripMargin,
+    // The `!scr` fragment is materialized ONCE by selfcheck.py as temp
+    // table `pyscr` (the triple-regex scrub dominates fragment wall
+    // time; ADVICE r6); the other funnel fragments build on `pyscr`
+    // through the SAME component builders the recursive oracle embeds.
+    "q_curation_funnel!scr" ->
+      s"""WITH ${margined(funnelAll0Ctes)},
+         |${margined(funnelScrCte)}
+         |SELECT doc_id, source, hits, text FROM scr""".stripMargin,
     "q_curation_funnel!s2rows" ->
-      s"""WITH ${margined(funnelPrefixCtes)}
+      s"""WITH ${margined(funnelPostScrCtes("pyscr"))}
          |SELECT doc_id FROM s2""".stripMargin,
     "q_curation_funnel!edges" ->
-      s"""WITH ${margined(funnelPrefixCtes)}
+      s"""WITH ${margined(funnelPostScrCtes("pyscr"))}
          |SELECT ia, ib FROM e""".stripMargin,
     "q_curation_funnel!stages012" ->
-      s"""WITH ${margined(funnelPrefixCtes)}
+      s"""WITH ${margined(funnelAll0Ctes)},
+         |${margined(funnelPostScrCtes("pyscr"))}
          |SELECT 0 AS stage_idx, 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) AS n_tokens FROM all0
          |UNION ALL SELECT 1, 'pii_gate', CAST(count(*) AS BIGINT),
@@ -2305,8 +2510,8 @@ object SparkEntry {
          |UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
          |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) FROM s2""".stripMargin,
     "q_curation_funnel!stages345" ->
-      s"""WITH ${margined(funnelPrefixCtes)},
-         |${margined(funnelTailCtes("pyreps"))}
+      s"""WITH ${margined(funnelPostScrCtes("pyscr"))},
+         |${margined(funnelTailCtes("pyreps", "pyscr"))}
          |SELECT 3 AS stage_idx, 'near_dedup' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) AS n_tokens FROM s3
          |UNION ALL SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT),
@@ -2314,8 +2519,8 @@ object SparkEntry {
          |UNION ALL SELECT 5, 'train_split', CAST(count(*) AS BIGINT),
          |  CAST(COALESCE(sum($funnelTokN), 0) AS BIGINT) FROM s5""".stripMargin,
     "q_curation_funnel!s5prep" ->
-      s"""WITH ${margined(funnelPrefixCtes)},
-         |${margined(funnelTailCtes("pyreps"))},
+      s"""WITH ${margined(funnelPostScrCtes("pyscr"))},
+         |${margined(funnelTailCtes("pyreps", "pyscr"))},
          |${margined(packPrepCte("s5"))}
          |SELECT source, doc_id, ntok, shard FROM t0""".stripMargin,
   )

@@ -131,10 +131,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("lm fluency and line dedup plans: equi-joins only, never cartesian") {
-    for (q <- Seq("q_lm_fluency", "q_line_dedup")) {
+    // q_line_dedup: strictly no non-equi join of any kind
+    val pl = plan(SparkEntry.queries("q_line_dedup")(spark, sf), "simple")
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"),
+      s"q_line_dedup: ${pl.take(1500)}")
+    // q_lm_fluency / q_lm_trigram: model joins stay equi; the ONLY
+    // permitted nested-loop is the vocab-scalar attach — ONE BNLJ whose
+    // build side is a one-row global aggregate (IdentityBroadcastMode),
+    // constant work per stream row. Anything else non-equi is a bug.
+    for (q <- Seq("q_lm_fluency", "q_lm_trigram")) {
       val p = plan(SparkEntry.queries(q)(spark, sf), "simple")
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"$q: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj == 1, s"$q: expected exactly the vocab-scalar BNLJ, got $bnlj")
+      assert(p.contains("BroadcastExchange IdentityBroadcastMode") &&
+        p.contains("HashAggregate(keys=[], functions=[count(distinct tok"),
+        s"$q: BNLJ build side is not the one-row vocab aggregate:\n${p.take(2000)}")
     }
   }
 

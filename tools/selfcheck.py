@@ -82,6 +82,11 @@ def _pyfold_expected(name, frags):
                          "fill_frac": [round(min(agg[k][1], PACK_BUDGET) / PACK_BUDGET, 4)
                                        for k in keys]})
     if name == "q_curation_funnel":
+        # Materialize the triple-regex PII scrub ONCE (it dominated the
+        # sf0.1 wall time when each of the five funnel fragments re-ran
+        # it); the other fragments select from this temp table.
+        con.sql("CREATE OR REPLACE TEMP TABLE pyscr AS "
+                + frags["q_curation_funnel!scr"])
         s2 = [r[0] for r in rows("q_curation_funnel!s2rows")]
         lbl = _union_find_minlabel(s2, rows("q_curation_funnel!edges"))
         reps = sorted(i for i in s2 if lbl[i] == i)
