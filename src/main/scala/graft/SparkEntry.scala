@@ -916,6 +916,55 @@ object SparkEntry {
     graft.ops.LmScore.ngramFluency(t(s, dir, "documents"), 3)
       .orderBy(col("doc_id"))
 
+  /** DSIR-style importance scoring: every doc scored by the mean
+    * target/raw unigram-model ratio (target = src0/src1 — a 10% "high
+    * quality domain" slice), the tilt-toward-target signal of
+    * importance-resampling data selection. */
+  private def qDsirScore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Importance.dsirScore(t(s, dir, "documents"),
+        col("source").isin("src0", "src1"))
+      .orderBy(col("doc_id"))
+
+  /** CCNet-style perplexity TIERING: rank every doc by its LM fluency
+    * (best first) and split into equal-population head/middle/tail
+    * buckets — the bucket-then-mix step CCNet applies after its KenLM
+    * score. Rank machinery is the scale-shaped global rank (range
+    * partition + ordinal assignment, no single-partition window). */
+  private def qPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val fl = graft.ops.LmScore.bigramFluency(t(s, dir, "documents"))
+      .transform(scratchCkpt)
+    val buckets = graft.ops.Selection.scoreBuckets(fl, "avg_p", 3)
+    fl.select(col("doc_id"), col("avg_p"))
+      .join(buckets, Seq("doc_id"))
+      .select(col("doc_id"), col("avg_p"), col("rank").as("rnk"),
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Greedy token-budget selection: quality-ranked docs kept until the
+    * cumulative token count reaches the budget — the budget-constrained
+    * step of assembling a training mix. Integer-exact distributed
+    * prefix sum (no float ordering ambiguity). */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.TextAnalysis.qualityScore(t(s, dir, "documents"))
+    graft.ops.Selection.selectByTokenBudget(scored, budget = 10000L)
+      .orderBy(col("cum_tokens"))
+  }
+
+  /** Host-graph PageRank over a planted deterministic link graph (hosts
+    * = doc_id residues, one link per doc) — 4 fixed iterations of the
+    * bit-exact ordered-fold power iteration, damping 0.85. */
+  private def qHostPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "documents")
+      .select((col("doc_id") % 101).as("src"),
+        ((col("doc_id") * 7 + 3) % 101).as("dst"))
+    graft.ops.Graph.pageRank(edges, iters = 4)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+  }
+
   /** The planted url mix — deterministic MESSY url spellings built from
     * doc_id (mixed-case scheme/host, default and non-default ports,
     * fragments, queries, missing paths, non-http schemes). ONE definition
@@ -1056,6 +1105,10 @@ object SparkEntry {
     "q_cut_spans"        -> qCutSpans _,
     "q_lm_fluency"       -> qLmFluency _,
     "q_lm_trigram"       -> qLmTrigram _,
+    "q_ppl_buckets"      -> qPplBuckets _,
+    "q_dsir_score"       -> qDsirScore _,
+    "q_token_budget"     -> qTokenBudget _,
+    "q_host_pagerank"    -> qHostPagerank _,
     "q_url_blocklist"    -> qUrlBlocklist _,
     "q_line_dedup"       -> qLineDedup _,
     "q_chunks"           -> qChunks _,
@@ -1997,6 +2050,127 @@ object SparkEntry {
     * stripMargin and the SQL silently degrades to a bitwise `|`. */
   private def margined(frag: String): String = frag.replace("\n", "\n|")
 
+  /** q_quality oracle: identical ratio arithmetic and band constants as
+    * TextAnalysis.qualityScore — also the scoring CTE of q_token_budget
+    * (ONE definition for both). */
+  private def qualityOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |f AS (SELECT doc_id,
+      |   CAST(len(toks) AS DOUBLE) AS ntok,
+      |   CAST(length(text) AS DOUBLE) / len(toks) AS meanlen,
+      |   CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','that','for','it'))) AS DOUBLE)
+      |     / len(toks) AS stopr,
+      |   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alphar
+      | FROM t)
+      |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+      |  round(meanlen, 4) AS mean_word_len,
+      |  round(stopr, 4) AS stopword_ratio,
+      |  round(alphar, 4) AS alpha_ratio,
+      |  round(CAST((CASE WHEN ntok BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+      |      + (CASE WHEN meanlen BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+      |      + (CASE WHEN stopr > 0.0 THEN 0.25 ELSE 0.0 END)
+      |      + (CASE WHEN alphar > 0.5 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
+      |FROM f""".stripMargin
+
+  /** q_token_budget oracle: the quality CTE verbatim, then a running
+    * BIGINT token sum in (quality DESC, doc_id) order gated at the
+    * budget — the single-window form the distributed prefix sum must
+    * match exactly. */
+  private def tokenBudgetOracle: String =
+    s"""WITH q AS (
+       |${margined(qualityOracle)}
+       |),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 10000""".stripMargin
+
+  /** q_ppl_buckets oracle: the LM fluency CTE verbatim, ranked best
+    * first (avg_p DESC, doc_id tiebreak), bucket = rank·3 div n — the
+    * single-window form of the distributed rank. */
+  private def pplBucketsOracle: String =
+    s"""WITH lmr AS (
+       |${margined(lmFluencyOracle)}
+       |),
+       |r AS (SELECT doc_id, avg_p,
+       |    row_number() OVER (ORDER BY avg_p DESC, doc_id) - 1 AS rnk FROM lmr),
+       |n AS (SELECT count(*) AS n FROM r)
+       |SELECT doc_id, avg_p, CAST(rnk AS BIGINT) AS rnk,
+       |  CASE rnk * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM r, n""".stripMargin
+
+  /** q_dsir_score oracle: identical unigram models and smoothing —
+    * r = (T+1)/(R+V) one exact division per token, per-doc mean via the
+    * position-ordered fold (the LM-fluency float discipline). */
+  private def dsirOracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, source,
+       |    list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+       |      x -> length(x) > 0) AS ws
+       |  FROM documents),
+       |st AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+       |    unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'pos': i, 'tok': ws[i]})) AS t
+       |  FROM words),
+       |s2 AS (SELECT doc_id, tgt, t.pos AS pos, t.tok AS tok FROM st),
+       |tc AS (SELECT tok, count(*) AS tc FROM s2 WHERE tgt GROUP BY 1),
+       |rc AS (SELECT tok, count(*) AS rc FROM s2 WHERE NOT tgt GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS vocab FROM s2),
+       |sc AS (SELECT s2.doc_id, s2.pos,
+       |    CAST(COALESCE(tc.tc, 0) + 1 AS DOUBLE)
+       |      / CAST(COALESCE(rc.rc, 0) + v.vocab AS DOUBLE) AS r
+       |  FROM s2 LEFT JOIN tc USING (tok) LEFT JOIN rc USING (tok), v),
+       |agg AS (SELECT doc_id, count(*) AS n,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(r ORDER BY pos)),
+       |      (a, b) -> a + b) AS rsum
+       |  FROM sc GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       |  round(COALESCE(a.rsum, 0)
+       |    / CAST(greatest(COALESCE(a.n, 0), 1) AS DOUBLE), 4) AS imp_score
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** q_host_pagerank oracle: the identical fixed expression tree per
+    * iteration — contributions pr/od (one division), per-dst in-sums as
+    * the TWO-LEVEL ordered fold tree (src % 16 sub-folds in src order,
+    * bucket partials in bucket order), dangling mass via the same tree
+    * over node id, update (1−d)/n + d·(insum + dm/n). Iterations unroll
+    * as CTEs; doubles match the engine bit-for-bit at every step. */
+  private def pageRankOracle: String = {
+    val iters = 4
+    val D = "CAST(0.85 AS DOUBLE)"
+    val Z = "CAST(0 AS DOUBLE)"
+    def fold(v: String, k: String) =
+      s"list_reduce(list_prepend($Z, list($v ORDER BY $k)), (a, b) -> a + b)"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""c$i AS (SELECT e.dst AS dst, e.src AS src, p.pr / CAST(o.od AS DOUBLE) AS c
+         |  FROM e JOIN $prev p ON p.node = e.src JOIN od o ON o.src = e.src),
+         |l$i AS (SELECT dst, src % 16 AS bk, ${fold("c", "src")} AS s
+         |  FROM c$i GROUP BY dst, bk),
+         |i$i AS (SELECT dst, ${fold("s", "bk")} AS insum FROM l$i GROUP BY dst),
+         |g$i AS (SELECT p.node % 16 AS bk, ${fold("p.pr", "p.node")} AS bs
+         |  FROM $prev p LEFT JOIN od o ON o.src = p.node
+         |  WHERE o.src IS NULL GROUP BY bk),
+         |d$i AS (SELECT COALESCE(${fold("bs", "bk")}, $Z) AS dm FROM g$i),
+         |pr$i AS (SELECT n.node,
+         |    (CAST(1.0 AS DOUBLE) - $D) / CAST(cnt.n AS DOUBLE)
+         |      + $D * (COALESCE(ii.insum, $Z) + dd.dm / CAST(cnt.n AS DOUBLE)) AS pr
+         |  FROM nodes n LEFT JOIN i$i ii ON ii.dst = n.node, d$i dd, cnt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+       |  FROM documents),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(cnt.n AS DOUBLE) AS pr FROM nodes, cnt),
+       |$iterCtes
+       |SELECT node, round(pr, 6) AS pr FROM pr$iters""".stripMargin
+  }
+
   /** Funnel planted corpus (base + union planting): concat-only, CHEAP
     * to recompute — split out so the pyfold contract can materialize the
     * expensive scrub exactly once and still count stage 0 from here. */
@@ -2143,6 +2317,10 @@ object SparkEntry {
     "q_cut_spans" -> cutSpansOracle,
     "q_lm_fluency" -> lmFluencyOracle,
     "q_lm_trigram" -> lmTrigramOracle,
+    "q_ppl_buckets" -> pplBucketsOracle,
+    "q_dsir_score" -> dsirOracle,
+    "q_token_budget" -> tokenBudgetOracle,
+    "q_host_pagerank" -> pageRankOracle,
     "q_url_blocklist" -> urlBlocklistOracle,
     "q_epoch_order" ->
       s"""WITH h AS (SELECT doc_id, ${saltedHashSql("epoch1")} AS hu FROM documents)
@@ -2297,25 +2475,7 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_subtokens
         |FROM documents""".stripMargin,
-    "q_quality" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |f AS (SELECT doc_id,
-        |   CAST(len(toks) AS DOUBLE) AS ntok,
-        |   CAST(length(text) AS DOUBLE) / len(toks) AS meanlen,
-        |   CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','that','for','it'))) AS DOUBLE)
-        |     / len(toks) AS stopr,
-        |   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alphar
-        | FROM t)
-        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
-        |  round(meanlen, 4) AS mean_word_len,
-        |  round(stopr, 4) AS stopword_ratio,
-        |  round(alphar, 4) AS alpha_ratio,
-        |  round(CAST((CASE WHEN ntok BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN meanlen BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN stopr > 0.0 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN alphar > 0.5 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
-        |FROM f""".stripMargin,
+    "q_quality" -> qualityOracle,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, ts,
         |    CAST(floor(epoch(ts)) AS BIGINT)

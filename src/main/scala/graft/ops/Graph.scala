@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl — host-level PageRank (Page et
+  * al. 1999), the standard crawl-frontier / quality prior every
+  * web-corpus pipeline computes over its host graph (Common Crawl
+  * publishes exactly this as its host-level ranking).
+  *
+  * Bit-exactness discipline: the oracle contract of this repo demands
+  * doubles that an independent engine reproduces EXACTLY, so every
+  * floating-point reduction is a deterministic ordered fold, never a
+  * partition-order `sum()`:
+  *
+  *  - each contribution pr(u)/outdeg(u) is ONE IEEE division;
+  *  - the per-node in-sum folds contributions in a fixed TWO-LEVEL tree:
+  *    contributions grouped by src % dmBuckets, folded in ascending src
+  *    order within the bucket, bucket partials folded in ascending
+  *    bucket order. The two-level tree is also the HUB-SAFETY shape: a
+  *    mega-in-degree node (every page links to the top host) folds in
+  *    `dmBuckets` bounded tasks instead of one giant ordered list —
+  *    the same salted-sub-shard discipline as the packing fold;
+  *  - the dangling mass (rank held by nodes with no out-links) is the
+  *    same two-level tree over node id, so the global scalar is exact
+  *    and independent of partitioning;
+  *  - the update pr'(v) = (1−d)/n + d·(inSum(v) + dm/n) is written as
+  *    one fixed expression tree on both engines.
+  *
+  * Shape at 100 TB: per iteration, one equi-join of edges against the
+  * rank frame on src (edges and outdeg co-partition on src), one
+  * shuffle keyed (dst, src-bucket), one keyed dst, one left join back
+  * to the node set. Rank and degree frames are node-keyed and NEVER
+  * broadcast; the only broadcasts are one-row scalars (node count,
+  * dangling mass — the LM vocab-attach shape). Each iteration is
+  * checkpointed so plans stay flat and convergence is O(iters) jobs.
+  */
+object Graph {
+
+  /** Two-level ordered fold tree: (groupCols…) → exact double sum of
+    * `valC` folded by `keyC` within `pmod(keyC, buckets)` sub-folds.
+    * Returns the level-1 frame (groupCols, __bk, __s). */
+  private def foldLevel1(df: DataFrame, groupCols: Seq[Column], keyC: Column,
+      valC: Column, buckets: Int): DataFrame =
+    df.groupBy(groupCols :+ pmod(keyC, lit(buckets.toLong)).as("__bk"): _*)
+      .agg(orderedFold(keyC, valC).as("__s"))
+
+  /** Exact ordered double fold: sort (k, v) pairs by k, left-fold v from
+    * 0.0 — addition order is part of the contract. */
+  private def orderedFold(keyC: Column, valC: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(keyC.as("k"), valC.as("v")))),
+        x => x.getField("v")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PageRank over an edge list with damping `d` for a FIXED number of
+    * iterations (fixed-iteration form so results are a pure function of
+    * the input — the auditable variant; convergence-threshold stopping
+    * would make results depend on float comparisons mid-stream).
+    * Multi-edges are collapsed (DISTINCT) so each (src, dst) link
+    * contributes once; self-loops are legal edges and contribute to
+    * their own node. Nodes = src ∪ dst; dangling nodes (no out-edges)
+    * redistribute their mass uniformly each iteration.
+    *
+    * Output: (node, pr) with pr the exact unrounded double after
+    * `iters` updates. `dmBuckets` sizes the fold tree's fan-in: both
+    * sub-fold width (|in-degree|/dmBuckets per task) and top-fold width
+    * (dmBuckets entries in one array) — at web scale size it so both
+    * stay in-memory (e.g. 1024 for 1e9-host graphs). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      dmBuckets: Int = 16): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    require(dmBuckets >= 1, s"dmBuckets must be >= 1, got $dmBuckets")
+    val e = CheckpointScratch.ckpt(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = CheckpointScratch.ckpt(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val outdeg = CheckpointScratch.ckpt(
+      e.groupBy(col("src")).agg(count(lit(1)).as("od")))
+    // one-row scalars: lazy one-row frames over checkpointed bases
+    val nF = nodes.agg(count(lit(1)).as("__n"))
+    val nD = col("__n").cast("double")
+    val d = damping
+
+    var pr = CheckpointScratch.ckpt(
+      nodes.crossJoin(broadcast(nF))
+        .select(col("node"), (lit(1.0) / nD).as("pr")))
+    for (_ <- 1 to iters)
+      pr = CheckpointScratch.ckpt(step(e, nodes, outdeg, nF, pr, d, dmBuckets))
+    pr
+  }
+
+  /** One un-checkpointed power-iteration update — the plan the per-round
+    * ckpt hides from `explain`, exposed so the plan gates can pin its
+    * shape (equi-joins + keyed folds only; one-row scalar broadcasts). */
+  private[graft] def step(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+      nF: DataFrame, pr: DataFrame, d: Double, dmBuckets: Int): DataFrame = {
+    val nD = col("__n").cast("double")
+    val contribs = e
+      .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+      .join(outdeg, Seq("src"))
+      .select(col("dst"), col("src"),
+        (col("pr") / col("od").cast("double")).as("c"))
+    val inSum = foldLevel1(contribs, Seq(col("dst")), col("src"), col("c"),
+        dmBuckets)
+      .groupBy(col("dst"))
+      .agg(orderedFold(col("__bk"), col("__s")).as("insum"))
+    val dangling = pr.join(outdeg.withColumnRenamed("src", "node"),
+      Seq("node"), "left_anti")
+    val dmF = foldLevel1(dangling, Nil, col("node"), col("pr"), dmBuckets)
+      .agg(orderedFold(col("__bk"), col("__s")).as("dm"))
+    nodes.join(inSum.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .crossJoin(broadcast(dmF)).crossJoin(broadcast(nF))
+      .select(col("node"),
+        ((lit(1.0) - lit(d)) / nD +
+          lit(d) * (coalesce(col("insum"), lit(0.0)) + col("dm") / nD))
+          .as("pr"))
+  }
+}

@@ -1087,4 +1087,127 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextMetrics.parseNumeric("$42").contains(42.0))
     assert(TextMetrics.parseNumeric("n/a").isEmpty)
   }
+
+  /** Sequential reference PageRank with the SAME two-level fold order as
+    * the distributed op — doubles must match BIT-FOR-BIT, not within an
+    * epsilon: the whole point of the ordered-fold contract. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int, d: Double,
+      b: Int): Map[Long, Double] = {
+    val es = edges.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val od = es.groupBy(_._1).map { case (s, l) => s -> l.size.toDouble }
+    var pr = nodes.map(v => v -> (1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val contribs = es.map { case (s, t) => (t, s, pr(s) / od(s)) }
+      def tree[K](rows: Seq[(Long, Double)]): Double =
+        rows.groupBy(_._1 % b).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _))
+          .foldLeft(0.0)(_ + _)
+      val insum = contribs.groupBy(_._1).map { case (t, cs) =>
+        t -> tree(cs.map(c => (c._2, c._3)))
+      }
+      val dm = tree(nodes.filterNot(od.contains).map(v => (v, pr(v))))
+      pr = nodes.map { v =>
+        v -> ((1.0 - d) / n + d * (insum.getOrElse(v, 0.0) + dm / n))
+      }.toMap
+    }
+    pr
+  }
+
+  test("pagerank: bit-identical to the sequential ordered-fold reference; mass conserved") {
+    import spark.implicits._
+    // deterministic graph with hubs, chains, a dangling sink and a
+    // self-loop: 40 nodes, LCG-planted edges
+    val edges = (0 until 120).map { i =>
+      val s = (i * 17 + 3) % 40L
+      val t = (i * i * 13 + 7) % 40L
+      (s, t)
+    } :+ (39L, 39L) // self-loop
+    val df = edges.toDF("src", "dst")
+    val got = graft.ops.Graph.pageRank(df, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val want = refPageRank(edges, iters = 3, d = 0.85, b = 16)
+    assert(got.keySet == want.keySet)
+    for ((v, p) <- want)
+      assert(got(v) == p, s"node $v: got ${got(v)}, want $p (must be exact)")
+    // rank is a probability mass: conserved up to float error
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pagerank: dangling-only graph redistributes uniformly; multi-edges collapse") {
+    import spark.implicits._
+    // 1 -> 2 triple-planted (must collapse to ONE edge), 2 dangling
+    val df = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("src", "dst")
+    val got = graft.ops.Graph.pageRank(df, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    // after 1 iter: node1 gets (1-d)/2 + d*(0 + dm/2) with dm = pr(2)=.5
+    val d = 0.85
+    val dm = 0.5
+    val n1 = (1.0 - d) / 2.0 + d * (0.0 + dm / 2.0)
+    val n2 = (1.0 - d) / 2.0 + d * (0.5 / 1.0 + dm / 2.0)
+    assert(got(1L) == n1 && got(2L) == n2)
+  }
+
+  test("rankBy: partition-count invariant, desc order with id tiebreak") {
+    import spark.implicits._
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 5.0), (4L, 1.0), (5L, 9.0))
+      .toDF("doc_id", "score")
+    def ranks(p: Int) = graft.ops.Selection
+      .rankBy(docs, Seq(col("score")), Seq(false), numPartitions = p)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(2L -> 0L, 5L -> 1L, 1L -> 2L, 3L -> 3L, 4L -> 4L)
+    assert(ranks(1) == want)
+    assert(ranks(7) == want)
+  }
+
+  test("scoreBuckets: equal-population tiers match the rank*k div n formula") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, (i * 7 % 10).toDouble)).toDF("doc_id", "s")
+    val out = graft.ops.Selection.scoreBuckets(docs, "s", 3)
+      .select($"doc_id", $"rank", $"bucket").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // expected: rank by (s desc, id), bucket = rank*3 div 10
+    val want = (1L to 10L).map(i => (i, (i * 7 % 10).toDouble))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), r) => id -> ((r.toLong, r.toLong * 3 / 10)) }.toMap
+    assert(out == want)
+  }
+
+  test("dsir importance: hand-computed target/raw ratios; target-like docs score higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "wiki"),  // target
+      (2L, "a c", "crawl"), // shares 'a' with target
+      (3L, "c c", "crawl"), // no target overlap
+      (4L, "", "crawl")     // empty
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.Importance.dsirScore(docs, col("source") === "wiki")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // T: a=1,b=1; R: a=1,c=3; V=3
+    // r(a)=(1+1)/(1+3)=0.5  r(b)=2/(0+3)  r(c)=1/(3+3)
+    assert(out(1L) == ((2L, math.rint(((0.0 + 0.5 + 2.0 / 3.0) / 2.0) * 1e4) / 1e4)))
+    assert(out(2L) == ((2L, math.rint(((0.0 + 0.5 + 1.0 / 6.0) / 2.0) * 1e4) / 1e4)))
+    assert(out(3L) == ((2L, math.rint(((0.0 + 1.0 / 6.0 + 1.0 / 6.0) / 2.0) * 1e4) / 1e4)))
+    assert(out(4L) == ((0L, 0.0)))
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
+  }
+
+  test("token budget: inclusive boundary kept, overflow dropped, partition invariant, null tokens = 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 3.0, java.lang.Long.valueOf(4L)), // rank 0: cum 4
+      (2L, 2.0, java.lang.Long.valueOf(6L)), // rank 1: cum 10 == budget -> kept
+      (3L, 2.0, null.asInstanceOf[java.lang.Long]), // rank 2 (tie->id): null = 0, cum 10 -> kept
+      (4L, 1.0, java.lang.Long.valueOf(1L))  // rank 3: cum 11 -> dropped
+    ).toDF("doc_id", "quality_score", "n_tokens")
+    def sel(p: Int) = graft.ops.Selection
+      .selectByTokenBudget(docs, budget = 10L, numPartitions = p)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toSet
+    val want = Set((1L, 4L), (2L, 10L), (3L, 10L))
+    assert(sel(1) == want)
+    assert(sel(5) == want)
+    // budget 0 keeps only zero-weight prefixes, never crashes
+    assert(graft.ops.Selection.selectByTokenBudget(docs, 0L).count() == 0L)
+  }
 }

@@ -257,6 +257,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.matches(".*hashpartitioning\\(g#\\d+, shard#\\d+L?.*"), ex)
   }
 
+  test("pagerank step plan: equi-joins + keyed folds, scalar attaches are one-row broadcasts") {
+    import org.apache.spark.sql.functions._
+    // range-backed edges: LocalRelation would constant-fold the plan away
+    val e = spark.range(200).select((col("id") % 40).as("src"),
+      ((col("id") * 13 + 7) % 40).as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val nF = nodes.agg(count(lit(1)).as("__n"))
+    // in pageRank the incoming rank frame is checkpointed, so only THIS
+    // step's joins are in the plan — model that with a plain rank column
+    val pr = nodes.select(col("node"), (lit(1.0) / lit(40.0)).as("pr"))
+    val p = plan(graft.ops.Graph.step(e, nodes, outdeg, nF, pr, 0.85, 16), "simple")
+    // never an all-pairs join: the only nested loops are the two
+    // one-row scalar attaches (this step's dm and n)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj == 2, s"expected 2 one-row scalar attaches, got $bnlj:\n${p.take(2500)}")
+    assert(p.contains("IdentityBroadcastMode"), p.take(2000))
+    // rank propagation joins are hash equi-joins on src/dst/node keys
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("selection rank/prefix-sum plans range-partition, never a single-partition window") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val ranked = graft.ops.Selection.rankBy(d,
+      Seq(col("n_chars").cast("double")), Seq(false), numPartitions = 4)
+    // the rank frame is RDD-backed (ordinals already assigned) — the gate
+    // is on HOW they were assigned: the sorted projection plans a range
+    // exchange, not Exchange SinglePartition + Window
+    val sorted = d.select(col("n_chars").cast("double").as("__k0"),
+        col("doc_id").cast("long").as("__id"))
+      .repartitionByRange(4, col("__k0").desc, col("__id").asc)
+      .sortWithinPartitions(col("__k0").desc, col("__id").asc)
+    val p = plan(sorted, "simple")
+    assert(p.contains("Exchange rangepartitioning"), p.take(1200))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+    assert(ranked.columns.toSeq == Seq("doc_id", "rank"))
+  }
+
   test("exact dedup shuffles only hash+length, not the text") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.Dedup.exact(d), "formatted")
