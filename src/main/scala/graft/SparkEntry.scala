@@ -207,6 +207,17 @@ object SparkEntry {
     graft.ops.Dedup.dedupClusters(docs, jaccardPairsShared(s, dir))
   }
 
+  /** Quality-aware representative per near-dup cluster: clusters from the
+    * shared jaccard pair graph, quality = token count computed narrowly
+    * (text never crosses the selection join or the argmax shuffle). */
+  private def qClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clusters = graft.ops.Dedup.dedupClusters(docs, jaccardPairsShared(s, dir))
+    val quality = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("quality"))
+    graft.ops.Dedup.clusterRepresentatives(clusters, quality)
+  }
+
   /** Token counting + quality scoring (length / word-length / stopword ratio). */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
@@ -1155,6 +1166,7 @@ object SparkEntry {
     "q_theta_band"       -> qThetaBand _,
     "q_dedup_exact"      -> qDedupExact _,
     "q_dedup_clusters"   -> qDedupClusters _,
+    "q_cluster_reps"     -> qClusterReps _,
     "x_dedup_pipeline"   -> xDedupPipeline _,
     "q_scalar_funcs"     -> qScalarFuncs _,
     "q_jaccard_pairs"    -> qJaccardPairs _,
@@ -2597,6 +2609,24 @@ object SparkEntry {
         |  WHERE r.lbl < eg.t)
         |SELECT id AS doc_id, min(lbl) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+    "q_cluster_reps" ->
+      s"""WITH RECURSIVE
+        |${margined(jaccardEdgeCtes("documents"))},
+        |edges AS (SELECT ia AS s, ib AS t FROM e UNION ALL SELECT ib, ia FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT eg.t, r.lbl FROM reach r JOIN edges eg ON eg.s = r.id
+        |  WHERE r.lbl < eg.t),
+        |c AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        |qual AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS q FROM documents),
+        |j AS (SELECT c.cluster_id, c.doc_id, qual.q,
+        |  row_number() OVER (PARTITION BY c.cluster_id ORDER BY qual.q DESC, c.doc_id) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
+        |  FROM c JOIN qual USING (doc_id))
+        |SELECT cluster_id, doc_id AS rep_id, q AS rep_quality, n_members
+        |FROM j WHERE rn = 1""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT doc_id,
         |  (doc_id * 99991) % 16777216 >> 16 & 255 AS r,
@@ -2643,6 +2673,12 @@ object SparkEntry {
     "q_dedup_clusters!edges" ->
       s"""WITH ${margined(jaccardEdgeCtes("documents"))}
          |SELECT ia, ib FROM e""".stripMargin,
+    // q_cluster_reps reuses the q_dedup_clusters!docs/!edges fragments for
+    // its union-find (same corpus, same edge CTE text); only the quality
+    // relation is new.
+    "q_cluster_reps!quality" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+        |FROM documents""".stripMargin,
     "q_pack_bins!prep" ->
       s"""WITH ${margined(packPrepCte("documents"))}
          |SELECT source, doc_id, ntok, shard FROM t0""".stripMargin,

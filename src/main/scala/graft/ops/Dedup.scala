@@ -616,6 +616,43 @@ object Dedup {
         (col("id") === col("cluster_id")).as("is_representative"))
   }
 
+  /** QUALITY-AWARE representative selection per near-dup cluster — the
+    * "keep best, drop rest" step that follows clustering. [[dedupClusters]]
+    * and [[dedupCorpus]] keep the SMALLEST id per cluster (the classic
+    * convention), which discards information: within a near-dup family the
+    * copies differ (truncation, boilerplate injection, encoding damage) and
+    * a curation pipeline wants the HIGHEST-QUALITY member, not the first
+    * one crawled. Input: `clusters` = (idCol, cluster_id) from
+    * [[dedupClusters]]; `quality` = (idCol, quality: BIGINT) computed
+    * narrowly upstream (token count, LM score bucket — anything totally
+    * ordered). Output: one row per cluster —
+    * (cluster_id, rep_id, rep_quality, n_members).
+    *
+    * Determinism: the winner is max quality with SMALLEST id as the
+    * tiebreak, expressed as `min(struct(-quality, id))` — a declarative
+    * aggregate, so any engine (and the DuckDB oracle's window) reproduces
+    * it exactly; no `max_by` (non-deterministic on ties).
+    *
+    * Scale shape: one equi-join on the 8-byte id (neither side carries
+    * text), then one hash aggregate on cluster_id. The aggregate is
+    * two-phase (partial per input partition, final after the shuffle), so
+    * a mega-cluster — a boilerplate template with millions of members, the
+    * common crawl pathology — reduces to ONE row per map task before the
+    * shuffle: per-key reduce work is bounded by the partition count, never
+    * by cluster size. PlanSpec pins the partial_min/partial_count pair and
+    * the absence of any window exchange. */
+  def clusterRepresentatives(clusters: DataFrame, quality: DataFrame,
+      idCol: String = "doc_id", qualityCol: String = "quality"): DataFrame = {
+    val joined = clusters.select(col(idCol).as("id"), col("cluster_id"))
+      .join(quality.select(col(idCol).as("id"),
+        col(qualityCol).cast("long").as("q")), Seq("id"))
+    joined.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("q")).as("nq"), col("id").as("i"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("w.i").as("rep_id"),
+        (-col("w.nq")).as("rep_quality"), col("n_members"))
+  }
+
   /** Word-set Jaccard pairs, strategy chosen by a cost probe — the CBO
     * decision a real engine makes: when the largest block is small, the
     * plain blocked self-join is OPTIMAL (one shuffle, no candidate

@@ -543,6 +543,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rounds <= 16, s"10k chain should converge in <= 16 rounds, took $rounds")
   }
 
+  test("clusterRepresentatives: quality argmax with min-id tiebreak per cluster") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), (10L, 7L), (11L, 7L))
+      .toDF("doc_id", "quality")
+    val out = graft.ops.Dedup.clusterRepresentatives(clusters, quality)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // cluster 1: quality tie 9 between ids 2 and 3 → smallest id 2 wins
+    // (NOT the cluster label 1, whose quality is lower); cluster 10: tie
+    // at 7 → 10; singleton 4 is its own representative
+    assert(out.toSeq == Seq((1L, 2L, 9L, 3L), (4L, 4L, 2L, 1L), (10L, 10L, 7L, 2L)))
+  }
+
   test("ngramFluency: trigram probabilities match a hand-computed table") {
     import spark.implicits._
     val d = Seq((0L, "a b a b c"), (1L, "a b a"), (2L, "x"))

@@ -281,6 +281,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       || p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("cluster representative argmax is a two-phase hash aggregate, never a per-cluster window") {
+    import org.apache.spark.sql.functions._
+    // range-backed frames so nothing constant-folds to a LocalRelation
+    val clusters = spark.range(1000)
+      .select(col("id").as("doc_id"), (col("id") % 10).as("cluster_id"))
+    val quality = spark.range(1000)
+      .select(col("id").as("doc_id"), (col("id") % 97).as("quality"))
+    val df = graft.ops.Dedup.clusterRepresentatives(clusters, quality)
+    val p = plan(df, "simple")
+    // a mega-cluster must reduce map-side: partial min/count before the
+    // cluster_id shuffle, then a final aggregate — and no Window operator
+    // (rank-per-cluster would sort whole clusters in single tasks)
+    assert(p.contains("partial_min") || p.contains("functions=[partial"),
+      p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("selection rank/prefix-sum plans range-partition, never a single-partition window") {
     import org.apache.spark.sql.functions._
     val d = spark.read.parquet(s"$sf/documents.parquet")

@@ -60,6 +60,23 @@ def _pyfold_expected(name, frags):
         ids = [r[0] for r in rows("q_dedup_clusters!docs")]
         lbl = _union_find_minlabel(ids, rows("q_dedup_clusters!edges"))
         return pa.table({"doc_id": ids, "cluster_id": [lbl[i] for i in ids]})
+    if name == "q_cluster_reps":
+        # Same corpus + edge CTE text as q_dedup_clusters; the fold adds a
+        # quality-argmax (max q, min id tiebreak) + member count per label.
+        ids = [r[0] for r in rows("q_dedup_clusters!docs")]
+        lbl = _union_find_minlabel(ids, rows("q_dedup_clusters!edges"))
+        q = dict(rows("q_cluster_reps!quality"))
+        best, members = {}, {}
+        for i in ids:
+            c = lbl[i]
+            members[c] = members.get(c, 0) + 1
+            if c not in best or (-q[i], i) < best[c]:
+                best[c] = (-q[i], i)
+        cl = sorted(best)
+        return pa.table({"cluster_id": cl,
+                         "rep_id": [best[c][1] for c in cl],
+                         "rep_quality": [-best[c][0] for c in cl],
+                         "n_members": [members[c] for c in cl]})
     if name in ("q_pack_bins", "q_pack_stats"):
         packed = _pack_fold(rows("q_pack_bins!prep"))
         if name == "q_pack_bins":
@@ -108,7 +125,8 @@ if pyfold_on:
     if not os.path.exists(pf):
         print("[ERR  ] --pyfold requested but pyfold_sql.json missing"); sys.exit(1)
     pyfold_frags = json.load(open(pf))
-PYFOLD_QUERIES = {"q_dedup_clusters", "q_pack_bins", "q_pack_stats", "q_curation_funnel"}
+PYFOLD_QUERIES = {"q_dedup_clusters", "q_cluster_reps", "q_pack_bins",
+                  "q_pack_stats", "q_curation_funnel"}
 
 def canon(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
