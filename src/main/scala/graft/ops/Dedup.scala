@@ -698,6 +698,11 @@ object Dedup {
       expectedItems: Long = 0L, bitsPerItem: Int = 10): DataFrame = {
     val spark = seen.sparkSession
     graft.functions.functions.register(spark)
+    // under foreachBatch the batch frame belongs to the stream's CLONED
+    // session, whose function registry was snapshotted at stream start —
+    // register there too or graft_might_contain fails to resolve
+    if (batch.sparkSession ne spark)
+      graft.functions.functions.register(batch.sparkSession)
     // seen-side cost: up to three COLUMN-PRUNED scans (count — skipped when
     // expectedItems is given — bloom build, anti-join verify); the batch
     // side is tagged ONCE and checkpointed so derived upstream plans never

@@ -237,6 +237,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((0L, 4L), (1L, 2L)))
   }
 
+  test("incremental crawl dedup streams via foreachBatch: bloom vs history, history appends exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    implicit val sqlCtx = spark.sqlContext
+    // The deployment shape of Dedup.incrementalNew: a stream of crawl
+    // batches dedups against an accumulating HISTORY store — per
+    // micro-batch, in-batch exact dedup (first-seen wins), then the
+    // bloom-prefiltered vs-history check, then append the survivors to
+    // the history. foreachBatch is the right tool (the op needs two
+    // batch-side actions: the bloom collect and the anti-join).
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_stream").toString
+    val seenDir = s"$root/seen"
+    // seed an empty history so every micro-batch (incl. the first, which
+    // exercises incrementalNew's empty-seen = everything-new path) reads
+    // the store uniformly
+    Seq.empty[(Long, String)].toDF("doc_id", "text").write.parquet(seenDir)
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val inBatch = batch
+          .withColumn("keep", min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+          .filter(col("doc_id") === col("keep")).drop("keep")
+        val seen = spark.read.parquet(seenDir)
+        val fresh = graft.ops.Dedup
+          .incrementalNew(seen, inBatch, expectedItems = 1024)
+          .localCheckpoint(true) // materialize BEFORE appending to the dir we read
+        fresh.write.mode("append").parquet(seenDir)
+        ()
+      }
+      .start()
+    stream.addData((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+    q.processAllAvailable()
+    stream.addData((4L, "alpha text"), (5L, "gamma text")) // 4 dups history
+    q.processAllAvailable()
+    stream.addData((6L, "gamma text"), (7L, "beta text"))  // all dup history
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(seenDir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    // exactly-once, first-seen-wins across THREE micro-batches: in-batch
+    // dup 3 drops, history dups 4/6/7 drop, each text survives once
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 5L), got.mkString(", "))
+    assert(got.map(_._2).toSet == Set("alpha text", "beta text", "gamma text"))
+  }
+
   test("bottom-k SAMPLE sketch merges streaming state across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, lit, col}
