@@ -218,6 +218,20 @@ object SparkEntry {
     graft.ops.Dedup.clusterRepresentatives(clusters, quality)
   }
 
+  /** Per-host frequency cap (the C4/RefinedWeb domain-capping stage): at
+    * most 5 docs per planted host, best = longest (n_chars DESC, doc_id
+    * tiebreak). One mega-host covers a third of the corpus — exactly the
+    * skew the two-level fold in [[graft.ops.Selection.capPerGroup]] exists
+    * for. */
+  private def qHostCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit("mega.example.com"))
+        .otherwise(concat(lit("host-"), col("doc_id") % 101, lit(".example.com")))
+        .as("host"),
+      col("n_chars"))
+    graft.ops.Selection.capPerGroup(docs, "host", 5, "n_chars", "doc_id")
+  }
+
   /** Token counting + quality scoring (length / word-length / stopword ratio). */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
@@ -1167,6 +1181,7 @@ object SparkEntry {
     "q_dedup_exact"      -> qDedupExact _,
     "q_dedup_clusters"   -> qDedupClusters _,
     "q_cluster_reps"     -> qClusterReps _,
+    "q_host_cap"         -> qHostCap _,
     "x_dedup_pipeline"   -> xDedupPipeline _,
     "q_scalar_funcs"     -> qScalarFuncs _,
     "q_jaccard_pairs"    -> qJaccardPairs _,
@@ -2653,6 +2668,20 @@ object SparkEntry {
         |      w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
         |    / len(string_split(text, ' ')), 4) AS stopword_ratio
         |FROM documents""".stripMargin,
+
+    "q_host_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'mega.example.com'
+        |         ELSE 'host-' || (doc_id % 101) || '.example.com' END AS host,
+        |    n_chars
+        |  FROM documents)
+        |SELECT host, doc_id, n_chars, rank FROM (
+        |  SELECT host, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM d)
+        |WHERE rank <= 5""".stripMargin,
   )
 
   /** NON-RECURSIVE oracle fragments for the large-scale selfcheck

@@ -88,6 +88,45 @@ object Selection {
         expr(s"rank * $nBuckets div __n").as("bucket"))
   }
 
+  /** Per-group frequency cap — keep at most `k` docs per group (the
+    * C4/RefinedWeb-style DOMAIN cap: no single host may contribute more
+    * than k documents, so template farms can't dominate the corpus).
+    * Winners are the k best by (`scoreCol` DESC, idCol ASC) — the same
+    * declarative tie-break contract as [[graft.ops.Dedup.clusterRepresentatives]].
+    * Output: (groupCol, idCol, scoreCol, rank) with rank 1..k, best first.
+    *
+    * Scale shape: a window `row_number() OVER (PARTITION BY host)` puts a
+    * mega-host (every crawl has one) in ONE sort task. Here the top-k is
+    * a two-level fold instead — the packing/PageRank sub-shard
+    * discipline: level 1 groups by (group, xxhash64(id) % subShards) and
+    * keeps each sub-shard's top-k (a bounded `slice(array_sort(...))`
+    * over the partial lists); level 2 merges the ≤ subShards·k survivors
+    * per group. Every global top-k row is top-k within its own sub-shard
+    * (fewer than k rows beat it anywhere), so the two levels are exact.
+    * Both aggregates are two-phase hash aggregates — a mega-host reduces
+    * map-side before either shuffle; no Window, no whole-group sort.
+    *
+    * Contract: `scoreCol` must be non-null integers (cast to BIGINT) and
+    * ids unique — the cut-op id contract. */
+  def capPerGroup(docs: DataFrame, groupCol: String, k: Int,
+      scoreCol: String = "quality_score", idCol: String = "doc_id",
+      subShards: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(subShards >= 1, s"subShards must be >= 1, got $subShards")
+    val base = docs.select(col(groupCol).as("__g"),
+      col(idCol).cast("long").as("__id"),
+      col(scoreCol).cast("long").as("__q"))
+    val l1 = base
+      .groupBy(col("__g"), pmod(xxhash64(col("__id")), lit(subShards.toLong)).as("__sh"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("__q")).as("nq"), col("__id").as("i")))), 1, k).as("__tk"))
+    l1.groupBy(col("__g"))
+      .agg(slice(array_sort(flatten(collect_list(col("__tk")))), 1, k).as("__tk"))
+      .select(col("__g"), posexplode(col("__tk")).as(Seq("__r", "__w")))
+      .select(col("__g").as(groupCol), col("__w.i").as(idCol),
+        (-col("__w.nq")).as(scoreCol), (col("__r") + 1).cast("long").as("rank"))
+  }
+
   /** Greedy token-budget selection: order docs by `scoreCol` DESCENDING
     * (idCol tiebreak) and keep every doc whose INCLUSIVE running token
     * total stays within `budget`. Output: (idCol, tokensCol,

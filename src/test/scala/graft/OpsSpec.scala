@@ -1224,4 +1224,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // budget 0 keeps only zero-weight prefixes, never crashes
     assert(graft.ops.Selection.selectByTokenBudget(docs, 0L).count() == 0L)
   }
+
+  test("capPerGroup: top-k per host with (score desc, id asc) winners, sub-shard invariant") {
+    import spark.implicits._
+    // mega host with 100 docs (scores 0..99, ties at 50), small host with 2
+    val docs = ((1L to 100L).map(i => (s"mega", i, if (i <= 50) 50L else i)) ++
+      Seq(("tiny", 200L, 7L), ("tiny", 201L, 9L))).toDF("host", "doc_id", "q")
+    def cap(sh: Int) = graft.ops.Selection
+      .capPerGroup(docs, "host", 3, "q", "doc_id", subShards = sh)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = Set(
+      ("mega", 100L, 100L, 1L), ("mega", 99L, 99L, 2L), ("mega", 98L, 98L, 3L),
+      ("tiny", 201L, 9L, 1L), ("tiny", 200L, 7L, 2L)) // tiny keeps all, ranked
+    assert(cap(16) == want)
+    assert(cap(1) == want)  // single sub-shard = the naive fold, same rows
+    assert(cap(64) == want) // more shards than rows, same rows
+    // tie-break: equal scores resolve to the SMALLEST id
+    val tied = Seq(("h", 5L, 1L), ("h", 3L, 1L), ("h", 4L, 1L)).toDF("host", "doc_id", "q")
+    assert(graft.ops.Selection.capPerGroup(tied, "host", 2, "q", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("h", 3L, 1L, 1L), ("h", 4L, 1L, 2L)))
+  }
 }

@@ -317,6 +317,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranked.columns.toSeq == Seq("doc_id", "rank"))
   }
 
+  test("capPerGroup plans two two-phase hash aggregates, never a window or whole-group sort") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("host"), col("n_chars"))
+    val p = plan(graft.ops.Selection.capPerGroup(d, "host", 5, "n_chars"), "simple")
+    // both levels must be partial-then-final hash aggregates (a mega-host
+    // reduces map-side); a Window or a per-group Sort would put the whole
+    // host in one task
+    assert(p.contains("partial_collect_list") || p.contains("functions=[partial"),
+      p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
   test("exact dedup shuffles only hash+length, not the text") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.Dedup.exact(d), "formatted")
