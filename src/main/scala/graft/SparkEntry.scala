@@ -844,6 +844,23 @@ object SparkEntry {
     graft.ops.Dedup.incrementalNew(seen, batch).orderBy(col("doc_id"))
   }
 
+  /** Incremental NEAR-dup crawl dedup: documents is the seen corpus; the
+    * planted batch = suffix-injected near-copies (re-crawls with
+    * boilerplate drift — each ≥ 0.5 Jaccard to its source) + genuinely
+    * fresh docs. [[graft.ops.Dedup.incrementalNearDup]] keeps only the
+    * fresh ones. */
+  private def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nearCopies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup copy")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("entirely fresh synthetic content block "),
+          col("doc_id") + 3000000L, lit(" qq ww ee rr tt")).as("text"))
+    graft.ops.Dedup.incrementalNearDup(docs, nearCopies.union(fresh), 0.5)
+  }
+
   /** Text normalization over a deterministically-messied corpus (the
     * driver texts are already clean, so tabs/controls/newline layout and
     * sentence punctuation are planted identically on both engines):
@@ -1143,6 +1160,7 @@ object SparkEntry {
     "q_sketch_quantiles" -> qSketchQuantiles _,
     "q_heavy_tokens"     -> qHeavyTokens _,
     "q_incremental_new"  -> qIncrementalNew _,
+    "q_incremental_neardup" -> qIncrementalNearDup _,
     "q_warc_roundtrip"   -> qWarcRoundtrip _,
     "x_warc"          -> xWarc _,
     "x_extract_text"  -> xExtractText _,
@@ -1433,22 +1451,19 @@ object SparkEntry {
     s"xor($z3, ($z3) >> 31)"
   }
 
-  /** q_minhash_lsh oracle: the ENTIRE pipeline — word 3-shingles, fnv1a
-    * shingle hashes, 64 splitmix64-seeded minhashes (the Scala min is over
-    * SIGNED Longs: replicated by flipping the sign bit before/after the
-    * unsigned UBIGINT min), 16 band-key folds,
-    * bucket-join candidates, exact shingle-set Jaccard verify — replicated
-    * with exact wrapping integer arithmetic over the same planted-dup
-    * union. ~16 s in DuckDB at sf0.01 (17M mix64 rows) — the one slow
-    * oracle, but every stage is bit-exact. */
-  private def minhashLshOracle: String = {
+  /** The LSH key pipeline (word 3-shingles → fnv1a shingle hashes → 64
+    * splitmix64-seeded minhashes → 16 band-key folds; the Scala min is
+    * over SIGNED Longs, replicated by flipping the sign bit before/after
+    * the unsigned UBIGINT min) as CTE text over a
+    * caller-supplied `base(doc_id, text)` — ONE definition shared by
+    * q_minhash_lsh and q_incremental_neardup (zero drift). Exposes `shl`
+    * (doc_id, shingle-hash set) and `keys` (doc_id, band_key); callers
+    * append their own candidate join + verify tail. */
+  private def lshKeyCtes(baseSql: String): String = {
     val seedJ = "CAST((CAST(j.j AS HUGEINT) * 11694633085474628615) " +
       "% 18446744073709551616 AS UBIGINT)"
-    s"""WITH base AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup copy' AS text
-       |  FROM documents WHERE doc_id % 10 = 0),
+    s"""base AS (
+       |${margined(baseSql)}),
        |words AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
        |  FROM base),
@@ -1483,7 +1498,21 @@ object SparkEntry {
        |    list_reduce(
        |      list_prepend(xor(CAST(14695981039346656037 AS UBIGINT), CAST(band AS UBIGINT)), sigs),
        |      (h, s) -> ${mix64Sql("xor(h, s)")}) AS band_key
-       |  FROM bandrows),
+       |  FROM bandrows)""".stripMargin
+  }
+
+  /** q_minhash_lsh oracle: the ENTIRE pipeline — [[lshKeyCtes]] over the
+    * planted-dup union, bucket-join candidates, exact shingle-set Jaccard
+    * verify — replicated with exact wrapping integer arithmetic. ~16 s in
+    * DuckDB at sf0.01 (17M mix64 rows) — the one slow oracle, but every
+    * stage is bit-exact. */
+  private def minhashLshOracle: String = {
+    val base =
+      """  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup copy' AS text
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+    s"""WITH ${margined(lshKeyCtes(base))},
        |cand AS (
        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
        |  FROM keys a JOIN keys b2 ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
@@ -1502,6 +1531,42 @@ object SparkEntry {
        |  FROM ver)
        |SELECT id_a, id_b, round(j, 4) AS jaccard
        |FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q_incremental_neardup oracle: the same [[lshKeyCtes]] pipeline over
+    * seen ∪ batch (batch ids offset ≥ 2000000), candidates restricted to
+    * batch×seen band collisions, exact shingle-set Jaccard verify; batch
+    * rows with no match ≥ 0.5 survive as new. */
+  private def incrementalNearDupOracle: String = {
+    val base =
+      """  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' near dup copy' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    'entirely fresh synthetic content block ' || (doc_id + 3000000)
+        |      || ' qq ww ee rr tt' AS text
+        |  FROM documents WHERE doc_id % 10 = 5""".stripMargin
+    s"""WITH ${margined(lshKeyCtes(base))},
+       |cand AS (
+       |  SELECT b2.doc_id AS id_b, a.doc_id AS id_s
+       |  FROM keys a JOIN keys b2 ON a.band_key = b2.band_key
+       |  WHERE a.doc_id < 2000000 AND b2.doc_id >= 2000000
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT c.id_b,
+       |    len(list_intersect(sa.shs, sb.shs)) AS inter,
+       |    len(sa.shs) AS na, len(sb.shs) AS nb
+       |  FROM cand c
+       |  JOIN shl sb ON sb.doc_id = c.id_b
+       |  JOIN shl sa ON sa.doc_id = c.id_s),
+       |dup AS (
+       |  SELECT DISTINCT id_b FROM ver
+       |  WHERE CASE WHEN na = 0 AND nb = 0 THEN 1.0
+       |        ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END >= 0.5)
+       |SELECT doc_id, text FROM base
+       |WHERE doc_id >= 2000000 AND doc_id NOT IN (SELECT id_b FROM dup)""".stripMargin
   }
 
   /** UBIGINT → DOUBLE mirroring Spark's TWO-step conversion exactly:
@@ -2329,6 +2394,7 @@ object SparkEntry {
     "q_curation_funnel" -> curationFunnelOracle,
     "q_url_canonical" -> urlCanonicalOracle,
     "q_incremental_new" -> incrementalNewOracle,
+    "q_incremental_neardup" -> incrementalNearDupOracle,
     "q_heavy_tokens" -> heavyTokensOracle,
     "q_sketch_quantiles" -> sketchQuantilesOracle,
     "q_pii_scrub" -> piiScrubOracle,

@@ -755,6 +755,59 @@ object Dedup {
     definitelyNew.unionByName(verifiedNew.select(col(idCol), col(textCol)))
   }
 
+  /** Incremental NEAR-dup crawl dedup — the MinHash analogue of
+    * [[incrementalNew]]: which docs in a NEW batch have no near-duplicate
+    * (k-shingle Jaccard ≥ threshold) in the existing corpus? This is the
+    * cross-crawl dedup step real curation runs per snapshot (each new
+    * Common-Crawl dump deduped against all prior dumps); [[incrementalNew]]
+    * only catches byte-identical text, this catches the boilerplate-
+    * injected / truncated re-crawls too (exact copies have Jaccard 1.0 and
+    * are caught a fortiori). Batch-INTERNAL near-dups are out of scope here
+    * — run [[minhashLsh]] over the batch for those.
+    *
+    * Shape: the [[minhashLsh]] skeleton with the self-join replaced by a
+    * batch×seen band-key join — candidates are (batch, seen) pairs only,
+    * never seen×seen (the quadratic blowup an all-corpus re-cluster would
+    * pay per increment). Band keys carry ONLY (id, key); shingle-hash
+    * arrays rejoin once per side for surviving candidates; text never
+    * enters any shuffle. The seen side's signatures are recomputed here —
+    * at 100 TB you persist (id, band_key) for the corpus once and join new
+    * batches against the stored keys (same plan from the `keyed` frame on).
+    *
+    * Output: the genuinely-new batch rows (idCol, textCol), like
+    * [[incrementalNew]]. */
+  def incrementalNearDup(seen: DataFrame, batch: DataFrame, threshold: Double,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val shUdf = udf((text: String) =>
+      shingleHashes(if (text == null) "" else text, shingleK))
+    val bandUdf = udf((shs: Seq[Long]) =>
+      lshBandKeys(minhashFromHashes(shs.toArray, numHashes), bands))
+    def prep(df: DataFrame) = CheckpointScratch.ckpt(
+      df.select(col(idCol).as("id"), shUdf(col(textCol)).as("shs")))
+    val sBase = prep(seen)
+    val bBase = prep(batch)
+    def keyed(base: DataFrame, as: String) = base
+      .select(col("id").as(as), explode(bandUdf(col("shs"))).as("band_key"))
+    val cands = keyed(bBase, "id_b")
+      .join(keyed(sBase, "id_s"), Seq("band_key"))
+      .select(col("id_b"), col("id_s"))
+      .dropDuplicates("id_b", "id_s")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val dupIds = cands
+      .join(bBase.select(col("id").as("id_b"), col("shs").as("sb")), Seq("id_b"))
+      .join(sBase.select(col("id").as("id_s"), col("shs").as("sa")), Seq("id_s"))
+      .withColumn("j",
+        when(size(col("sa")) === 0 && size(col("sb")) === 0, lit(1.0))
+          .otherwise(inter / (size(col("sa")) + size(col("sb")) - inter)))
+      .filter(col("j") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    batch.select(col(idCol), col(textCol))
+      .join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** LENGTH prefilter over (wa, wb) pair columns (AllPairs size bound):
     * J(A,B) ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) — an integer compare
     * that prunes most pairs BEFORE the per-pair set intersection. The 1e-9

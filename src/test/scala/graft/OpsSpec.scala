@@ -1089,6 +1089,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set(2L, 3L)) // 1 is a dup; null-text 2 and fresh 3 are new
   }
 
+  test("incremental near-dup dedup: near-copies and exact copies dropped, fresh and null-text kept") {
+    import spark.implicits._
+    val seen = (0L until 60L)
+      .map(i => (i, s"seen document number $i carries several shared filler words"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // near-copy of seen 7 (suffix injection — high word-shingle overlap)
+      (1000L, "seen document number 7 carries several shared filler words extra tail"),
+      (1001L, "seen document number 12 carries several shared filler words"), // exact copy
+      (1002L, "completely fresh content about unrelated topics qq ww ee rr"),
+      (1003L, null.asInstanceOf[String]) // null text: no seen empty doc -> new
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.incrementalNearDup(seen, batch, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1002L, 1003L))
+    // empty-text batch doc vs an empty-text SEEN doc: Jaccard 1.0 -> dropped
+    val seenE = seen.union(Seq((99L, "")).toDF("doc_id", "text"))
+    val out2 = graft.ops.Dedup.incrementalNearDup(
+      seenE, Seq((2000L, "")).toDF("doc_id", "text"), threshold = 0.5)
+    assert(out2.count() == 0L)
+    // candidates are batch x seen only — a seen-internal dup pair must not
+    // affect the result (no seen x seen join)
+    val seenDup = seen.union(Seq((98L, "seen document number 7 carries several shared filler words"))
+      .toDF("doc_id", "text"))
+    val out3 = graft.ops.Dedup.incrementalNearDup(seenDup, batch, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out3 == Set(1002L, 1003L))
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)
