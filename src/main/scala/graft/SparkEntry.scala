@@ -232,6 +232,31 @@ object SparkEntry {
     graft.ops.Selection.capPerGroup(docs, "host", 5, "n_chars", "doc_id")
   }
 
+  /** Gopher rule gate (Rae 2021 A1.1) over a corpus with planted
+    * rule-violating variants: bullet-heavy docs (fails the 90%-bullet-lines
+    * rule), ellipsis-heavy docs (fails the 30%-ellipsis-ends rule), and a
+    * symbol-spam doc (fails symbol ratio + word count + stopwords). The
+    * word-count floor is lowered to 20 so the synthetic docs exercise both
+    * branches; every threshold is integer cross-multiplied on both engines. */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val bullets = (1 to 10).map(i => s"- bullet line $i").mkString("\n")
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit("\n" + bullets)))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit("\nto be continued...\nand then...\nmore...")))
+        .when(col("doc_id") % 7 === 2, lit("### #### ##### ## # tiny"))
+        // the synthetic vocabulary carries only ONE Gopher stop word
+        // ("the") — branch 3 plants a natural-prose tail so the
+        // ≥2-stop-words rule has a passing population too
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" and that is to be of interest with more to have")))
+        .otherwise(col("text")).as("text"))
+    graft.ops.TextAnalysis.gopherRules(planted, minWords = 20)
+      .select(col("doc_id"), col("n_words"), col("n_word_chars"), col("n_lines"),
+        col("n_symbols"), col("n_bullet_lines"), col("n_ellipsis_lines"),
+        col("n_alpha_words"), col("n_stopwords"), col("keep"))
+  }
+
   /** Token counting + quality scoring (length / word-length / stopword ratio). */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
@@ -1200,6 +1225,7 @@ object SparkEntry {
     "q_dedup_clusters"   -> qDedupClusters _,
     "q_cluster_reps"     -> qClusterReps _,
     "q_host_cap"         -> qHostCap _,
+    "q_gopher_rules"     -> qGopherRules _,
     "x_dedup_pipeline"   -> xDedupPipeline _,
     "q_scalar_funcs"     -> qScalarFuncs _,
     "q_jaccard_pairs"    -> qJaccardPairs _,
@@ -2734,6 +2760,49 @@ object SparkEntry {
         |      w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
         |    / len(string_split(text, ' ')), 4) AS stopword_ratio
         |FROM documents""".stripMargin,
+
+    "q_gopher_rules" -> {
+      val bullets = (1 to 10).map(i => s"'- bullet line $i'").mkString(" || chr(10) || ")
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || $bullets
+        |         WHEN doc_id % 7 = 1 THEN text || chr(10) || 'to be continued...'
+        |           || chr(10) || 'and then...' || chr(10) || 'more...'
+        |         WHEN doc_id % 7 = 2 THEN '### #### ##### ## # tiny'
+        |         WHEN doc_id % 7 = 3 THEN text
+        |           || ' and that is to be of interest with more to have'
+        |         ELSE text END AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(t, '\\s+'), w -> length(w) > 0) AS ws,
+        |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+        |      l -> length(l) > 0) AS ls
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS n_word_chars,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(string_split(t, '#')) - 1
+        |       + len(string_split(t, '...')) - 1 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(ws, s))) AS BIGINT) AS n_stopwords
+        |  FROM sig)
+        |SELECT doc_id, n_words, n_word_chars, n_lines, n_symbols,
+        |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stopwords,
+        |  (n_words BETWEEN 20 AND 100000
+        |   AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+        |   AND 10 * n_symbols <= n_words
+        |   AND 10 * n_bullet_lines <= 9 * n_lines
+        |   AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |   AND 5 * n_alpha_words >= 4 * n_words
+        |   AND n_stopwords >= 2) AS keep
+        |FROM c""".stripMargin
+    },
 
     "q_host_cap" ->
       """WITH d AS (

@@ -52,6 +52,65 @@ object TextAnalysis {
         (when(alphaRatio > 0.5, 0.25).otherwise(0.0)), 2))
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1) — THE published repetition-free quality gate most
+    * crawl pipelines start from:
+    *
+    *   - word count in [minWords, maxWords] (paper: 50..100,000);
+    *   - mean word length in [3, 10] characters;
+    *   - symbol-to-word ratio ('#' or '...') ≤ 0.1;
+    *   - ≤ 90% of lines start with a bullet ('-', '*', '•');
+    *   - ≤ 30% of lines end with an ellipsis;
+    *   - ≥ 80% of words contain at least one alphabetic character;
+    *   - at least 2 of the 8 Gopher stop words present
+    *     (the, be, to, of, and, that, have, with).
+    *
+    * Reproducibility: every threshold is evaluated in CROSS-MULTIPLIED
+    * BIGINT form (e.g. ratio ≤ 0.1 as 10·symbols ≤ words; mean length in
+    * [3,10] as 3·words ≤ chars ∧ chars ≤ 10·words), so the gate is pure
+    * integer arithmetic — no float ratio can diverge between engines.
+    * Purely narrow (codegen HOFs over the token/line arrays); zero
+    * shuffle at any corpus size.
+    *
+    * Output: docs + the BIGINT signals (n_words, n_word_chars, n_lines,
+    * n_symbols, n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+    * n_stopwords) + the boolean `keep`. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val ws = filter(split(txt, "\\s+"), w => length(w) > 0)
+    val lines = filter(transform(split(txt, "\n", -1), l => trim(l)),
+      l => length(l) > 0)
+    val gopherStops = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val nW = col("n_words"); val nC = col("n_word_chars"); val nL = col("n_lines")
+    docs
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("n_word_chars",
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long")))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_symbols",
+        (size(split(txt, "#", -1)) - 1 + size(split(txt, "\\.\\.\\.", -1)) - 1)
+          .cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(lines, l => l.rlike("^[-*•]"))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(gopherStops, s => array_contains(ws, s))).cast("long"))
+      .withColumn("keep",
+        nW.between(minWords, maxWords) &&
+          lit(3L) * nW <= nC && nC <= lit(10L) * nW &&
+          lit(10L) * col("n_symbols") <= nW &&
+          lit(10L) * col("n_bullet_lines") <= lit(9L) * nL &&
+          lit(10L) * col("n_ellipsis_lines") <= lit(3L) * nL &&
+          lit(5L) * col("n_alpha_words") >= lit(4L) * nW &&
+          col("n_stopwords") >= 2L)
+  }
+
   /** N-gram-profile language ID: score = stopword-set overlap per language,
     * argmax with deterministic tie-break on language code. Pure Catalyst,
     * LAMBDA-FREE: per-language hit counts are codegen'd `array_intersect`

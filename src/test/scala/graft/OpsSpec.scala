@@ -1118,6 +1118,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out3 == Set(1002L, 1003L))
   }
 
+  test("gopher rules: each rule fires on its planted violation, clean prose passes") {
+    import spark.implicits._
+    val pass = "the quick brown fox likes to jump over logs and that " +
+      "is what we have come to expect of foxes with energy every day"  // 24 words, 5 stops
+    val docs = Seq(
+      (1L, pass),
+      (2L, "short doc"),                                     // word count < 20
+      (3L, ("x " * 25).trim),                                // mean word len 1 < 3
+      (4L, pass + " " + ("# " * 3).trim),                    // 3 symbols, 27 words: 30 > 27
+      (5L, pass + "\n" + (1 to 30).map(i => s"- b$i").mkString("\n")), // 30/31 bullet lines
+      (6L, pass + "\nwait...\nmore...\nnext..."),            // 3/4 ellipsis ends
+      (7L, pass + " " + ("12345 " * 7).trim),                // alpha 24/31 < 0.8
+      (8L, "fast column table row filter key agg " * 4)      // 28 words, 0 gopher stops
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.gopherRules(docs, minWords = 20)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false, 8L -> false), out.toSeq.sorted)
+    // signal sanity on the passing doc
+    val sig = graft.ops.TextAnalysis.gopherRules(docs.filter($"doc_id" === 1L), minWords = 20)
+      .select($"n_words", $"n_stopwords", $"n_alpha_words", $"n_lines")
+      .as[(Long, Long, Long, Long)].head()
+    assert(sig._1 == 24L && sig._2 >= 2L && sig._3 == 24L && sig._4 == 1L, sig)
+  }
+
   test("wer/cer/similarity scalar functions") {
     import graft.core.TextMetrics
     assert(TextMetrics.wer("a b c d", "a b c d") == 0.0)

@@ -283,6 +283,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).toSet == Set("alpha text", "beta text", "gamma text"))
   }
 
+  test("incremental NEAR-dup dedup streams via foreachBatch against an accumulating history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same deployment shape as the exact-dedup stream above, with
+    // Dedup.incrementalNearDup as the vs-history check: re-crawls with
+    // boilerplate drift are dropped, genuinely new pages accumulate
+    val root = java.nio.file.Files.createTempDirectory("graft_incnd_stream").toString
+    val seenDir = s"$root/seen"
+    Seq((100L, "shared corpus page about alpha topics with filler words"))
+      .toDF("doc_id", "text").write.parquet(seenDir)
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val seen = spark.read.parquet(seenDir)
+        val fresh = graft.ops.Dedup
+          .incrementalNearDup(seen, batch, threshold = 0.5)
+          .localCheckpoint(true) // materialize BEFORE appending to the dir we read
+        fresh.write.mode("append").parquet(seenDir)
+        ()
+      }
+      .start()
+    stream.addData(
+      (1L, "shared corpus page about alpha topics with filler words extra"), // near-dup of 100
+      (2L, "completely different beta content qq ww ee rr tt yy uu"))        // new
+    q.processAllAvailable()
+    stream.addData(
+      (3L, "completely different beta content qq ww ee rr tt yy uu tail"),   // near-dup of 2
+      (4L, "third page gamma unrelated body aa bb cc dd ee ff gg"))          // new
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(seenDir).as[(Long, String)]
+      .collect().map(_._1).sorted.toSeq
+    assert(got == Seq(2L, 4L, 100L), got.mkString(", "))
+  }
+
   test("bottom-k SAMPLE sketch merges streaming state across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, lit, col}
