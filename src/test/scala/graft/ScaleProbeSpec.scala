@@ -223,4 +223,31 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Dedup.dedupClusters(docs, shallow, maxIter = 40).count())
     println(s"SCALE dedupClusters 10-node-chain rounds: ${graft.ops.Dedup.lastClusterRounds.get()}")
   }
+
+  ignore("round-7 endgame ops at scale: mega-host cap, cross-corpus near-dup, gopher gate (opt-in probe)") {
+    val docs = corpus(2000000L).localCheckpoint(true)
+    // 50% of all rows land on ONE host — the skew capPerGroup's two-level
+    // fold exists for; the rest spread over 100k hosts
+    val hosted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2L)) === 0L, lit("mega.example.com"))
+        .otherwise(concat(lit("h"), pmod(col("doc_id"), lit(100000L)))).as("host"),
+      length(col("text")).cast("long").as("q"))
+    timed("capPerGroup 2M, 50% mega-host, k=5")(
+      graft.ops.Selection.capPerGroup(hosted, "host", 5, "q", "doc_id").count())
+    timed("gopherRules 2M")(
+      graft.ops.TextAnalysis.gopherRules(docs, minWords = 20)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).head().getLong(0))
+    // cross-corpus near-dup: 105k-batch (5k drifted re-crawls OF SEEN
+    // docs + 100k fresh) against a 1.9M seen corpus — expect exactly the
+    // 100k fresh to survive
+    val seen = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0L)
+    val drift = docs.filter(pmod(col("doc_id"), lit(400L)) === 1L) // in seen
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" drift tail")).as("text"))
+    val fresh = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L) // NOT in seen
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(lit("fresh "), col("text"), lit(" "), col("doc_id")).as("text"))
+    timed("incrementalNearDup 105k batch (5k drift) vs 1.9M seen")(
+      graft.ops.Dedup.incrementalNearDup(seen, drift.union(fresh), 0.5).count())
+  }
 }
