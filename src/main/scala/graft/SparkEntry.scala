@@ -232,6 +232,26 @@ object SparkEntry {
     graft.ops.Selection.capPerGroup(docs, "host", 5, "n_chars", "doc_id")
   }
 
+  /** Host link-graph extraction: deterministic planted HTML (two absolute
+    * anchors per page — one entity-carrying double-quoted href, one
+    * single-quoted — plus a relative href that must NOT edge) parsed by
+    * the REAL streaming tokenizer's attribute channel; the oracle is the
+    * plant's ground truth, so a dropped/mis-sliced href breaks the hash.
+    * Composes with q_host_pagerank's operator downstream. */
+  private def qLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val pages = t(s, dir, "documents").select(
+      concat(lit("http://src-"), col("doc_id") % 13,
+        lit(".example.com/page/"), col("doc_id")).as("url"),
+      concat(
+        lit("<html><body><p>intro text</p><a href=\"http://host-"),
+        col("doc_id") % 7,
+        lit(".example.com/p?a=1&amp;b=2\">x</a><div><a href='https://cdn-"),
+        col("doc_id") % 5,
+        lit(".example.org/q'>y</a></div><a href=/relative/skip>z</a></body></html>"))
+        .cast("binary").as("html"))
+    graft.ops.Graph.hostLinkEdges(pages)
+  }
+
   /** Gopher rule gate (Rae 2021 A1.1) over a corpus with planted
     * rule-violating variants: bullet-heavy docs (fails the 90%-bullet-lines
     * rule), ellipsis-heavy docs (fails the 30%-ellipsis-ends rule), and a
@@ -1226,6 +1246,7 @@ object SparkEntry {
     "q_cluster_reps"     -> qClusterReps _,
     "q_host_cap"         -> qHostCap _,
     "q_gopher_rules"     -> qGopherRules _,
+    "q_link_graph"       -> qLinkGraph _,
     "x_dedup_pipeline"   -> xDedupPipeline _,
     "q_scalar_funcs"     -> qScalarFuncs _,
     "q_jaccard_pairs"    -> qJaccardPairs _,
@@ -2760,6 +2781,17 @@ object SparkEntry {
         |      w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
         |    / len(string_split(text, ' ')), 4) AS stopword_ratio
         |FROM documents""".stripMargin,
+
+    "q_link_graph" ->
+      """WITH p AS (
+        |  SELECT 'src-' || (doc_id % 13) || '.example.com' AS src_host,
+        |    doc_id % 7 AS h7, doc_id % 5 AS h5
+        |  FROM documents),
+        |e AS (
+        |  SELECT src_host, 'host-' || h7 || '.example.com' AS dst_host FROM p
+        |  UNION ALL
+        |  SELECT src_host, 'cdn-' || h5 || '.example.org' AS dst_host FROM p)
+        |SELECT DISTINCT src_host, dst_host FROM e""".stripMargin,
 
     "q_gopher_rules" -> {
       val bullets = (1 to 10).map(i => s"'- bullet line $i'").mkString(" || chr(10) || ")

@@ -24,6 +24,12 @@ object HtmlTokenizer {
     def textChunk(s: String, start: Int, end: Int): Unit
     /** Decoded entity replacement (1-2 chars). */
     def textStr(s: String): Unit
+    /** Opt-in attribute materialization: when true, [[attr]] fires with
+      * each (tag, lower-cased name, entity-decoded value) BEFORE that
+      * tag's startTag. False (default) keeps the zero-allocation
+      * attribute scan — the text-extraction hot path is unchanged. */
+    def wantsAttrs: Boolean = false
+    def attr(tag: String, name: String, value: String): Unit = ()
   }
 
   private val rawTextTags = Set("script", "style", "noscript", "textarea")
@@ -231,21 +237,30 @@ object HtmlTokenizer {
           else j += 1
         case _ =>
           // attr name
+          val a0 = j
           while (j < n && s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/' && !isSpace(s.charAt(j))) j += 1
+          val a1 = j
           var k = j
           while (k < n && isSpace(s.charAt(k))) k += 1
           if (k < n && s.charAt(k) == '=') {
             k += 1
             while (k < n && isSpace(s.charAt(k))) k += 1
+            var v0 = k; var v1 = k
             if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
-              val q = s.charAt(k); k += 1
+              val q = s.charAt(k); k += 1; v0 = k
               while (k < n && s.charAt(k) != q) k += 1
+              v1 = k
               if (k < n) k += 1
             } else {
+              v0 = k
               while (k < n && s.charAt(k) != '>' && !isSpace(s.charAt(k))) k += 1
+              v1 = k
             }
+            if (sink.wantsAttrs && a1 > a0)
+              sink.attr(name, lowerName(s, a0, a1), decodeValue(s, v0, v1))
             j = k
-          }
+          } else if (sink.wantsAttrs && a1 > a0)
+            sink.attr(name, lowerName(s, a0, a1), "") // valueless attribute
       }
     }
     sink.startTag(name, selfClosing)
@@ -285,6 +300,25 @@ object HtmlTokenizer {
     "agrave" -> "à", "eacute" -> "é", "egrave" -> "è",
     "uuml" -> "ü", "ouml" -> "ö", "auml" -> "ä", "szlig" -> "ß",
     "ccedil" -> "ç", "ntilde" -> "ñ")
+
+  /** Entity-decode an attribute value span [from, to). Allocation-free
+    * when the span carries no '&'; an entity that would consume past `to`
+    * (value truncated mid-entity) stays literal. */
+  private def decodeValue(s: String, from: Int, to: Int): String = {
+    val amp = s.indexOf('&', from)
+    if (amp < 0 || amp >= to) return s.substring(from, to)
+    val sb = new java.lang.StringBuilder(to - from)
+    var p = from
+    while (p < to) {
+      val c = s.charAt(p)
+      if (c == '&') {
+        val (rep, used) = decodeEntity(s, p)
+        if (p + used <= to) { sb.append(rep); p += used }
+        else { sb.append(c); p += 1 }
+      } else { sb.append(c); p += 1 }
+    }
+    sb.toString
+  }
 
   /** Decode one entity at s(i)=='&'; returns (replacement, chars consumed). */
   def decodeEntity(s: String, i: Int): (String, Int) = {

@@ -37,6 +37,47 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Host-level link edges extracted from raw HTML — the edge list a
+    * crawl pipeline's [[pageRank]] actually consumes. Hrefs come from the
+    * streaming tokenizer's attribute channel (full quote/entity handling,
+    * NOT a regex over markup); only absolute http(s) targets produce
+    * edges — relative links are same-host navigation, not host-graph
+    * signal. Purely narrow flatMap over pages (hostile HTML yields fewer
+    * hrefs, never a throw); host canonicalization and the per-pair
+    * distinct are relational. Output: (src_host, dst_host) distinct. */
+  def hostLinkEdges(pages: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val hrefs = pages
+      .select(col(urlCol).cast("string"), col(htmlCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (u, html) =>
+        if (u == null || html == null) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val sink = new graft.core.HtmlTokenizer.Sink {
+            override def wantsAttrs: Boolean = true
+            override def attr(tag: String, name: String, value: String): Unit =
+              if (tag == "a" && name == "href" && value.nonEmpty) out += value
+            def startTag(n: String, sc: Boolean): Unit = ()
+            def endTag(n: String): Unit = ()
+            def textChunk(s: String, a: Int, b: Int): Unit = ()
+            def textStr(s: String): Unit = ()
+          }
+          try graft.core.HtmlTokenizer.tokenize(html, sink)
+          catch { case _: Exception => } // hostile markup: keep what parsed
+          out.iterator.map(h => (u, h))
+        }
+      }.toDF("u", "href")
+    hrefs.filter(col("href").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"))
+      .select(UrlOps.host(col("u")).as("src_host"),
+        UrlOps.host(col("href")).as("dst_host"))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
+        col("src_host") =!= lit("") && col("dst_host") =!= lit(""))
+      .distinct()
+  }
+
   /** Two-level ordered fold tree: (groupCols…) → exact double sum of
     * `valC` folded by `keyC` within `pmod(keyC, buckets)` sub-folds.
     * Returns the level-1 frame (groupCols, __bk, __s). */

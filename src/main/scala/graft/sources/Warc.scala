@@ -193,8 +193,16 @@ object Warc {
   private def recordId(uri: String, date: String): String =
     f"<urn:uuid:${graft.ops.Dedup.fnv1a(uri + " " + date)}%016x-0000-0000-0000-000000000000>"
 
+  /** Header names the writer emits itself — dropped from `r.headers` so a
+    * SCANNED record (whose map contains every parsed header) re-serializes
+    * without duplicates. */
+  private val ReservedHeaders = Set("warc-type", "warc-target-uri",
+    "warc-date", "warc-record-id", "content-length")
+
   /** Serialize one record per the spec: version line, headers, blank
-    * line, payload, record separator. */
+    * line, payload, record separator. Round-trip safe: reserved headers
+    * already present in `r.headers` (a record from [[scanRecords]]) are
+    * not written twice. */
   def recordBytes(r: Record): Array[Byte] = {
     val sb = new StringBuilder(256)
     sb.append("WARC/1.0\r\n")
@@ -202,7 +210,8 @@ object Warc {
     if (r.targetUri != null) sb.append("WARC-Target-URI: ").append(r.targetUri).append("\r\n")
     if (r.date != null) sb.append("WARC-Date: ").append(r.date).append("\r\n")
     sb.append("WARC-Record-ID: ").append(recordId(r.targetUri + "", r.date + "")).append("\r\n")
-    r.headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    r.headers.filterNot(kv => ReservedHeaders(kv._1.toLowerCase))
+      .foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
     sb.append("Content-Length: ").append(r.payload.length).append("\r\n\r\n")
     val head = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
     val out = new Array[Byte](head.length + r.payload.length + 4)

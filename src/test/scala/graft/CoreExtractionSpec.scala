@@ -53,6 +53,40 @@ class CoreExtractionSpec extends AnyFunSuite {
     assert(r.blocks.map(_.text) == Vector("AT&T <3 AB ok —end"))
   }
 
+  test("tokenizer attr channel: quoting styles, entities, valueless, opt-in only") {
+    import graft.core.HtmlTokenizer
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val sink = new HtmlTokenizer.Sink {
+      override def wantsAttrs: Boolean = true
+      override def attr(tag: String, name: String, value: String): Unit =
+        got += ((tag, name, value))
+      def startTag(n: String, sc: Boolean): Unit = ()
+      def endTag(n: String): Unit = ()
+      def textChunk(s: String, a: Int, b: Int): Unit = ()
+      def textStr(s: String): Unit = ()
+    }
+    HtmlTokenizer.tokenize(
+      """<a HREF="http://x.com/?a=1&amp;b=2">t</a><a href='s.html'>u</a>
+        |<a href=bare/path data-k>v</a><img src="i.png" alt=""/><a>empty</a>""".stripMargin, sink)
+    assert(got.toList == List(
+      ("a", "href", "http://x.com/?a=1&b=2"), // double-quoted, entity decoded
+      ("a", "href", "s.html"),                // single-quoted
+      ("a", "href", "bare/path"),             // unquoted
+      ("a", "data-k", ""),                    // valueless
+      ("img", "src", "i.png"),                // self-closing tag, other tag name
+      ("img", "alt", "")))                    // empty quoted value
+    // default sinks opt out: same input, attr never fires
+    var fired = false
+    HtmlTokenizer.tokenize("<a href=\"x\">t</a>", new HtmlTokenizer.Sink {
+      override def attr(tag: String, name: String, value: String): Unit = fired = true
+      def startTag(n: String, sc: Boolean): Unit = ()
+      def endTag(n: String): Unit = ()
+      def textChunk(s: String, a: Int, b: Int): Unit = ()
+      def textStr(s: String): Unit = ()
+    })
+    assert(!fired)
+  }
+
   test("boilerplate classification: nav/header/footer/aside/link-density") {
     val html =
       """<body><header><p>Chrome top</p></header>
