@@ -252,6 +252,24 @@ object SparkEntry {
     graft.ops.Graph.hostLinkEdges(pages)
   }
 
+  /** Extraction → graph composition: PageRank over the TOKENIZER-extracted
+    * host link graph (q_link_graph's pages). Planted host names map to
+    * deterministic integer node ids (src-N → N, host-N → 100+N,
+    * cdn-N → 200+N) so the bit-exact integer-keyed PageRank contract
+    * applies end-to-end. */
+  private def qLinkPagerank(s: SparkSession, dir: String): DataFrame = {
+    def hid(c: org.apache.spark.sql.Column) =
+      when(c.startsWith("src-"),
+          regexp_extract(c, "^src-(\\d+)", 1).cast("long"))
+        .when(c.startsWith("host-"),
+          regexp_extract(c, "^host-(\\d+)", 1).cast("long") + 100L)
+        .otherwise(regexp_extract(c, "^cdn-(\\d+)", 1).cast("long") + 200L)
+    val edges = qLinkGraph(s, dir)
+      .select(hid(col("src_host")).as("src"), hid(col("dst_host")).as("dst"))
+    graft.ops.Graph.pageRank(edges, iters = 4)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+  }
+
   /** Gopher rule gate (Rae 2021 A1.1) over a corpus with planted
     * rule-violating variants: bullet-heavy docs (fails the 90%-bullet-lines
     * rule), ellipsis-heavy docs (fails the 30%-ellipsis-ends rule), and a
@@ -1247,6 +1265,7 @@ object SparkEntry {
     "q_host_cap"         -> qHostCap _,
     "q_gopher_rules"     -> qGopherRules _,
     "q_link_graph"       -> qLinkGraph _,
+    "q_link_pagerank"    -> qLinkPagerank _,
     "x_dedup_pipeline"   -> xDedupPipeline _,
     "q_scalar_funcs"     -> qScalarFuncs _,
     "q_jaccard_pairs"    -> qJaccardPairs _,
@@ -2278,7 +2297,10 @@ object SparkEntry {
     * bucket partials in bucket order), dangling mass via the same tree
     * over node id, update (1−d)/n + d·(insum + dm/n). Iterations unroll
     * as CTEs; doubles match the engine bit-for-bit at every step. */
-  private def pageRankOracle: String = {
+  /** The 4-iteration PageRank oracle (two-level ordered folds, unrolled
+    * expression tree) parameterized over the edge CTE body — ONE
+    * definition shared by q_host_pagerank and q_link_pagerank. */
+  private def pageRankCtes(edgeSql: String): String = {
     val iters = 4
     val D = "CAST(0.85 AS DOUBLE)"
     val Z = "CAST(0 AS DOUBLE)"
@@ -2300,8 +2322,7 @@ object SparkEntry {
          |      + $D * (COALESCE(ii.insum, $Z) + dd.dm / CAST(cnt.n AS DOUBLE)) AS pr
          |  FROM nodes n LEFT JOIN i$i ii ON ii.dst = n.node, d$i dd, cnt)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
-       |  FROM documents),
+    s"""WITH e AS (${margined(edgeSql)}),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
        |cnt AS (SELECT count(*) AS n FROM nodes),
@@ -2309,6 +2330,18 @@ object SparkEntry {
        |$iterCtes
        |SELECT node, round(pr, 6) AS pr FROM pr$iters""".stripMargin
   }
+
+  private def pageRankOracle: String = pageRankCtes(
+    """SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+      |FROM documents""".stripMargin)
+
+  /** q_link_pagerank oracle: the SAME unrolled PageRank tree over the
+    * link-graph plant's ground-truth edges (host names mapped to the
+    * deterministic ids the engine query derives). */
+  private def linkPagerankOracle: String = pageRankCtes(
+    """SELECT DISTINCT doc_id % 13 AS src, 100 + doc_id % 7 AS dst FROM documents
+      |UNION
+      |SELECT DISTINCT doc_id % 13 AS src, 200 + doc_id % 5 AS dst FROM documents""".stripMargin)
 
   /** Funnel planted corpus (base + union planting): concat-only, CHEAP
     * to recompute — split out so the pyfold contract can materialize the
@@ -2461,6 +2494,7 @@ object SparkEntry {
     "q_dsir_score" -> dsirOracle,
     "q_token_budget" -> tokenBudgetOracle,
     "q_host_pagerank" -> pageRankOracle,
+    "q_link_pagerank" -> linkPagerankOracle,
     "q_url_blocklist" -> urlBlocklistOracle,
     "q_epoch_order" ->
       s"""WITH h AS (SELECT doc_id, ${saltedHashSql("epoch1")} AS hu FROM documents)
