@@ -614,6 +614,41 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Deterministic k-means over the embeddings table (the SemDeDup
+    * clustering stage): 8 cells, 2 Lloyd steps, bit-exact two-level
+    * centroid folds. */
+  private def qKmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Similarity.kmeansAssign(e, k = 8, iters = 2, dim = 64)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Semantic dedup (SemDeDup): cluster base ∪ planted perturbed copies
+    * (the q_cosine_neardup plant — every vec_id % 10 == 0 gets a
+    * +1000000-id near-identical echo), then drop within-cluster members
+    * whose rounded cosine to an earlier-ranked member reaches 0.95. The
+    * planted echoes land in their source's cluster and are removed. */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + lit(0.02) * sin(i.cast("double"))).cast("float")).as("embedding"))
+    graft.ops.Similarity.semDedup(
+      e.select(col("vec_id"), col("embedding")).unionByName(planted),
+      eps = 0.95, k = 8, iters = 2, dim = 64)
+      .orderBy(col("vec_id"))
+  }
+
+  /** fastText-shape linear quality-classifier inference: deterministic
+    * hash-derived stand-in weights over the corpus vocabulary, exact
+    * position-ordered score folds, sign label on the rounded score. */
+  private def qClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.ops.Classifier.linearScore(d, graft.ops.Classifier.hashModel(d), bias = 0.01)
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force cosine top-k ANN (oracle-able: deterministic rank on
     * rounded cosine + neighbor id). */
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1243,6 +1278,9 @@ object SparkEntry {
     "q_minhash_sig"   -> ((s, dir) => graft.ops.Dedup.minhashSignaturesSql(t(s, dir, "documents"))),
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_cosine_neardup" -> qCosineNearDup _,
+    "q_kmeans_cells"  -> qKmeansCells _,
+    "q_semdedup"      -> qSemDedup _,
+    "q_classifier_score" -> qClassifierScore _,
     "q_ann_topk"      -> qAnnTopK _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_ivf"       -> qAnnIvf _,
@@ -1422,6 +1460,94 @@ object SparkEntry {
       |      FROM s)
       |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Unrolled deterministic k-means CTE chain over `src`(vec_id,
+    * embedding): seeds = first `k` ids, `iters` Lloyd steps, centroid
+    * sums as the TWO-LEVEL ordered fold (vec_id % 16 sub-folds in vec_id
+    * order, bucket partials in bucket order), assignment ties to the
+    * lower cell — mirroring Similarity.kmeansCentroids IEEE-exactly
+    * (list_reduce left folds = the engine's ordered aggregate folds; the
+    * per-row cosine loop decomposes into three independent sequential
+    * folds). Ends at `fin`(vec_id, cell, cos-unrounded). ONE definition
+    * shared by q_kmeans_cells and q_semdedup. */
+  private def kmeansCtes(src: String, k: Int, iters: Int): String = {
+    def fold(v: String, key: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list($v ORDER BY $key)), (a, b) -> a + b)"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""cw$i AS (SELECT cell, ${fold("w * w", "d")} AS ww FROM $prev GROUP BY cell),
+         |dt$i AS (SELECT em.vec_id, ct.cell, ${fold("em.x * ct.w", "em.d")} AS dot
+         |  FROM em JOIN $prev ct ON ct.d = em.d GROUP BY em.vec_id, ct.cell),
+         |as$i AS (SELECT vec_id, cell FROM (
+         |    SELECT dt.vec_id, dt.cell, row_number() OVER (PARTITION BY dt.vec_id
+         |        ORDER BY dt.dot / (sqrt(ev.vv) * sqrt(cw.ww)) DESC, dt.cell) AS rn
+         |    FROM dt$i dt JOIN evv ev ON ev.vec_id = dt.vec_id
+         |    JOIN cw$i cw ON cw.cell = dt.cell) WHERE rn = 1),
+         |l$i AS (SELECT a.cell, em.d, em.vec_id % 16 AS bk, ${fold("em.x", "em.vec_id")} AS s
+         |  FROM as$i a JOIN em ON em.vec_id = a.vec_id GROUP BY a.cell, em.d, bk),
+         |t$i AS (SELECT cell, d, ${fold("s", "bk")} AS s FROM l$i GROUP BY cell, d),
+         |n$i AS (SELECT cell, count(*) AS n FROM as$i GROUP BY cell),
+         |cent$i AS (SELECT c.cell, c.d,
+         |    CASE WHEN n.n IS NULL THEN c.w ELSE t.s / CAST(n.n AS DOUBLE) END AS w
+         |  FROM $prev c LEFT JOIN t$i t ON t.cell = c.cell AND t.d = c.d
+         |  LEFT JOIN n$i n ON n.cell = c.cell)""".stripMargin
+    }.mkString(",\n")
+    val last = s"cent$iters"
+    s"""em AS (SELECT vec_id, i.i AS d, CAST(embedding[i.i] AS DOUBLE) AS x
+       |  FROM $src, generate_series(1, 64) i(i)),
+       |evv AS (SELECT vec_id, ${fold("x * x", "d")} AS vv FROM em GROUP BY vec_id),
+       |cent0 AS (SELECT c.cell, em.d, em.x AS w
+       |  FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+       |        FROM $src ORDER BY vec_id LIMIT $k) c
+       |  JOIN em ON em.vec_id = c.vec_id),
+       |$iterCtes,
+       |fcw AS (SELECT cell, ${fold("w * w", "d")} AS ww FROM $last GROUP BY cell),
+       |fdt AS (SELECT em.vec_id, ct.cell, ${fold("em.x * ct.w", "em.d")} AS dot
+       |  FROM em JOIN $last ct ON ct.d = em.d GROUP BY em.vec_id, ct.cell),
+       |fin AS (SELECT vec_id, cell, cos FROM (
+       |    SELECT dt.vec_id, dt.cell, dt.dot / (sqrt(ev.vv) * sqrt(cw.ww)) AS cos,
+       |      row_number() OVER (PARTITION BY dt.vec_id ORDER BY
+       |        dt.dot / (sqrt(ev.vv) * sqrt(cw.ww)) DESC, dt.cell) AS rn
+       |    FROM fdt dt JOIN evv ev ON ev.vec_id = dt.vec_id
+       |    JOIN fcw cw ON cw.cell = dt.cell) WHERE rn = 1)""".stripMargin
+  }
+
+  private def kmeansCellsOracle: String =
+    s"""WITH ${kmeansCtes("embeddings", 8, 2)}
+       |SELECT vec_id, cell, round(cos, 4) AS cos FROM fin ORDER BY vec_id""".stripMargin
+
+  /** q_semdedup oracle: the same k-means chain over base ∪ planted
+    * echoes, then within-cell (rank_a < rank_b) pairs at rounded cosine
+    * ≥ 0.95 mark the later-ranked member removed. */
+  private def semDedupOracle: String = {
+    def fold(v: String, key: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list($v ORDER BY $key)), (a, b) -> a + b)"
+    s"""WITH planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list(CAST(CAST(embedding[i] AS DOUBLE)
+       |         + 0.02 * sin(CAST(i - 1 AS DOUBLE)) AS FLOAT) ORDER BY i) AS embedding
+       |  FROM embeddings, generate_series(1, 64) t(i)
+       |  WHERE vec_id % 10 = 0
+       |  GROUP BY vec_id),
+       |inp AS (SELECT vec_id, embedding FROM embeddings
+       |        UNION ALL SELECT vec_id, embedding FROM planted),
+       |${kmeansCtes("inp", 8, 2)},
+       |rnk AS (SELECT vec_id, cell, cos,
+       |    row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM fin),
+       |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM rnk a JOIN rnk b ON a.cell = b.cell AND a.rnk < b.rnk),
+       |pd AS (SELECT p.id_a, p.id_b, ${fold("ea.x * eb.x", "ea.d")} AS dot
+       |  FROM pr p JOIN em ea ON ea.vec_id = p.id_a
+       |  JOIN em eb ON eb.vec_id = p.id_b AND eb.d = ea.d
+       |  GROUP BY p.id_a, p.id_b),
+       |rm AS (SELECT DISTINCT pd.id_b AS vec_id
+       |  FROM pd JOIN evv va ON va.vec_id = pd.id_a
+       |  JOIN evv vb ON vb.vec_id = pd.id_b
+       |  WHERE round(pd.dot / (sqrt(va.vv) * sqrt(vb.vv)), 4) >= 0.95)
+       |SELECT r.vec_id, r.cell, (rm.vec_id IS NULL) AS kept
+       |FROM rnk r LEFT JOIN rm ON rm.vec_id = r.vec_id ORDER BY r.vec_id""".stripMargin
+  }
 
   /** fnv1a(word) as a DuckDB expression: wrapping 64-bit arithmetic via
     * UBIGINT xor + HUGEINT multiply mod 2^64. list_reduce has no initial-
@@ -1649,6 +1775,48 @@ object SparkEntry {
     * over the same ASCII string). */
   private def saltedHashSql(salt: String): String =
     mix64Sql(s"list_transform(['$salt:' || CAST(doc_id AS VARCHAR)], w -> $fnvWordSql)[1]")
+
+  /** UBIGINT → the same SIGNED 64-bit value Spark's long carries (the
+    * q_fingerprint two's-complement reinterpretation, as a helper). */
+  private def signedSql(u: String): String =
+    s"CAST(CASE WHEN ($u) >= 9223372036854775808 " +
+      s"THEN CAST(($u) AS HUGEINT) - 18446744073709551616 " +
+      s"ELSE CAST(($u) AS HUGEINT) END AS BIGINT)"
+
+  /** q_classifier_score oracle: identical hash-derived model (signed
+    * mix64∘fnv1a, pmod gate + pmod weight, one division), identical
+    * position-ordered mean fold and rounded-sign label. */
+  private def classifierOracle: String = {
+    val sg = signedSql(mix64Sql(s"list_transform([tok], w -> $fnvWordSql)[1]"))
+    s"""WITH words AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+       |      x -> length(x) > 0) AS ws FROM documents),
+       |st AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'pos': i, 'tok': ws[i]})) AS t FROM words),
+       |s2 AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM st),
+       |vocab AS (SELECT DISTINCT tok FROM s2),
+       |hv AS (SELECT tok, $sg AS sg FROM vocab),
+       |model AS (SELECT tok,
+       |    CAST(((sg % 2001) + 2001) % 2001 - 1000 AS DOUBLE)
+       |      / CAST(1024 AS DOUBLE) AS w
+       |  FROM hv WHERE ((sg % 5) + 5) % 5 < 3),
+       |sc AS (SELECT s2.doc_id, s2.pos, COALESCE(m.w, CAST(0 AS DOUBLE)) AS w,
+       |    m.tok IS NOT NULL AS hit
+       |  FROM s2 LEFT JOIN model m ON m.tok = s2.tok),
+       |agg AS (SELECT doc_id, count(*) AS n,
+       |    sum(CASE WHEN hit THEN 1 ELSE 0 END) AS h,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY pos)),
+       |      (a, b) -> a + b) AS wsum
+       |  FROM sc GROUP BY 1),
+       |out AS (SELECT d.doc_id,
+       |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(a.h, 0) AS BIGINT) AS n_hits,
+       |    round(CAST(0.01 AS DOUBLE) + COALESCE(a.wsum, CAST(0 AS DOUBLE))
+       |      / CAST(greatest(COALESCE(a.n, 0), 1) AS DOUBLE), 4) AS score
+       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id))
+       |SELECT doc_id, n_tokens, n_hits, score, (score >= 0) AS positive
+       |FROM out ORDER BY doc_id""".stripMargin
+  }
 
   /** q_pii_scrub oracle: identical planted-PII construction, identical
     * RE2-safe patterns, global regexp_replace. */
@@ -2528,6 +2696,9 @@ object SparkEntry {
     "q_dup_spans" -> dupSpansOracle,
     "q_normalize" -> normalizeOracle,
     "q_cosine_neardup" -> cosineNearDupOracle,
+    "q_kmeans_cells" -> kmeansCellsOracle,
+    "q_semdedup" -> semDedupOracle,
+    "q_classifier_score" -> classifierOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_fingerprint" -> fingerprintOracle,
     "q_simhash_pairs" -> simhashOracle,

@@ -87,8 +87,9 @@ object Graph {
       .agg(orderedFold(keyC, valC).as("__s"))
 
   /** Exact ordered double fold: sort (k, v) pairs by k, left-fold v from
-    * 0.0 — addition order is part of the contract. */
-  private def orderedFold(keyC: Column, valC: Column): Column =
+    * 0.0 — addition order is part of the contract. Shared with the other
+    * bit-exact float reductions in this package (k-means centroid sums). */
+  private[ops] def orderedFold(keyC: Column, valC: Column): Column =
     aggregate(
       transform(array_sort(collect_list(struct(keyC.as("k"), valC.as("v")))),
         x => x.getField("v")),

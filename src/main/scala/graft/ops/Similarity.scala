@@ -189,4 +189,131 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Deterministic distributed Lloyd k-means over the embedding column —
+    * the clustering stage of semantic dedup (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540). Results are a pure function of the input:
+    *
+    *  - seeds = the first `k` vectors by vec_id (no RNG);
+    *  - assignment = argmax cosine(v, centroid), ties to the lower cell
+    *    (the stable array_sort, same contract as [[ivfTopK]]); cosines are
+    *    the native codegen'd [[graft.functions.CosineSim]];
+    *  - centroid recompute = per-(cell, dim) mean where the double sum
+    *    folds members in a fixed TWO-LEVEL tree — vec_id % foldBuckets
+    *    sub-folds in vec_id order, bucket partials in bucket order (the
+    *    [[Graph.pageRank]] hub-safety shape: a mega-cell folds in
+    *    `foldBuckets` bounded tasks, never one giant sorted list) — then
+    *    ONE IEEE division by the member count. An empty cell keeps its
+    *    previous centroid.
+    *
+    * Per iteration: one narrow assignment pass (centroids ride along as
+    * plan literals — k×dim doubles, never a join), one posexplode shuffle
+    * keyed (cell, dim, bucket), one keyed (cell, dim), and a k×dim
+    * centroid collect to the driver (bounded: 512 doubles at k=8,dim=64 —
+    * the [[trainCentroids]] precedent). Fixed `iters`, not convergence
+    * stopping, so results never depend on a mid-stream float compare.
+    * At 10^9 vectors size foldBuckets so |cell|/foldBuckets rows fit one
+    * task's sort (e.g. 65536). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int, dim: Int,
+      foldBuckets: Int = 16): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 0 && dim >= 1 && foldBuckets >= 1,
+      s"bad kmeans params k=$k iters=$iters dim=$dim foldBuckets=$foldBuckets")
+    reg(embeddings)
+    val e = CheckpointScratch.ckpt(
+      embeddings.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").as("v")))
+    val seeds = e.orderBy(col("vec_id")).limit(k).collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    require(seeds.length == k, s"need >= $k vectors to seed k-means, got ${seeds.length}")
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val assigned = assignCell(e, cents)
+      val comp = assigned
+        .select(col("cell"), col("vec_id"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .select(col("cell"), col("d"),
+          pmod(col("vec_id"), lit(foldBuckets.toLong)).as("bk"),
+          col("vec_id"), col("x").cast("double").as("x"))
+      val sums = comp.groupBy(col("cell"), col("d"), col("bk"))
+        .agg(Graph.orderedFold(col("vec_id"), col("x")).as("s"))
+        .groupBy(col("cell"), col("d"))
+        .agg(Graph.orderedFold(col("bk"), col("s")).as("s"))
+      val counts = assigned.groupBy(col("cell")).count()
+      val cntArr = new Array[Long](k)
+      counts.collect().foreach(r => cntArr(r.getLong(0).toInt) = r.getLong(1))
+      val sumArr = Array.fill(k)(new Array[Double](dim))
+      sums.collect().foreach(r =>
+        sumArr(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2))
+      cents = Array.tabulate(k)(c =>
+        if (cntArr(c) == 0L) cents(c)
+        else Array.tabulate(dim)(d => sumArr(c)(d) / cntArr(c).toDouble))
+    }
+    CheckpointScratch.drop(e)
+    cents
+  }
+
+  /** (vec_id, cell, cos) under the given centroid set — one narrow pass,
+    * centroids as plan literals. cos is the UNROUNDED cosine to the own
+    * centroid (callers round at their output edge). */
+  private def assignCell(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val scores = array_sort(
+      array(cents.zipWithIndex.map { case (w, i) =>
+        struct(cosine(col("v"), typedLit(w.toSeq)).as("cos"), lit(i).as("cell"))
+      }: _*),
+      (l, r) => when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1).otherwise(0))
+    e.withColumn("best", element_at(scores, 1))
+      .select(col("vec_id"), col("v"),
+        col("best").getField("cell").cast("long").as("cell"),
+        col("best").getField("cos").as("cos"))
+  }
+
+  /** Final k-means assignment: (vec_id, cell, cos rounded to 4dp). */
+  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int, dim: Int,
+      foldBuckets: Int = 16): DataFrame = {
+    reg(embeddings)
+    val cents = kmeansCentroids(embeddings, k, iters, dim, foldBuckets)
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").as("v"))
+    assignCell(e, cents)
+      .select(col("vec_id"), col("cell"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    * embeddings, then inside each cluster drop every member whose rounded
+    * cosine to an EARLIER-RANKED member reaches `eps` — rank = (cosine to
+    * own centroid DESC, vec_id ASC), so of each near-duplicate group the
+    * most centroid-proximal member survives and echoes are removed.
+    *
+    * Output: (vec_id, cell, kept) for every input row — a deterministic,
+    * engine-independent keep decision.
+    *
+    * Scale shape: the within-cell pair join is O(|cell|²) candidate pairs
+    * — at SemDeDup's operating point k grows with the corpus (the paper
+    * uses ~√N clusters) so |cell| stays bounded; for a degenerate
+    * mega-cell compose [[cosineNearDupPairs]]' hyperplane buckets INSIDE
+    * the cell (bucket key = (cell, lsh)) exactly like the minhash band
+    * join bounds its buckets. Embedding payloads, not text, cross the
+    * shuffle (dim × 4 bytes). */
+  def semDedup(embeddings: DataFrame, eps: Double, k: Int, iters: Int,
+      dim: Int, foldBuckets: Int = 16): DataFrame = {
+    reg(embeddings)
+    val cents = kmeansCentroids(embeddings, k, iters, dim, foldBuckets)
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").as("v"))
+    val assigned = CheckpointScratch.ckpt(
+      assignCell(e, cents).withColumn("rnk",
+        row_number().over(Window.partitionBy(col("cell"))
+          .orderBy(col("cos").desc, col("vec_id")))))
+    val a = assigned.select(col("cell"), col("rnk").as("rnk_a"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("rnk").as("rnk_b"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("rnk_a") < col("rnk_b"))
+      .filter(round(cosine(col("va"), col("vb")), 4) >= eps)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(removed.withColumn("rm", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("rm").isNull.as("kept"))
+  }
 }

@@ -1299,4 +1299,122 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long, Long, Long)].collect().toSet ==
       Set(("h", 3L, 1L, 1L), ("h", 4L, 1L, 2L)))
   }
+
+  /** Deterministic jittered cluster corpus for the k-means tests: 3
+    * well-separated directions in 4-d, 4 members each, ids interleaved
+    * across clusters so vec_id order ≠ cluster order. */
+  private def kmeansCorpus: Seq[(Long, Array[Float])] =
+    (0L until 12L).map { id =>
+      val g = (id % 3).toInt // cluster = id mod 3 → seeds 0,1,2 hit all three
+      val base = Array.fill(4)(0.05f)
+      base(g) = 1.0f
+      // within-cluster jitter big enough that member pairs stay clearly
+      // below rounded-cosine 1.0 (0.1 steps → pair cos ≈ 0.995)
+      base((g + 1) % 4) += (id.toInt / 3) * 0.1f
+      (id, base)
+    }
+
+  /** Sequential reference of Similarity.kmeansCentroids' exact spec:
+    * first-k seeds, argmax-cosine assignment with lower-cell ties, and
+    * the two-level (id % B ascending, id ascending) ordered centroid
+    * fold — every double op in the engine's order. */
+  private def refKmeans(vs: Seq[(Long, Array[Float])], k: Int, iters: Int,
+      b: Int): (Array[Array[Double]], Map[Long, Int]) = {
+    def cos(a: Array[Double], cArr: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * cArr(i); na += a(i) * a(i); nb += cArr(i) * cArr(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vs.sortBy(_._1)
+    var cents = byId.take(k).map(_._2.map(_.toDouble)).toArray
+    def assign(): Map[Long, Int] = byId.map { case (id, v) =>
+      val dv = v.map(_.toDouble)
+      var best = 0; var bs = cos(dv, cents(0)); var c = 1
+      while (c < k) { val s = cos(dv, cents(c)); if (s > bs) { bs = s; best = c }; c += 1 }
+      id -> best
+    }.toMap
+    var asg = assign()
+    for (_ <- 1 to iters) {
+      cents = Array.tabulate(k) { c =>
+        val members = byId.filter(p => asg(p._1) == c)
+        if (members.isEmpty) cents(c)
+        else Array.tabulate(cents(0).length) { d =>
+          var outer = 0.0
+          members.map(_._1 % b).distinct.sorted.foreach { bk =>
+            var inner = 0.0
+            members.filter(_._1 % b == bk).sortBy(_._1)
+              .foreach(p => inner += p._2(d).toDouble)
+            outer += inner
+          }
+          outer / members.size.toDouble
+        }
+      }
+      asg = assign()
+    }
+    (cents, asg)
+  }
+
+  test("kmeans: cells + cosines bit-match the sequential two-level-fold reference; partition invariant") {
+    import spark.implicits._
+    val corpus = kmeansCorpus
+    val df = corpus.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val (refCents, refAsg) = refKmeans(corpus, k = 3, iters = 2, b = 16)
+    def run(parts: Int) = Similarity
+      .kmeansAssign(df.repartition(parts), k = 3, iters = 2, dim = 4)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val got = run(1)
+    assert(run(7).toSeq == got.toSeq, "partition count changed the result")
+    // assignment equals the reference's, and every cluster got members
+    assert(got.map(r => r._1 -> r._2.toInt).toMap == refAsg)
+    assert(got.map(_._2).distinct.length == 3)
+    // rounded cosine to the own centroid matches the reference bit-for-bit
+    got.foreach { case (id, cell, c) =>
+      val dv = corpus.find(_._1 == id).get._2.map(_.toDouble)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val w = refCents(cell.toInt)
+      while (i < 4) { dot += dv(i) * w(i); na += dv(i) * dv(i); nb += w(i) * w(i); i += 1 }
+      val want = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c == want, s"vec $id: engine cos $c != reference $want")
+    }
+  }
+
+  test("linear classifier: hand-computed mean-weight scores, misses weightless, empty doc = bias") {
+    import spark.implicits._
+    val docs = Seq((1L, "good good bad"), (2L, "meh"), (3L, ""))
+      .toDF("doc_id", "text")
+    val model = Seq(("good", 0.5), ("bad", -0.25)).toDF("tok", "w")
+    val out = graft.ops.Classifier.linearScore(docs, model, bias = -0.1)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // doc 1: (0.5 + 0.5 - 0.25)/3 - 0.1 = 0.15; doc 2: 0/1 - 0.1; doc 3: no tokens
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 0.15, true),
+      (2L, 1L, 0L, -0.1, false),
+      (3L, 0L, 0L, -0.1, false)))
+  }
+
+  test("semDedup: one survivor per near-dup group, distant members kept") {
+    import spark.implicits._
+    // 3 clusters of 4; add a near-identical echo of ids 0 and 1
+    val echoes = Seq(
+      (100L, kmeansCorpus.find(_._1 == 0L).get._2.map(x => x + 0.001f)),
+      (101L, kmeansCorpus.find(_._1 == 1L).get._2.map(x => x + 0.001f)))
+    val df = (kmeansCorpus ++ echoes).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Similarity.semDedup(df, eps = 0.9999, k = 3, iters = 2, dim = 4)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length == 14)
+    val kept = out.filter(_._3).map(_._1).toSet
+    // exactly one of each echo pair survives …
+    assert(kept.contains(0L) != kept.contains(100L))
+    assert(kept.contains(1L) != kept.contains(101L))
+    // … and nothing else was dropped at this near-exact threshold
+    assert(out.count(!_._3) == 2)
+    // echoes share their source's cell
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    assert(cellOf(100L) == cellOf(0L) && cellOf(101L) == cellOf(1L))
+  }
 }
