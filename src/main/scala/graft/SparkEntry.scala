@@ -1023,6 +1023,12 @@ object SparkEntry {
     graft.ops.Packing.chunkDocs(t(s, dir, "documents"), maxLen = 64, stride = 48)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Concat-and-split loader windows: the corpus in doc_id order cut
+    * into 128-token windows with boundary-crossing docs. */
+  private def qCtxWindows(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.contextWindows(t(s, dir, "documents"), winLen = 128)
+      .orderBy(col("win_id"), col("doc_id"))
+
   /** CCNet-style line dedup over deterministically planted multi-line
     * docs: every doc carries a corpus-duplicated boilerplate line (cased
     * differently on odd docs — the normalized key must still match), a
@@ -1252,6 +1258,7 @@ object SparkEntry {
     "q_url_blocklist"    -> qUrlBlocklist _,
     "q_line_dedup"       -> qLineDedup _,
     "q_chunks"           -> qChunks _,
+    "q_ctx_windows"      -> qCtxWindows _,
     "q_epoch_order"      -> qEpochOrder _,
     "q_train_shards"     -> qTrainShards _,
     "q_normalize"        -> qNormalize _,
@@ -2678,6 +2685,25 @@ object SparkEntry {
          |  min(pos) AS pos_min, max(pos) AS pos_max
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_line_dedup" -> lineDedupOracle,
+    // the exclusive prefix sum over BIGINT must CAST out of DuckDB's
+    // HUGEINT window-sum type, or the driver's typed hash diverges
+    "q_ctx_windows" ->
+      """WITH tc AS (SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |ps AS (SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM tc),
+        |w AS (SELECT doc_id, n, off,
+        |    unnest(generate_series(off // 128, (off + n - 1) // 128)) AS win_id
+        |  FROM ps WHERE n > 0)
+        |SELECT win_id, doc_id,
+        |  greatest(win_id * 128 - off, 0) AS doc_off,
+        |  greatest(off - win_id * 128, 0) AS win_off,
+        |  least(off + n, (win_id + 1) * 128) - greatest(off, win_id * 128) AS n_take
+        |FROM w ORDER BY win_id, doc_id""".stripMargin,
     "q_chunks" ->
       """WITH n AS (SELECT doc_id,
         |    CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)

@@ -110,6 +110,43 @@ object Packing {
           .as("chunk_len"))
   }
 
+  /** GPT-loader CONTEXT WINDOWS (Brown et al. 2020 §2.3 data-loading
+    * shape): concatenate the whole corpus in idCol order and cut it into
+    * fixed `winLen`-token windows, documents SPLITTING across window
+    * boundaries — the complement of [[chunkDocs]] (per-doc, no concat)
+    * and [[packGreedy]] (whole docs, no splits). Output is the loader's
+    * index: one row per (window, document) piece,
+    * (win_id, idCol, doc_off, win_off, n_take) — read n_take tokens of
+    * the doc starting at doc_off into the window at win_off. Every
+    * column is BIGINT arithmetic over the exclusive token prefix sum,
+    * so windows are reproducible by an independent engine and invariant
+    * to partitioning.
+    *
+    * Scale shape: offsets via [[Selection.prefixSumBy]] (range sort +
+    * per-partition stats — one long per partition to the driver, never
+    * a single-partition window); the window explode is narrow, emitting
+    * ceil(n/winLen)+1 rows max per doc. Zero-token docs emit nothing;
+    * the final partial window is emitted short. */
+  def contextWindows(docs: DataFrame, winLen: Int, idCol: String = "doc_id",
+      textCol: String = "text", numPartitions: Int = 0): DataFrame = {
+    require(winLen >= 1, s"winLen must be >= 1, got $winLen")
+    val n = size(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      w => length(w) > 0)).cast("long")
+    val withN = docs.select(col(idCol).cast("long").as(idCol), n.as("__n"))
+    val ps = Selection.prefixSumBy(withN, Seq(col(idCol)), Seq(true),
+      col("__n"), idCol, numPartitions)
+    val L = winLen.toLong
+    ps.filter(col("w") > 0L)
+      .select(col(idCol), col("w").as("n"), col("offset"))
+      .withColumn("win_id", explode(sequence(
+        expr(s"offset div $L"), expr(s"(offset + n - 1) div $L"))))
+      .select(col("win_id"), col(idCol),
+        greatest(col("win_id") * L - col("offset"), lit(0L)).as("doc_off"),
+        greatest(col("offset") - col("win_id") * L, lit(0L)).as("win_off"),
+        (least(col("offset") + col("n"), (col("win_id") + 1) * L)
+          - greatest(col("offset"), col("win_id") * L)).as("n_take"))
+  }
+
   /** Bin-level utilization summary: (groupCol, shard_id, bin_id, n_docs,
     * used, fill_frac) — the packing-efficiency report a data loader
     * wants, keyed by the full bin identity. */

@@ -145,9 +145,28 @@ object Selection {
     require(budget >= 0L, s"budget must be >= 0, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
+    prefixSumBy(docs, Seq(col(scoreCol)), Seq(false),
+        col(tokensCol), idCol, numPartitions)
+      .select(col(idCol), col("w").as(tokensCol),
+        (col("offset") + col("w")).as("cum_tokens"))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** EXCLUSIVE global prefix sum of a BIGINT weight under (keys,
+    * ascending, idCol) order — the primitive behind token-budget
+    * selection and context-window assembly. Output: (idCol, w, offset)
+    * with offset = sum of all earlier rows' weights. Same shape as
+    * [[rankBy]]: range sort, one (pid, sum) stats pass (one long per
+    * partition to the driver), one narrow seeded running-sum pass —
+    * never a single-partition window; partition-count invariant. */
+  def prefixSumBy(docs: DataFrame, keys: Seq[Column], ascending: Seq[Boolean],
+      weightC: Column, idCol: String = "doc_id",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sorted = CheckpointScratch.register(
-      sortedProjected(docs, Seq(col(scoreCol)), Seq(false), idCol,
-          Seq(coalesce(col(tokensCol).cast("long"), lit(0L)).as("__w")),
+      sortedProjected(docs, keys, ascending, idCol,
+          Seq(coalesce(weightC.cast("long"), lit(0L)).as("__w")),
           numPartitions)
         .select(col("__id"), col("__w")).as[(Long, Long)]
         .localCheckpoint(true))
@@ -160,8 +179,7 @@ object Selection {
     // pass 2: narrow running sum seeded with the partition's offset
     rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets.value(i)
-      it.map { case (id, w) => acc += w; (id, w, acc) }
-    }.toDF(idCol, tokensCol, "cum_tokens")
-      .filter(col("cum_tokens") <= budget)
+      it.map { case (id, w) => val start = acc; acc += w; (id, w, start) }
+    }.toDF(idCol, "w", "offset")
   }
 }

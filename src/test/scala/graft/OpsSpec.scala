@@ -1382,6 +1382,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("context windows: hand-computed split pieces, coverage exact, partition invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, ""), (4L, "f g h i"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = graft.ops.Packing
+      .contextWindows(docs.repartition(parts), winLen = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val got = run(1)
+    assert(run(5).toSeq == got.toSeq, "partition count changed the windows")
+    // concat = a b c | d e | f g h i (9 tokens) → windows [0,4) [4,8) [8,9)
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 0L, 3L), // doc1 fully in win0 at slot 0
+      (0L, 2L, 0L, 3L, 1L), // doc2 token 'd' closes win0
+      (1L, 2L, 1L, 0L, 1L), // 'e' opens win1
+      (1L, 4L, 0L, 1L, 3L), // doc4 head fills win1
+      (2L, 4L, 3L, 0L, 1L))) // doc4 tail is the short final window
+    // every doc's pieces cover its tokens exactly once
+    val perDoc = got.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._5).sum }
+    assert(perDoc == Map(1L -> 3L, 2L -> 2L, 4L -> 4L))
+  }
+
   test("linear classifier: hand-computed mean-weight scores, misses weightless, empty doc = bias") {
     import spark.implicits._
     val docs = Seq((1L, "good good bad"), (2L, "meh"), (3L, ""))
