@@ -1029,6 +1029,19 @@ object SparkEntry {
     graft.ops.Packing.contextWindows(t(s, dir, "documents"), winLen = 128)
       .orderBy(col("win_id"), col("doc_id"))
 
+  /** Z-order clustering key over a derived (host-bucket, ts-bucket)
+    * pair — the multi-dim layout sort key (graft_zvalue is the native
+    * Morton interleave; the pruning evidence lives in OpsSpec). */
+  private def qZValue(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+        pmod(col("doc_id"), lit(64L)).as("x"),
+        pmod(col("doc_id") * 7L + 3L, lit(64L)).as("y"))
+      .select(col("doc_id"),
+        graft.ops.Layout.zValue(col("x"), col("y"), 6).as("zv"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style line dedup over deterministically planted multi-line
     * docs: every doc carries a corpus-duplicated boilerplate line (cased
     * differently on odd docs — the normalized key must still match), a
@@ -1259,6 +1272,7 @@ object SparkEntry {
     "q_line_dedup"       -> qLineDedup _,
     "q_chunks"           -> qChunks _,
     "q_ctx_windows"      -> qCtxWindows _,
+    "q_zvalue"           -> qZValue _,
     "q_epoch_order"      -> qEpochOrder _,
     "q_train_shards"     -> qTrainShards _,
     "q_normalize"        -> qNormalize _,
@@ -2685,6 +2699,16 @@ object SparkEntry {
          |  min(pos) AS pos_min, max(pos) AS pos_max
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_line_dedup" -> lineDedupOracle,
+    "q_zvalue" -> {
+      // the Morton interleave unrolled as pure BIGINT bit arithmetic
+      val terms = (0 until 6).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})",
+        s"(((y >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""WITH xy AS (SELECT doc_id, doc_id % 64 AS x,
+         |    (doc_id * 7 + 3) % 64 AS y FROM documents)
+         |SELECT doc_id, CAST($terms AS BIGINT) AS zv
+         |FROM xy ORDER BY doc_id""".stripMargin
+    },
     // the exclusive prefix sum over BIGINT must CAST out of DuckDB's
     // HUGEINT window-sum type, or the driver's typed hash diverges
     "q_ctx_windows" ->

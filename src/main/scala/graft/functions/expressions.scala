@@ -102,6 +102,18 @@ object ExprEval {
   /** All `bits` sign-buckets of the random-hyperplane LSH in ONE pass:
     * bit p = sign(v · plane_p). Replaces `bits` separate interpreted
     * aggregate/zip_with dots per row. */
+  /** Morton/Z-order interleave of the low `bits` bits of x and y — x on
+    * even result bits, y on odd. bits ≤ 31 keeps the result positive. */
+  def zValue(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      z |= ((x >>> b) & 1L) << (2 * b) | ((y >>> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    z
+  }
+
   def hyperplaneSig(v: ArrayData, dim: Int, bits: Int, isFloat: Boolean): Long = {
     val ps = planes(dim, bits)
     val n = math.min(v.numElements(), dim)
@@ -219,6 +231,30 @@ case class HyperplaneSig(first: Expression, second: Expression, third: Expressio
       s"graft.functions.ExprEval.hyperplaneSig($v, $d, $b, ${GraftExprs.isFloatVec(first.dataType)})")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): HyperplaneSig =
+    copy(first = f, second = s, third = t)
+}
+
+/** graft_zvalue(x, y, bits): Morton/Z-order bit interleave — the
+  * multi-dimensional clustering key behind Iceberg-style z-order data
+  * layout (sort by z → files hold small rectangles of (x, y) space, so
+  * min/max file stats prune range reads on EITHER dimension). Pure
+  * integer arithmetic, codegen'd. */
+case class ZValue(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == LongType && second.dataType == LongType &&
+      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected (bigint, bigint, int), got " +
+        s"${Seq(first, second, third).map(_.dataType).mkString(", ")}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zvalue"
+  override protected def nullSafeEval(x: Any, y: Any, b: Any): Any =
+    ExprEval.zValue(x.asInstanceOf[Long], y.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, b) => s"graft.functions.ExprEval.zValue($x, $y, $b)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ZValue =
     copy(first = f, second = s, third = t)
 }
 
@@ -780,6 +816,8 @@ object functions {
     call_function("graft_hyperplane_sig", v, dim, bits)
   def graft_fnv1a64(c: Column): Column = call_function("graft_fnv1a64", c)
   def graft_mix64(c: Column): Column = call_function("graft_mix64", c)
+  def graft_zvalue(x: Column, y: Column, bits: Column): Column =
+    call_function("graft_zvalue", x, y, bits)
   def graft_term_counts(toks: Column, terms: Column): Column =
     call_function("graft_term_counts", toks, terms)
   def graft_mixture_keep(source: Column, hash: Column, thresholds: Column): Column =
@@ -814,6 +852,8 @@ object functions {
     reg.createOrReplaceTempFunction("graft_hyperplane_sig",
       es => HyperplaneSig(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fnv1a64", es => Fnv1a64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_zvalue",
+      es => ZValue(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_mix64", es => Mix64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_term_counts",
       es => TermCounts(es.head, es(1)), "scala_udf")

@@ -184,6 +184,37 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cg.toLowerCase.contains("scalaudf"))
   }
 
+  test("graft_zvalue: hand-computed Morton interleave, SQL path, nulls, codegen, type check") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    register(spark)
+    // x on even bits, y on odd: z(3,0)=0b0101, z(0,3)=0b1010, z(3,3)=0b1111
+    val df = Seq((3L, 0L), (0L, 3L), (3L, 3L), (21L, 42L)).toDF("x", "y")
+    val got = df.select(graft_zvalue($"x", $"y", lit(6))).as[Long].collect().toSeq
+    // 21=0b010101, 42=0b101010 → interleave alternates → 0b100110011001
+    assert(got == Seq(5L, 10L, 15L, 0x999L))
+    // scalar evaluator agrees; adjacency: unit steps move z locally at low bits
+    assert(graft.functions.ExprEval.zValue(21L, 42L, 6) == 0x999L)
+    df.createOrReplaceTempView("zxy")
+    assert(spark.sql("SELECT graft_zvalue(x, y, 6) FROM zxy WHERE x = 21")
+      .head().getLong(0) == 0x999L)
+    // null dimension → null
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(graft_zvalue($"x", $"y", lit(4))).head()
+    assert(n.isNullAt(0))
+    // codegen participation
+    val cg = spark.range(8)
+      .select(graft_zvalue($"id", $"id" + 1L, lit(8)))
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("graft.functions.ExprEval.zValue"), "must call the static evaluator")
+    assert(!cg.toLowerCase.contains("scalaudf"))
+    // wrong types rejected at analysis
+    val e = intercept[Exception] {
+      Seq(("a", 1L)).toDF("x", "y").select(graft_zvalue($"x", $"y", lit(4))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("graft_hyperplane_sig matches the per-plane sign buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

@@ -1382,6 +1382,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("z-order layout: file stats prune range reads on BOTH dims; single-key sort cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{input_file_name, min, max, expr}
+    // 64×64 grid — a host-bucket × ts-bucket crawl table in miniature
+    val df = spark.range(4096).select(($"id" % 64).as("x"),
+      expr("(id div 64) % 64").as("y"))
+    def fileStats(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"x").as("x0"), max($"x").as("x1"),
+          min($"y").as("y0"), max($"y").as("y1"))
+        .select($"x0", $"x1", $"y0", $"y1")
+        .as[(Long, Long, Long, Long)].collect()
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    graft.ops.Layout.zCluster(df, $"x", $"y", bits = 6, numPartitions = 16)
+      .write.parquet(s"$base/z")
+    val zs = fileStats(s"$base/z")
+    assert(zs.length >= 8, s"expected >= 8 data files, got ${zs.length}")
+    // a point slice on EITHER dimension overlaps at most half the files
+    val zx = zs.count(f => f._1 <= 17 && 17 <= f._2)
+    val zy = zs.count(f => f._3 <= 17 && 17 <= f._4)
+    assert(zx <= zs.length / 2, s"x=17 overlaps $zx/${zs.length} z-files")
+    assert(zy <= zs.length / 2, s"y=17 overlaps $zy/${zs.length} z-files")
+    // the single-key sort: perfect on x, USELESS on y (every file spans all y)
+    df.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.parquet(s"$base/xsort")
+    val xs = fileStats(s"$base/xsort")
+    val xx = xs.count(f => f._1 <= 17 && 17 <= f._2)
+    val xy = xs.count(f => f._3 <= 17 && 17 <= f._4)
+    assert(xx <= 2, s"x=17 overlaps $xx x-sorted files")
+    assert(xy == xs.length, "x-sorted files should all span the full y range")
+  }
+
   test("context windows: hand-computed split pieces, coverage exact, partition invariant") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, ""), (4L, "f g h i"))
