@@ -1029,6 +1029,35 @@ object SparkEntry {
     graft.ops.Packing.contextWindows(t(s, dir, "documents"), winLen = 128)
       .orderBy(col("win_id"), col("doc_id"))
 
+  /** robots.txt gate over planted per-host policies: 7 hosts share a
+    * base Disallow:/private; hosts 0-2 add Allow:/private/ok (longest-
+    * match override), host 3 blocks everything, host 4 plants an empty
+    * Disallow (dropped per RFC 9309 §2.2.2); every body carries comment
+    * noise, CRLF mixing, and an EvilBot group that must be IGNORED. The
+    * oracle reconstructs the RULES directly — if the parser misreads any
+    * planted body, the rule sets diverge and the gate mismatches. */
+  private def qRobotsGate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hostC = concat(lit("h"), pmod(col("doc_id"), lit(7L)), lit(".example.com"))
+    val paths = array(lit("/"), lit("/private"), lit("/private/ok"),
+      lit("/public/page"), lit("/private/sub"))
+    val pages = d.select(col("doc_id"),
+      concat(lit("https://"), hostC,
+        element_at(paths, (pmod(col("doc_id"), lit(5L)) + 1L).cast("int"))).as("url"))
+    val hosts = s.range(7).select(
+      concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+      col("id").as("hid"))
+    val body = concat(
+      lit("# planted robots\r\nUser-agent: EvilBot\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /private\n"),
+      when(col("hid") < 3L, lit("Allow: /private/ok\n")).otherwise(lit("")),
+      when(col("hid") === 3L, lit("Disallow: /\n")).otherwise(lit("")),
+      when(col("hid") === 4L, lit("Disallow:\n")).otherwise(lit("")))
+    val rules = graft.ops.Robots.parseRobots(
+      hosts.select(col("host"), body.as("body")))
+    graft.ops.Robots.robotsGate(pages, rules).orderBy(col("doc_id"))
+  }
+
   /** Z-order clustering key over a derived (host-bucket, ts-bucket)
     * pair — the multi-dim layout sort key (graft_zvalue is the native
     * Morton interleave; the pruning evidence lives in OpsSpec). */
@@ -1273,6 +1302,7 @@ object SparkEntry {
     "q_chunks"           -> qChunks _,
     "q_ctx_windows"      -> qCtxWindows _,
     "q_zvalue"           -> qZValue _,
+    "q_robots_gate"      -> qRobotsGate _,
     "q_epoch_order"      -> qEpochOrder _,
     "q_train_shards"     -> qTrainShards _,
     "q_normalize"        -> qNormalize _,
@@ -2699,6 +2729,30 @@ object SparkEntry {
          |  min(pos) AS pos_min, max(pos) AS pos_max
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_line_dedup" -> lineDedupOracle,
+    // rules reconstructed from the PLANT, longest-match via row_number
+    // (len DESC, allow DESC) — the engine's struct-argmax, relationally
+    "q_robots_gate" ->
+      """WITH hosts AS (SELECT CAST(i AS BIGINT) AS hid,
+        |    'h' || CAST(i AS VARCHAR) || '.example.com' AS host
+        |  FROM generate_series(0, 6) t(i)),
+        |rules AS (
+        |  SELECT host, FALSE AS is_allow, '/private' AS prefix FROM hosts
+        |  UNION ALL SELECT host, TRUE, '/private/ok' FROM hosts WHERE hid < 3
+        |  UNION ALL SELECT host, FALSE, '/' FROM hosts WHERE hid = 3),
+        |pages AS (SELECT doc_id,
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+        |    ['/', '/private', '/private/ok', '/public/page', '/private/sub']
+        |      [CAST(doc_id % 5 AS INT) + 1] AS path
+        |  FROM documents),
+        |m AS (SELECT p.doc_id, r.is_allow,
+        |    row_number() OVER (PARTITION BY p.doc_id
+        |      ORDER BY len(r.prefix) DESC, CAST(r.is_allow AS INT) DESC) AS rn
+        |  FROM pages p JOIN rules r
+        |    ON r.host = p.host AND starts_with(p.path, r.prefix)),
+        |w AS (SELECT doc_id, is_allow FROM m WHERE rn = 1)
+        |SELECT p.doc_id, 'https://' || p.host || p.path AS url,
+        |  COALESCE(w.is_allow, TRUE) AS allowed
+        |FROM pages p LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_zvalue" -> {
       // the Morton interleave unrolled as pure BIGINT bit arithmetic
       val terms = (0 until 6).flatMap(b => Seq(

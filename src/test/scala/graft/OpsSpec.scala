@@ -1382,6 +1382,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("robots parser: group scoping, stacking, resets, comments, case, empty patterns, hostile input") {
+    import graft.ops.Robots.parseBody
+    // only the *-group's rules; stacked agents include the star
+    assert(parseBody("User-agent: GoodBot\nUser-agent: *\nDisallow: /a\nAllow: /a/b") ==
+      Seq((false, "/a"), (true, "/a/b")))
+    // a user-agent line AFTER rules starts a NEW group → /c is not ours
+    assert(parseBody("User-agent: *\nDisallow: /a\nUser-agent: other\nDisallow: /c") ==
+      Seq((false, "/a")))
+    // comments, CRLF/CR mixing, case-insensitive keys, padded values
+    assert(parseBody("# hi\r\nUSER-AGENT: *  # star\r\nDISALLOW:   /x  \rAllow: /x/y") ==
+      Seq((false, "/x"), (true, "/x/y")))
+    // empty pattern matches nothing → dropped; unknown directives inert
+    assert(parseBody("User-agent: *\nCrawl-delay: 5\nDisallow:\nDisallow: /p") ==
+      Seq((false, "/p")))
+    // hostile: no colon, colon-first, binary noise — no rules, no throw
+    assert(parseBody("garbage\n:weird\nUser-agent *\n ").isEmpty)
+    // no star group at all
+    assert(parseBody("User-agent: a\nDisallow: /only-a").isEmpty)
+  }
+
+  test("robots gate: longest match wins, allow beats disallow on ties, ruleless host allowed") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.com/private/ok/deep"), (2L, "https://a.com/private/x"),
+      (3L, "https://a.com/pub"), (4L, "https://b.com/anything"),
+      (5L, "https://a.com")).toDF("doc_id", "url")
+    val rules = Seq(("a.com", false, "/private"), ("a.com", true, "/private/ok"))
+      .toDF("host", "is_allow", "prefix")
+    val out = graft.ops.Robots.robotsGate(pages, rules)
+      .as[(Long, String, Boolean)].collect().sortBy(_._1).map(r => r._1 -> r._3)
+    assert(out.toSeq == Seq(1L -> true, 2L -> false, 3L -> true,
+      4L -> true, 5L -> true)) // bare host → path '/', no rule matches
+    // exact tie between allow and disallow at the same length → allow
+    val tied = Seq(("t.com", false, "/p"), ("t.com", true, "/p"))
+      .toDF("host", "is_allow", "prefix")
+    val t = graft.ops.Robots.robotsGate(
+      Seq((9L, "https://t.com/p/z")).toDF("doc_id", "url"), tied)
+      .as[(Long, String, Boolean)].collect()
+    assert(t.head._3)
+  }
+
   test("z-order layout: file stats prune range reads on BOTH dims; single-key sort cannot") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{input_file_name, min, max, expr}
