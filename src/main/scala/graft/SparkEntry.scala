@@ -270,6 +270,25 @@ object SparkEntry {
       .select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** Anchor-text profile per target host over planted pages: each doc
+    * links to host-(id%7) with anchor "go & see v(id%3)" (entity +
+    * inner <b> markup exercised), plus a relative link and an
+    * empty-text link that must be filtered. The oracle rebuilds the
+    * plant — a tokenizer/capture misread diverges the profile. */
+  private def qAnchorText(s: SparkSession, dir: String): DataFrame = {
+    val pages = t(s, dir, "documents").select(
+      concat(lit("http://src-"), col("doc_id") % 13,
+        lit(".example.com/page/"), col("doc_id")).as("url"),
+      concat(
+        lit("<html><body><p>pre</p><a href=\"http://host-"), col("doc_id") % 7,
+        lit(".example.com/p\">go &amp; see <b>v"), col("doc_id") % 3,
+        lit("</b></a><a href=\"/rel\">skip</a><a href=\"http://img-"),
+        col("doc_id") % 2,
+        lit(".example.com/i\"></a></body></html>")).cast("binary").as("html"))
+    graft.ops.Graph.anchorSummary(graft.ops.Graph.anchorTexts(pages))
+      .orderBy(col("dst_host"))
+  }
+
   /** Gopher rule gate (Rae 2021 A1.1) over a corpus with planted
     * rule-violating variants: bullet-heavy docs (fails the 90%-bullet-lines
     * rule), ellipsis-heavy docs (fails the 30%-ellipsis-ends rule), and a
@@ -1303,6 +1322,7 @@ object SparkEntry {
     "q_ctx_windows"      -> qCtxWindows _,
     "q_zvalue"           -> qZValue _,
     "q_robots_gate"      -> qRobotsGate _,
+    "q_anchor_text"      -> qAnchorText _,
     "q_epoch_order"      -> qEpochOrder _,
     "q_train_shards"     -> qTrainShards _,
     "q_normalize"        -> qNormalize _,
@@ -2729,6 +2749,20 @@ object SparkEntry {
          |  min(pos) AS pos_min, max(pos) AS pos_max
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_line_dedup" -> lineDedupOracle,
+    "q_anchor_text" ->
+      """WITH a AS (SELECT
+        |    'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS dst_host,
+        |    'go & see v' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+        |  FROM documents),
+        |g AS (SELECT dst_host, anchor, count(*) AS c FROM a GROUP BY 1, 2),
+        |top AS (SELECT dst_host, anchor,
+        |    row_number() OVER (PARTITION BY dst_host ORDER BY c DESC, anchor) AS rn
+        |  FROM g),
+        |agg AS (SELECT dst_host, CAST(sum(c) AS BIGINT) AS n_links,
+        |    CAST(count(*) AS BIGINT) AS n_anchors FROM g GROUP BY 1)
+        |SELECT agg.dst_host, agg.n_links, agg.n_anchors, t.anchor AS top_anchor
+        |FROM agg JOIN top t ON t.dst_host = agg.dst_host AND t.rn = 1
+        |ORDER BY agg.dst_host""".stripMargin,
     // rules reconstructed from the PLANT, longest-match via row_number
     // (len DESC, allow DESC) — the engine's struct-argmax, relationally
     "q_robots_gate" ->

@@ -78,6 +78,88 @@ object Graph {
       .distinct()
   }
 
+  /** Anchor-text extraction — (src_host, dst_host, anchor) for every
+    * absolute http(s) link with non-empty link text. Anchor text is the
+    * classic off-page signal of web corpora (it describes the TARGET —
+    * Craswell et al. 2001, "Effective site finding using link anchor
+    * information"); crawl pipelines aggregate it per target host as a
+    * quality/topic prior.
+    *
+    * Capture is pure SINK STATE over the streaming tokenizer — href
+    * from the attribute channel (fires before startTag), text chunks +
+    * decoded entities accumulate while an <a> is open, inner markup
+    * (<b>…</b>) is transparent, a new <a> auto-closes the open one
+    * (the HTML parsing rule), an unclosed trailing anchor is dropped,
+    * and the buffer is budget-capped so a hostile giant anchor cannot
+    * balloon a task. Whitespace-normalization and host derivation stay
+    * relational. Narrow flatMap — zero shuffle. */
+  def anchorTexts(pages: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html", maxAnchorChars: Int = 4096): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val raw = pages
+      .select(col(urlCol).cast("string"), col(htmlCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (u, html) =>
+        if (u == null || html == null) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val sink = new graft.core.HtmlTokenizer.Sink {
+            private var href: String = null      // open anchor's target
+            private var pending: String = null   // seen on attr, not yet started
+            private val buf = new java.lang.StringBuilder
+            private def emit(): Unit = {
+              if (href != null) out += ((href, buf.toString))
+              href = null; buf.setLength(0)
+            }
+            override def wantsAttrs: Boolean = true
+            override def attr(tag: String, name: String, value: String): Unit =
+              if (tag == "a" && name == "href") pending = value
+            def startTag(n: String, sc: Boolean): Unit = {
+              if (n == "a") {
+                emit() // a new <a> auto-closes an open one
+                if (!sc && pending != null && pending.nonEmpty) href = pending
+              }
+              pending = null
+            }
+            def endTag(n: String): Unit = if (n == "a") emit()
+            private def room: Int =
+              if (href == null) 0 else maxAnchorChars - buf.length
+            def textChunk(s: String, a: Int, b: Int): Unit = {
+              val r = room
+              if (r > 0) buf.append(s, a, math.min(b, a + r))
+            }
+            def textStr(s: String): Unit = if (room >= s.length) buf.append(s)
+          }
+          try graft.core.HtmlTokenizer.tokenize(html, sink)
+          catch { case _: Exception => } // hostile markup: keep what parsed
+          out.iterator.map { case (h, t) => (u, h, t) }
+        }
+      }.toDF("u", "href", "raw")
+    raw.filter(col("href").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"))
+      .select(UrlOps.host(col("u")).as("src_host"),
+        UrlOps.host(col("href")).as("dst_host"),
+        regexp_replace(trim(col("raw")), "\\s+", " ").as("anchor"))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
+        col("src_host") =!= lit("") && col("dst_host") =!= lit("") &&
+        col("anchor") =!= lit(""))
+  }
+
+  /** Per-target-host anchor profile: (dst_host, n_links, n_anchors,
+    * top_anchor) with top = most frequent text, ties to the
+    * lexicographically smallest — a declarative min(struct(-count,
+    * anchor)) argmax over two hash aggregations, no Window. */
+  def anchorSummary(anchors: DataFrame): DataFrame = {
+    val counts = anchors.groupBy(col("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("dst_host"))
+      .agg(sum(col("c")).as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        min(struct((-col("c")).as("nc"), col("anchor").as("a"))).as("top"))
+      .select(col("dst_host"), col("n_links"), col("n_anchors"),
+        col("top").getField("a").as("top_anchor"))
+  }
+
   /** Two-level ordered fold tree: (groupCols…) → exact double sum of
     * `valC` folded by `keyC` within `pmod(keyC, buckets)` sub-folds.
     * Returns the level-1 frame (groupCols, __bk, __s). */

@@ -1382,6 +1382,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("anchor texts: entities, inner markup, auto-close, unclosed dropped, relative/empty filtered") {
+    import spark.implicits._
+    val html =
+      """<html><body><a href="http://t1.com/a">go &amp; see <b>bold</b> end</a>
+        |<a href="http://t2.com/x">first <a href="http://t3.com/y">second</a>
+        |<a href="/rel">relative</a><a href="http://t4.com/e"></a>
+        |<a href="http://t5.com/u">unclosed trailing</body></html>""".stripMargin
+    val pages = Seq(("http://src.com/p", html.getBytes("UTF-8"))).toDF("url", "html")
+    val got = graft.ops.Graph.anchorTexts(pages)
+      .as[(String, String, String)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(
+      ("src.com", "t1.com", "go & see bold end"), // entity decoded, <b> transparent
+      ("src.com", "t2.com", "first"),             // auto-closed by the nested <a>
+      ("src.com", "t3.com", "second")))           // relative/empty/unclosed dropped
+    // summary argmax: count desc, anchor asc ties
+    val anchors = Seq(("s", "d", "x"), ("s", "d", "x"), ("s", "d", "a"),
+      ("s", "d2", "b"), ("s", "d2", "a")).toDF("src_host", "dst_host", "anchor")
+    val sum = graft.ops.Graph.anchorSummary(anchors)
+      .as[(String, Long, Long, String)].collect().sortBy(_._1)
+    assert(sum.toSeq == Seq(("d", 3L, 2L, "x"), ("d2", 2L, 2L, "a")))
+  }
+
   test("robots parser: group scoping, stacking, resets, comments, case, empty patterns, hostile input") {
     import graft.ops.Robots.parseBody
     // only the *-group's rules; stacked agents include the star
