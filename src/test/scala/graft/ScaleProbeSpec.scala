@@ -250,4 +250,52 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     timed("incrementalNearDup 105k batch (5k drift) vs 1.9M seen")(
       graft.ops.Dedup.incrementalNearDup(seen, drift.union(fresh), 0.5).count())
   }
+
+  ignore("round-7 session-3 ops at scale: context windows, k-means, anchors, robots gate (opt-in probe)") {
+    graft.functions.functions.register(spark)
+    val parts = Runtime.getRuntime.availableProcessors() * 4
+    // 2M docs → ~80M tokens through the distributed prefix sum + explode
+    val docs = corpus(2000000L).localCheckpoint(true)
+    timed("contextWindows 2M docs (~80M tokens, L=2048)")(
+      graft.ops.Packing.contextWindows(docs, winLen = 2048).count())
+    // 500k 64-d vectors: 2 Lloyd steps = 2 × 32M-row (cell, d, bucket)
+    // ordered-fold shuffles + the final assignment pass
+    val embs = spark.range(0L, 500000L, 1L, parts)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(graft.functions.functions.graft_mix64(
+            col("id") * 64 + d.cast("long")), lit(2001L)) - 1000L)
+            .cast("double") / lit(1024.0)).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    timed("kmeansAssign 500k × 64d, k=8, iters=2, foldBuckets=64")(
+      graft.ops.Similarity.kmeansAssign(embs, k = 8, iters = 2, dim = 64,
+        foldBuckets = 64).count())
+    // 1M pages through the tokenizer's anchor capture (narrow flatMap)
+    val pages = spark.range(0L, 1000000L, 1L, parts)
+      .select(concat(lit("http://s"), pmod(col("id"), lit(100000L)),
+          lit(".example.com/p/"), col("id")).as("url"),
+        concat(lit("<html><body><p>pre</p><a href=\"http://h"),
+          pmod(col("id"), lit(50000L)),
+          lit(".example.com/x\">go <b>see</b> v"), pmod(col("id"), lit(3L)),
+          lit("</a><a href=/rel>skip</a></body></html>"))
+          .cast("binary").as("html"))
+      .localCheckpoint(true)
+    timed("anchorTexts 1M pages")(
+      graft.ops.Graph.anchorTexts(pages).count())
+    // robots gate: 2M urls over 100k hosts vs a 20k-rule table
+    val urls = spark.range(0L, 2000000L, 1L, parts)
+      .select(col("id").as("doc_id"),
+        concat(lit("https://h"), pmod(col("id"), lit(100000L)),
+          lit(".example.com/p"), pmod(col("id"), lit(10L)),
+          lit("/page")).as("url"))
+    val rules = spark.range(0L, 10000L)
+      .select(concat(lit("h"), col("id"), lit(".example.com")).as("host"))
+      .select(col("host"), explode(array(
+        struct(lit(false).as("is_allow"), lit("/p1").as("prefix")),
+        struct(lit(true).as("is_allow"), lit("/p1/ok").as("prefix")))).as("r"))
+      .select(col("host"), col("r.is_allow").as("is_allow"), col("r.prefix").as("prefix"))
+    timed("robotsGate 2M urls vs 20k rules")(
+      graft.ops.Robots.robotsGate(urls, rules)
+        .agg(sum(when(col("allowed"), 0L).otherwise(1L))).head().getLong(0))
+  }
 }
