@@ -344,4 +344,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inputLine.contains("min#") && inputLine.contains("count#"), inputLine)
     assert(!inputLine.contains("text#"), inputLine)
   }
+
+  test("robots gate: equi-join on the host key, struct-argmax as hash agg — no cartesian, no window") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), concat(lit("https://h"), col("doc_id") % 7,
+        lit(".com/p"), col("doc_id") % 5).as("url"))
+    import spark.implicits._
+    val rules = Seq(("h1.com", false, "/p"), ("h1.com", true, "/p1"))
+      .toDF("host", "is_allow", "prefix")
+    val p = plan(graft.ops.Robots.robotsGate(d, rules), "simple")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("partial_max") || p.contains("functions=[partial"), p.take(2000))
+  }
+
+  test("semDedup candidate pairs join on the cell key — never a cartesian") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.semDedup(e, eps = 0.95, k = 4,
+      iters = 1, dim = 64), "simple")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+  }
+
+  test("context windows: range exchange from the prefix sum, never SinglePartition") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Packing.contextWindows(d, winLen = 128), "simple")
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }
