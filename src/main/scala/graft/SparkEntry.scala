@@ -897,6 +897,19 @@ object SparkEntry {
     graft.ops.Splits.mixtureSample(t(s, dir, "documents"), MixtureRates)
       .select(col("doc_id"), col("source"))
 
+  /** Temperature-scaled (α = 1/2) mixture sampling over a PLANTED skewed
+    * source split (60/30/10 — the parquet sources are uniform, which
+    * would make every rate 1.0 and the oracle vacuous): big is kept at
+    * 1/√6, mid at 1/√3, small fully. */
+  private def qTempSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10L)) < 6L, lit("big"))
+        .when(pmod(col("doc_id"), lit(10L)) < 9L, lit("mid"))
+        .otherwise(lit("small")).as("source"))
+    graft.ops.Splits.temperatureSample(d)
+      .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: 3-shingle overlap of every doc against
     * the "benchmark" subset (doc_id % 97 == 0). */
   private def qContamination(s: SparkSession, dir: String): DataFrame = {
@@ -1302,6 +1315,7 @@ object SparkEntry {
     "q_train_split"      -> qTrainSplit _,
     "q_hash_sample"      -> qHashSample _,
     "q_mixture_sample"   -> qMixtureSample _,
+    "q_temp_sample"      -> qTempSample _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_contamination"    -> qContamination _,
     "q_bm25"             -> qBm25 _,
@@ -2720,6 +2734,25 @@ object SparkEntry {
     "q_train_split" -> trainSplitOracle,
     "q_hash_sample" -> hashSampleOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
+    // identical salted-hash uniform (>> 11 / 2^53) and sqrt-rate
+    // derivation — sqrt is IEEE-correctly-rounded on both engines
+    "q_temp_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+         |         WHEN doc_id % 10 < 9 THEN 'mid'
+         |         ELSE 'small' END AS source
+         |  FROM documents),
+         |c AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+         |mn AS (SELECT min(n) AS nmin FROM c),
+         |r AS (SELECT source,
+         |    sqrt(CAST(mn.nmin AS DOUBLE)) / sqrt(CAST(c.n AS DOUBLE)) AS r
+         |  FROM c, mn),
+         |h AS (SELECT doc_id, source,
+         |    CAST((${saltedHashSql("temp")}) >> 11 AS DOUBLE)
+         |      / 9007199254740992.0 AS u
+         |  FROM d)
+         |SELECT h.doc_id, h.source FROM h JOIN r USING (source)
+         |WHERE h.u < r.r ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" -> stratifiedSampleOracle,
     "q_contamination" -> contaminationOracle,
     "q_bm25" -> bm25Oracle,

@@ -113,6 +113,43 @@ object Splits {
       col(sourceCol).cast("string"), h, thresholds))
   }
 
+  /** TEMPERATURE-scaled mixture sampling at α = 1/2 — the data-balancing
+    * step of multilingual/multi-source training (mT5 / Raffel et al.
+    * 2020 §3.4.3 shape): where [[mixtureSample]] takes CONFIGURED rates,
+    * this derives them from the observed source sizes so low-resource
+    * sources are upweighted relative to proportional sampling. Keep-rate
+    *
+    *   r_s = sqrt(n_min) / sqrt(n_s)
+    *
+    * (smallest source kept fully; expected kept ∝ sqrt(n_s)). α is fixed
+    * at 1/2 ON PURPOSE: sqrt is the one fractional power IEEE 754
+    * requires correctly rounded, so both engines derive bit-identical
+    * rates — pow(x, α) for general α is libm-dependent and would break
+    * the oracle contract. The row gate compares the salted-hash uniform
+    * u = (hash >>> 11) / 2^53 (53 exact bits) against r_s — no rounding
+    * anywhere, identical keeps on any engine.
+    *
+    * Shape: one map-side-combined count per source, a one-row min
+    * broadcast (the scalar-attach shape), a source-keyed rate join
+    * (source-scale, Catalyst broadcasts it when small), then a narrow
+    * filter. Rows with a NULL source are dropped (a mixture definition
+    * is exhaustive by intent — the [[mixtureSample]] convention). */
+  def temperatureSample(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id", salt: String = "temp"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val minDf = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(minDf))
+      .select(col(sourceCol),
+        (sqrt(col("__nmin").cast("double")) / sqrt(col("__n").cast("double")))
+          .as("__r"))
+    val u = shiftrightunsigned(hashCol(docs, salt, idCol), 11).cast("double") /
+      lit(9007199254740992.0) // 2^53
+    docs.withColumn("__u", u)
+      .join(rates, Seq(sourceCol))
+      .filter(col("__u") < col("__r"))
+      .drop("__u", "__r")
+  }
+
   /** Deterministic EPOCH ORDERING — the reproducible global shuffle a
     * training run needs: every doc gets a contiguous 0-based position in
     * salted-hash order, so the data order of an epoch is (a) effectively

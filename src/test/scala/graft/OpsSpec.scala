@@ -1382,6 +1382,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("temperature sample: smallest source kept fully, sqrt-scaled keeps, partition invariant, null source dropped") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i % 10 < 6) "big" else if (i % 10 < 9) "mid" else "small"))
+      .toDF("doc_id", "source")
+    def run(parts: Int) = graft.ops.Splits
+      .temperatureSample(docs.repartition(parts))
+      .select($"doc_id").as[Long].collect().toSet
+    val got = run(1)
+    assert(run(7) == got, "partition count changed the sample")
+    val kept = docs.filter($"doc_id".isin(got.toSeq: _*))
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 100L) // n_min source: rate exactly 1.0
+    // expected keeps: 600/√6 ≈ 245, 300/√3 ≈ 173 — allow hash noise
+    assert(math.abs(kept("big") - 600 / math.sqrt(6)) < 60, kept("big"))
+    assert(math.abs(kept("mid") - 300 / math.sqrt(3)) < 50, kept("mid"))
+    // a null source never survives the rate join
+    val withNull = docs.unionByName(
+      Seq((5000L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    assert(graft.ops.Splits.temperatureSample(withNull)
+      .filter($"doc_id" === 5000L).count() == 0L)
+  }
+
   test("anchor texts: entities, inner markup, auto-close, unclosed dropped, relative/empty filtered") {
     import spark.implicits._
     val html =
