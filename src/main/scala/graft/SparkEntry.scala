@@ -897,6 +897,18 @@ object SparkEntry {
     graft.ops.Splits.mixtureSample(t(s, dir, "documents"), MixtureRates)
       .select(col("doc_id"), col("source"))
 
+  /** Split-leakage scrub over the q_minhash_lsh planted union: echoes of
+    * every 10th doc guarantee cross-split near-dup pairs, whose train
+    * sides must drop while test sides and clean train docs survive. */
+  private def qLeakageScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup copy")).as("text"))
+    graft.ops.Dedup.splitLeakageScrub(d.unionByName(planted))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-scaled (α = 1/2) mixture sampling over a PLANTED skewed
     * source split (60/30/10 — the parquet sources are uniform, which
     * would make every rate 1.0 and the oracle vacuous): big is kept at
@@ -1316,6 +1328,7 @@ object SparkEntry {
     "q_hash_sample"      -> qHashSample _,
     "q_mixture_sample"   -> qMixtureSample _,
     "q_temp_sample"      -> qTempSample _,
+    "q_leakage_scrub"    -> qLeakageScrub _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_contamination"    -> qContamination _,
     "q_bm25"             -> qBm25 _,
@@ -1783,6 +1796,27 @@ object SparkEntry {
     * verify — replicated with exact wrapping integer arithmetic. ~16 s in
     * DuckDB at sf0.01 (17M mix64 rows) — the one slow oracle, but every
     * stage is bit-exact. */
+  /** Self-join candidate + exact-Jaccard verify CTEs over [[lshKeyCtes]]'
+    * `keys`/`shl` — ends at `jac(id_a, id_b, j)`. ONE definition shared
+    * by q_minhash_lsh and q_leakage_scrub. */
+  private def lshPairVerifyCtes: String =
+    """cand AS (
+      |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+      |  FROM keys a JOIN keys b2 ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+      |  GROUP BY 1, 2),
+      |ver AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_intersect(sa.shs, sb.shs)) AS inter,
+      |    len(sa.shs) AS na, len(sb.shs) AS nb
+      |  FROM cand c
+      |  JOIN shl sa ON sa.doc_id = c.id_a
+      |  JOIN shl sb ON sb.doc_id = c.id_b),
+      |jac AS (
+      |  SELECT id_a, id_b,
+      |    CASE WHEN na = 0 AND nb = 0 THEN 1.0
+      |         ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS j
+      |  FROM ver)""".stripMargin
+
   private def minhashLshOracle: String = {
     val base =
       """  SELECT doc_id, text FROM documents
@@ -1790,24 +1824,40 @@ object SparkEntry {
         |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup copy' AS text
         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
     s"""WITH ${margined(lshKeyCtes(base))},
-       |cand AS (
-       |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
-       |  FROM keys a JOIN keys b2 ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
-       |  GROUP BY 1, 2),
-       |ver AS (
-       |  SELECT c.id_a, c.id_b,
-       |    len(list_intersect(sa.shs, sb.shs)) AS inter,
-       |    len(sa.shs) AS na, len(sb.shs) AS nb
-       |  FROM cand c
-       |  JOIN shl sa ON sa.doc_id = c.id_a
-       |  JOIN shl sb ON sb.doc_id = c.id_b),
-       |jac AS (
-       |  SELECT id_a, id_b,
-       |    CASE WHEN na = 0 AND nb = 0 THEN 1.0
-       |         ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS j
-       |  FROM ver)
+       |${margined(lshPairVerifyCtes)}
        |SELECT id_a, id_b, round(j, 4) AS jaccard
        |FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q_leakage_scrub oracle: the shared LSH pair pipeline over the
+    * planted union, the q_train_split hash-threshold assignment at
+    * 0.9/0.1, and the cross-split leak rule in plain SQL. */
+  private def leakageScrubOracle: String = {
+    val thr = graft.ops.Splits.splitThresholds(Seq(0.9, 0.1)).head
+    val base =
+      """  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup copy' AS text
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+    s"""WITH ${margined(lshKeyCtes(base))},
+       |${margined(lshPairVerifyCtes)},
+       |pairs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN ${saltedHashSql("split")} < CAST('$thr' AS UBIGINT)
+       |         THEN 'train' ELSE 'test' END AS split
+       |  FROM base),
+       |leaky AS (
+       |  SELECT p.id_a AS doc_id FROM pairs p
+       |  JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b
+       |  WHERE a.split = 'train' AND b.split = 'test'
+       |  UNION
+       |  SELECT p.id_b FROM pairs p
+       |  JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b
+       |  WHERE a.split = 'test' AND b.split = 'train')
+       |SELECT s.doc_id, s.split,
+       |  (s.split <> 'train' OR l.doc_id IS NULL) AS kept
+       |FROM sp s LEFT JOIN leaky l ON l.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
   }
 
   /** q_incremental_neardup oracle: the same [[lshKeyCtes]] pipeline over
@@ -2734,6 +2784,7 @@ object SparkEntry {
     "q_train_split" -> trainSplitOracle,
     "q_hash_sample" -> hashSampleOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
+    "q_leakage_scrub" -> leakageScrubOracle,
     // identical salted-hash uniform (>> 11 / 2^53) and sqrt-rate
     // derivation — sqrt is IEEE-correctly-rounded on both engines
     "q_temp_sample" ->

@@ -896,4 +896,44 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
   }
+
+  /** Split-LEAKAGE scrub — benchmark decontamination applied to an
+    * INTERNAL train/test split (the GPT-3 appendix-C discipline): any
+    * train doc that is a verified near-duplicate of a test doc is
+    * dropped from train, so eval numbers measure generalization rather
+    * than memorized echoes. The test side stays untouched — it is the
+    * measurement. Output: (idCol, split, kept) for every row; kept is
+    * false only on leaky train docs.
+    *
+    * Shape at 100 TB: the split is a narrow salted-hash assignment
+    * ([[Splits.hashSplit]]); near-dup pairs come from [[minhashLsh]]
+    * (banded candidates, hashed-shingle verify — text never crosses a
+    * shuffle); pairs are pair-scale and join the split assignment on
+    * the id key twice; the leak set joins back on id. No stage touches
+    * corpus text beyond the one shingling pass minhashLsh already does. */
+  def splitLeakageScrub(docs: DataFrame, threshold: Double = 0.5,
+      trainWeight: Double = 0.9, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(trainWeight > 0.0 && trainWeight < 1.0,
+      s"trainWeight must be in (0,1), got $trainWeight")
+    val split = CheckpointScratch.ckpt(
+      Splits.hashSplit(docs, idCol, Seq(trainWeight, 1.0 - trainWeight),
+          Seq("train", "test"))
+        .select(col(idCol).cast("long").as(idCol), col("split")))
+    val pairs = minhashLsh(docs, threshold, idCol = idCol, textCol = textCol)
+      .select(col("id_a"), col("id_b"))
+    val withSplits = pairs
+      .join(split.select(col(idCol).as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(split.select(col(idCol).as("id_b"), col("split").as("sb")), Seq("id_b"))
+    val leaky = withSplits
+      .filter(col("sa") === "train" && col("sb") === "test")
+      .select(col("id_a").as(idCol))
+      .unionByName(withSplits
+        .filter(col("sa") === "test" && col("sb") === "train")
+        .select(col("id_b").as(idCol)))
+      .distinct()
+    split.join(leaky.withColumn("__lk", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("split"),
+        (col("split") =!= "train" || col("__lk").isNull).as("kept"))
+  }
 }

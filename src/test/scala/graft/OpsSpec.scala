@@ -1382,6 +1382,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("split leakage scrub: leaky train docs dropped, test untouched, clean train kept") {
+    import spark.implicits._
+    // long distinct texts; docs 1/2 are near-dups of each other, 3/4 clean
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"),
+      (3L, (1 to 60).map(i => s"x$i").mkString(" ")),
+      (4L, (1 to 60).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text")
+    // drive the split so docs 1(train) and 2(test) make a leaky pair:
+    // scan trainWeight candidates until the hash split lands that way
+    val w = Seq(0.3, 0.5, 0.7, 0.9).find { tw =>
+      val sp = graft.ops.Splits.hashSplit(docs, "doc_id", Seq(tw, 1.0 - tw),
+        Seq("train", "test")).select($"doc_id", $"split")
+        .as[(Long, String)].collect().toMap
+      sp(1L) == "train" && sp(2L) == "test"
+    }
+    assume(w.isDefined, "no weight puts 1/2 across the split — adjust fixture")
+    val out = graft.ops.Dedup.splitLeakageScrub(docs, threshold = 0.5,
+        trainWeight = w.get)
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    val m = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == (("train", false)), s"leaky train doc must drop: $m")
+    assert(m(2L)._1 == "test" && m(2L)._2, "test side untouched")
+    assert(m(3L)._2 && m(4L)._2, "clean docs kept regardless of split")
+  }
+
   test("temperature sample: smallest source kept fully, sqrt-scaled keeps, partition invariant, null source dropped") {
     import spark.implicits._
     val docs = (0L until 1000L).map(i =>
