@@ -897,6 +897,31 @@ object SparkEntry {
     graft.ops.Splits.mixtureSample(t(s, dir, "documents"), MixtureRates)
       .select(col("doc_id"), col("source"))
 
+  /** Sitemap frontier extraction over planted bodies: urlset docs carry
+    * one entity-escaped loc + lastmod and one CDATA loc without lastmod
+    * (plus a comment); every 10th doc is a sitemapindex instead. The
+    * oracle rebuilds the decoded entries — a scanner misread (entity,
+    * CDATA, container scoping) diverges. */
+  private def qSitemap(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val k = pmod(col("doc_id"), lit(7L))
+    val body = when(pmod(col("doc_id"), lit(10L)) === 0L,
+      concat(lit("<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\"><sitemap><loc>https://h"),
+        k, lit(".example.com/sitemap"), col("doc_id"),
+        lit(".xml.gz</loc></sitemap></sitemapindex>")))
+      .otherwise(concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>https://h"), k,
+        lit(".example.com/p/"), col("doc_id"),
+        lit("?a=1&amp;b=2</loc><lastmod>2024-01-0"),
+        pmod(col("doc_id"), lit(9L)) + 1L,
+        lit("</lastmod></url><!-- c --><url><loc><![CDATA[https://h"), k,
+        lit(".example.com/q/"), col("doc_id"),
+        lit("]]></loc></url></urlset>")))
+    graft.sources.Sitemap.sitemapEntries(
+      d.select(col("doc_id").cast("string").as("sid"), body.as("body")))
+      .orderBy(col("sid"), col("loc"))
+  }
+
   /** Split-leakage scrub over the q_minhash_lsh planted union: echoes of
     * every 10th doc guarantee cross-split near-dup pairs, whose train
     * sides must drop while test sides and clean train docs survive. */
@@ -1329,6 +1354,7 @@ object SparkEntry {
     "q_mixture_sample"   -> qMixtureSample _,
     "q_temp_sample"      -> qTempSample _,
     "q_leakage_scrub"    -> qLeakageScrub _,
+    "q_sitemap"          -> qSitemap _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_contamination"    -> qContamination _,
     "q_bm25"             -> qBm25 _,
@@ -1571,12 +1597,17 @@ object SparkEntry {
   private def kmeansCtes(src: String, k: Int, iters: Int): String = {
     def fold(v: String, key: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list($v ORDER BY $key)), (a, b) -> a + b)"
+    // every multiply-referenced CTE is MATERIALIZED: DuckDB otherwise
+    // re-evaluates the whole upstream chain per reference, which is
+    // exponential across the unrolled iterations (observed: 80 s for
+    // the 2-iter chain and an OOM once the semdedup pair stage stacked
+    // on top at sf0.1)
     val iterCtes = (1 to iters).map { i =>
       val prev = s"cent${i - 1}"
-      s"""cw$i AS (SELECT cell, ${fold("w * w", "d")} AS ww FROM $prev GROUP BY cell),
-         |dt$i AS (SELECT em.vec_id, ct.cell, ${fold("em.x * ct.w", "em.d")} AS dot
+      s"""cw$i AS MATERIALIZED (SELECT cell, ${fold("w * w", "d")} AS ww FROM $prev GROUP BY cell),
+         |dt$i AS MATERIALIZED (SELECT em.vec_id, ct.cell, ${fold("em.x * ct.w", "em.d")} AS dot
          |  FROM em JOIN $prev ct ON ct.d = em.d GROUP BY em.vec_id, ct.cell),
-         |as$i AS (SELECT vec_id, cell FROM (
+         |as$i AS MATERIALIZED (SELECT vec_id, cell FROM (
          |    SELECT dt.vec_id, dt.cell, row_number() OVER (PARTITION BY dt.vec_id
          |        ORDER BY dt.dot / (sqrt(ev.vv) * sqrt(cw.ww)) DESC, dt.cell) AS rn
          |    FROM dt$i dt JOIN evv ev ON ev.vec_id = dt.vec_id
@@ -1585,16 +1616,16 @@ object SparkEntry {
          |  FROM as$i a JOIN em ON em.vec_id = a.vec_id GROUP BY a.cell, em.d, bk),
          |t$i AS (SELECT cell, d, ${fold("s", "bk")} AS s FROM l$i GROUP BY cell, d),
          |n$i AS (SELECT cell, count(*) AS n FROM as$i GROUP BY cell),
-         |cent$i AS (SELECT c.cell, c.d,
+         |cent$i AS MATERIALIZED (SELECT c.cell, c.d,
          |    CASE WHEN n.n IS NULL THEN c.w ELSE t.s / CAST(n.n AS DOUBLE) END AS w
          |  FROM $prev c LEFT JOIN t$i t ON t.cell = c.cell AND t.d = c.d
          |  LEFT JOIN n$i n ON n.cell = c.cell)""".stripMargin
     }.mkString(",\n")
     val last = s"cent$iters"
-    s"""em AS (SELECT vec_id, i.i AS d, CAST(embedding[i.i] AS DOUBLE) AS x
+    s"""em AS MATERIALIZED (SELECT vec_id, i.i AS d, CAST(embedding[i.i] AS DOUBLE) AS x
        |  FROM $src, generate_series(1, 64) i(i)),
-       |evv AS (SELECT vec_id, ${fold("x * x", "d")} AS vv FROM em GROUP BY vec_id),
-       |cent0 AS (SELECT c.cell, em.d, em.x AS w
+       |evv AS MATERIALIZED (SELECT vec_id, ${fold("x * x", "d")} AS vv FROM em GROUP BY vec_id),
+       |cent0 AS MATERIALIZED (SELECT c.cell, em.d, em.x AS w
        |  FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
        |        FROM $src ORDER BY vec_id LIMIT $k) c
        |  JOIN em ON em.vec_id = c.vec_id),
@@ -1602,7 +1633,7 @@ object SparkEntry {
        |fcw AS (SELECT cell, ${fold("w * w", "d")} AS ww FROM $last GROUP BY cell),
        |fdt AS (SELECT em.vec_id, ct.cell, ${fold("em.x * ct.w", "em.d")} AS dot
        |  FROM em JOIN $last ct ON ct.d = em.d GROUP BY em.vec_id, ct.cell),
-       |fin AS (SELECT vec_id, cell, cos FROM (
+       |fin AS MATERIALIZED (SELECT vec_id, cell, cos FROM (
        |    SELECT dt.vec_id, dt.cell, dt.dot / (sqrt(ev.vv) * sqrt(cw.ww)) AS cos,
        |      row_number() OVER (PARTITION BY dt.vec_id ORDER BY
        |        dt.dot / (sqrt(ev.vv) * sqrt(cw.ww)) DESC, dt.cell) AS rn
@@ -1630,15 +1661,19 @@ object SparkEntry {
        |inp AS (SELECT vec_id, embedding FROM embeddings
        |        UNION ALL SELECT vec_id, embedding FROM planted),
        |${kmeansCtes("inp", 8, 2)},
-       |rnk AS (SELECT vec_id, cell, cos,
+       |rnk AS MATERIALIZED (SELECT vec_id, cell, cos,
        |    row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id) AS rnk
        |  FROM fin),
        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM rnk a JOIN rnk b ON a.cell = b.cell AND a.rnk < b.rnk),
-       |pd AS (SELECT p.id_a, p.id_b, ${fold("ea.x * eb.x", "ea.d")} AS dot
-       |  FROM pr p JOIN em ea ON ea.vec_id = p.id_a
-       |  JOIN em eb ON eb.vec_id = p.id_b AND eb.d = ea.d
-       |  GROUP BY p.id_a, p.id_b),
+       |xl AS MATERIALIZED (SELECT vec_id, list(x ORDER BY d) AS xs
+       |  FROM em GROUP BY vec_id),
+       |pd AS (SELECT p.id_a, p.id_b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65), i -> a.xs[i] * b.xs[i])),
+       |      (s, v) -> s + v) AS dot
+       |  FROM pr p JOIN xl a ON a.vec_id = p.id_a
+       |  JOIN xl b ON b.vec_id = p.id_b),
        |rm AS (SELECT DISTINCT pd.id_b AS vec_id
        |  FROM pd JOIN evv va ON va.vec_id = pd.id_a
        |  JOIN evv vb ON vb.vec_id = pd.id_b
@@ -2785,6 +2820,25 @@ object SparkEntry {
     "q_hash_sample" -> hashSampleOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
     "q_leakage_scrub" -> leakageScrubOracle,
+    "q_sitemap" ->
+      """WITH e AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS sid, 'sitemap' AS kind,
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/sitemap'
+        |      || CAST(doc_id AS VARCHAR) || '.xml.gz' AS loc,
+        |    '' AS lastmod
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'url',
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+        |      || CAST(doc_id AS VARCHAR) || '?a=1&b=2',
+        |    '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'url',
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/q/'
+        |      || CAST(doc_id AS VARCHAR), ''
+        |  FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT sid, kind, loc, lastmod FROM e ORDER BY sid, loc""".stripMargin,
     // identical salted-hash uniform (>> 11 / 2^53) and sqrt-rate
     // derivation — sqrt is IEEE-correctly-rounded on both engines
     "q_temp_sample" ->

@@ -70,7 +70,7 @@ object XbrlInstance {
   /** Position of the '>' ending the tag that starts at `from`, skipping
     * '>' characters inside quoted attribute values (legal XML:
     * title="a > b"). Returns -1 when the tag never closes. */
-  private def tagEnd(xml: String, from: Int): Int = {
+  private[sources] def tagEnd(xml: String, from: Int): Int = {
     var i = from
     val n = xml.length
     while (i < n) {
@@ -88,7 +88,7 @@ object XbrlInstance {
     * tag's '>'), merged across comments and CDATA like ElementTree's
     * parser does, with entities decoded; stops at the first real child or
     * closing tag. */
-  private def immediateText(xml: String, from: Int): String = {
+  private[sources] def immediateText(xml: String, from: Int): String = {
     val n = xml.length
     val sb = new java.lang.StringBuilder()
     var i = from

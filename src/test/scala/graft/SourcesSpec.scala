@@ -228,4 +228,27 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("url", "text").as[(String, String)].collect().toMap
     assert(viaWarc.size == n && viaWarc == viaDirect) // byte-identical per url
   }
+
+  test("sitemap: urlset + index entries, entities, CDATA, comments, scoping, hostile input") {
+    import graft.sources.Sitemap.{parseEntries, Entry}
+    val urlset =
+      """<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://a.com/p?x=1&amp;y=2</loc><lastmod>2024-02-01</lastmod></url>
+        |<!-- comment --><url><loc><![CDATA[https://a.com/q]]></loc></url>
+        |<loc>https://outside.example/ignored</loc>
+        |<url/><url><lastmod>2024-01-01</lastmod></url></urlset>""".stripMargin
+    assert(parseEntries(urlset) == Vector(
+      Entry("url", "https://a.com/p?x=1&y=2", "2024-02-01"),
+      Entry("url", "https://a.com/q", ""))) // no-loc and self-closing url drop
+    val index =
+      """<sitemapindex><sitemap><loc>https://a.com/s1.xml.gz</loc>
+        |<lastmod>2024-03-01</lastmod></sitemap>
+        |<ns:sitemap><ns:loc> https://a.com/s2.xml </ns:loc></ns:sitemap></sitemapindex>""".stripMargin
+    assert(parseEntries(index) == Vector(
+      Entry("sitemap", "https://a.com/s1.xml.gz", "2024-03-01"),
+      Entry("sitemap", "https://a.com/s2.xml", ""))) // prefixes drop, loc trims
+    // hostile: truncated tag, binary noise, unclosed container — no throw
+    assert(parseEntries("<urlset><url><loc>https://x").isEmpty)
+    assert(parseEntries("  not xml at all").isEmpty)
+  }
 }
