@@ -342,4 +342,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = (1L to 6L).sortBy(hu).take(4).map(_ * 10.0)
     assert(got("a") == want, s"got ${got("a")} want $want")
   }
+
+  test("classifier gate streams via foreachBatch: static model table, positives append exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the quality-gate deployment shape: score each crawl micro-batch
+    // against a FIXED model table, keep positives. foreachBatch because
+    // the per-doc fold is an aggregation over the batch's token stream.
+    val model = Seq(("good", 0.5), ("bad", -0.25)).toDF("tok", "w")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val scored = graft.ops.Classifier.linearScore(batch, model, bias = -0.1)
+        kept.synchronized {
+          kept ++= scored.filter(org.apache.spark.sql.functions.col("positive"))
+            .select($"doc_id", $"score").as[(Long, Double)].collect()
+        }
+        ()
+      }
+      .start()
+    stream.addData((1L, "good good"), (2L, "bad good meh"))
+    q.processAllAvailable()
+    stream.addData((3L, "good"), (4L, "meh"))
+    q.processAllAvailable()
+    q.stop()
+    // doc1: 1.0/2-0.1=0.4; doc2: 0.25/3-0.1<0; doc3: 0.5-0.1=0.4; doc4: -0.1
+    assert(kept.sortBy(_._1).toSeq == Seq((1L, 0.4), (3L, 0.4)),
+      kept.mkString(", "))
+  }
 }
