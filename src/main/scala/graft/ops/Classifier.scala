@@ -55,7 +55,9 @@ object Classifier {
           transform(array_sort(collect_list(struct(col("pos"), col("w")))),
             x => x.getField("w")),
           lit(0.0), (acc, x) => acc + x).as("wsum"))
-    docs.select(col(idCol).cast("long").as("sid")).distinct()
+    // ids are unique by contract — a distinct() here would pay a full
+    // corpus shuffle AND diverge from the oracle on (invalid) dup ids
+    docs.select(col(idCol).cast("long").as("sid"))
       .join(perDoc, Seq("sid"), "left")
       .select(col("sid").as(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

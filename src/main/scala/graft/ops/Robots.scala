@@ -45,7 +45,7 @@ object Robots {
       if (line.nonEmpty) {
         val ci = line.indexOf(':')
         if (ci > 0) {
-          val key = line.substring(0, ci).trim.toLowerCase
+          val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
           val value = line.substring(ci + 1).trim
           key match {
             case "user-agent" =>

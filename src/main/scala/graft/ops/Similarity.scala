@@ -227,7 +227,9 @@ object Similarity {
     require(seeds.length == k, s"need >= $k vectors to seed k-means, got ${seeds.length}")
     var cents = seeds
     for (_ <- 1 to iters) {
-      val assigned = assignCell(e, cents)
+      // checkpoint: the frame feeds TWO actions (sums + counts) — uncached
+      // it would run the k×N cosine pass twice per iteration (review)
+      val assigned = CheckpointScratch.ckpt(assignCell(e, cents))
       val comp = assigned
         .select(col("cell"), col("vec_id"),
           posexplode(col("v")).as(Seq("d", "x")))
@@ -247,6 +249,7 @@ object Similarity {
       cents = Array.tabulate(k)(c =>
         if (cntArr(c) == 0L) cents(c)
         else Array.tabulate(dim)(d => sumArr(c)(d) / cntArr(c).toDouble))
+      CheckpointScratch.drop(assigned)
     }
     CheckpointScratch.drop(e)
     cents

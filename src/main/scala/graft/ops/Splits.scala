@@ -136,7 +136,10 @@ object Splits {
     * is exhaustive by intent — the [[mixtureSample]] convention). */
   def temperatureSample(docs: DataFrame, sourceCol: String = "source",
       idCol: String = "doc_id", salt: String = "temp"): DataFrame = {
-    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    // NULL sources are dropped BEFORE counting: a stray null group would
+    // otherwise enter the min and silently collapse every rate (review)
+    val counts = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
     val minDf = counts.agg(min(col("__n")).as("__nmin"))
     val rates = counts.crossJoin(broadcast(minDf))
       .select(col(sourceCol),

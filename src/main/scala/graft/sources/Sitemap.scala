@@ -75,7 +75,7 @@ object Sitemap {
 
   private def local(tag: String): String = {
     val t = tag.substring(tag.indexOf(':') + 1)
-    t.toLowerCase
+    t.toLowerCase(java.util.Locale.ROOT) // locale-proof (Turkish dotless i)
   }
 
   /** Distributed form: per-body frontier entries, keyed by the caller's

@@ -1424,11 +1424,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // expected keeps: 600/√6 ≈ 245, 300/√3 ≈ 173 — allow hash noise
     assert(math.abs(kept("big") - 600 / math.sqrt(6)) < 60, kept("big"))
     assert(math.abs(kept("mid") - 300 / math.sqrt(3)) < 50, kept("mid"))
-    // a null source never survives the rate join
+    // a null source never survives — AND never enters the rate
+    // derivation (a null group of size 1 would otherwise become n_min
+    // and collapse every rate ~10x — review finding)
     val withNull = docs.unionByName(
       Seq((5000L, null.asInstanceOf[String])).toDF("doc_id", "source"))
-    assert(graft.ops.Splits.temperatureSample(withNull)
-      .filter($"doc_id" === 5000L).count() == 0L)
+    val nullRun = graft.ops.Splits.temperatureSample(withNull)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!nullRun.contains(5000L))
+    assert(nullRun == got, "a null row must not perturb the derived rates")
   }
 
   test("anchor texts: entities, inner markup, auto-close, unclosed dropped, relative/empty filtered") {
