@@ -304,16 +304,18 @@ object Similarity {
     val cents = kmeansCentroids(embeddings, k, iters, dim, foldBuckets)
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").as("v"))
-    val assigned = CheckpointScratch.ckpt(
-      assignCell(e, cents).withColumn("rnk",
-        row_number().over(Window.partitionBy(col("cell"))
-          .orderBy(col("cos").desc, col("vec_id")))))
-    val a = assigned.select(col("cell"), col("rnk").as("rnk_a"),
+    val assigned = CheckpointScratch.ckpt(assignCell(e, cents))
+    // precedence = the (cos-to-centroid DESC, vec_id ASC) order, applied
+    // DIRECTLY in the pair condition — no Window ever sorts a whole cell
+    // in one task; a mega-cell stays a hash join + narrow filter
+    val a = assigned.select(col("cell"), col("cos").as("cos_a"),
       col("vec_id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cell"), col("rnk").as("rnk_b"),
+    val b = assigned.select(col("cell"), col("cos").as("cos_b"),
       col("vec_id").as("id_b"), col("v").as("vb"))
+    val earlier = col("cos_a") > col("cos_b") ||
+      (col("cos_a") === col("cos_b") && col("id_a") < col("id_b"))
     val removed = a.join(b, Seq("cell"))
-      .filter(col("rnk_a") < col("rnk_b"))
+      .filter(earlier)
       .filter(round(cosine(col("va"), col("vb")), 4) >= eps)
       .select(col("id_b").as("vec_id")).distinct()
     assigned.join(removed.withColumn("rm", lit(true)), Seq("vec_id"), "left")

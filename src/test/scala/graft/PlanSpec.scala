@@ -359,12 +359,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_max") || p.contains("functions=[partial"), p.take(2000))
   }
 
-  test("semDedup candidate pairs join on the cell key — never a cartesian") {
+  test("semDedup candidate pairs join on the cell key — never a cartesian, never a per-cell window") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.ops.Similarity.semDedup(e, eps = 0.95, k = 4,
       iters = 1, dim = 64), "simple")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    // precedence rides the join condition — a Window would put a
+    // mega-cell's whole sort in one task
+    assert(!p.contains("Window"), p.take(2000))
   }
 
   test("context windows: range exchange from the prefix sum, never SinglePartition") {
