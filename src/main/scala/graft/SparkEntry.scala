@@ -1127,6 +1127,12 @@ object SparkEntry {
     graft.ops.Robots.robotsGate(pages, rules).orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking over the documents table: anchor tokens
+    * (hash band 1/8) close chunks — variable-size, insertion-robust. */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.cdcChunks(t(s, dir, "documents"), mask = 7)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Z-order clustering key over a derived (host-bucket, ts-bucket)
     * pair — the multi-dim layout sort key (graft_zvalue is the native
     * Morton interleave; the pruning evidence lives in OpsSpec). */
@@ -1373,6 +1379,7 @@ object SparkEntry {
     "q_line_dedup"       -> qLineDedup _,
     "q_chunks"           -> qChunks _,
     "q_ctx_windows"      -> qCtxWindows _,
+    "q_cdc_chunks"       -> qCdcChunks _,
     "q_zvalue"           -> qZValue _,
     "q_robots_gate"      -> qRobotsGate _,
     "q_anchor_text"      -> qAnchorText _,
@@ -2925,6 +2932,28 @@ object SparkEntry {
         |SELECT p.doc_id, 'https://' || p.host || p.path AS url,
         |  COALESCE(w.is_allow, TRUE) AS allowed
         |FROM pages p LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_cdc_chunks" -> {
+      // identical signed mix64∘fnv1a anchor band; pos is 1-based here
+      // (the dsir idiom) vs the engine's 0-based posexplode → min-1
+      val sg = signedSql(mix64Sql(s"list_transform([tok], w -> $fnvWordSql)[1]"))
+      s"""WITH words AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+         |      x -> length(x) > 0) AS ws FROM documents),
+         |st AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+         |      i -> {'pos': i, 'tok': ws[i]})) AS t FROM words),
+         |s2 AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM st),
+         |an AS (SELECT doc_id, pos,
+         |    CASE WHEN (($sg % 8) + 8) % 8 = 0 THEN 1 ELSE 0 END AS a
+         |  FROM s2),
+         |cx AS (SELECT doc_id, pos,
+         |    CAST(COALESCE(SUM(a) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ci
+         |  FROM an)
+         |SELECT doc_id, ci AS chunk_idx,
+         |  CAST(min(pos) - 1 AS BIGINT) AS start_tok,
+         |  CAST(count(*) AS BIGINT) AS n_toks
+         |FROM cx GROUP BY doc_id, ci ORDER BY doc_id, ci""".stripMargin
+    },
     "q_zvalue" -> {
       // the Morton interleave unrolled as pure BIGINT bit arithmetic
       val terms = (0 until 6).flatMap(b => Seq(

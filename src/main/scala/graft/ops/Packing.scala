@@ -147,6 +147,44 @@ object Packing {
           - greatest(col("offset"), col("win_id") * L)).as("n_take"))
   }
 
+  /** CONTENT-DEFINED chunking (the CDC idea of Muthitacharoen et al.
+    * 2001 "A low-bandwidth network file system", at token granularity):
+    * a token is an ANCHOR when its hash lands in a 1/(mask+1) band, and
+    * every anchor closes its chunk. Boundaries depend only on LOCAL
+    * content, so an insertion re-syncs at the next anchor and leaves
+    * all later chunks byte-identical — the property that makes
+    * variable-size chunks dedup-friendly where fixed windows
+    * ([[contextWindows]]) shift everything downstream.
+    *
+    * Output: (idCol, chunk_idx, start_tok, n_toks) — 0-based token
+    * offsets, expected chunk length mask+1. Pure integer/hash
+    * arithmetic (mix64∘fnv1a per token, exact pmod band). Shape: one
+    * narrow tokenize+flag pass; the running anchor count is a per-DOC
+    * window (state bounded by doc length — the LM-fold class, never a
+    * corpus-wide sort); one hash aggregation per (doc, chunk). */
+  def cdcChunks(docs: DataFrame, mask: Int = 63, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(mask >= 0, s"mask must be >= 0, got $mask")
+    graft.functions.functions.register(docs.sparkSession)
+    import graft.functions.functions.{graft_fnv1a64, graft_mix64}
+    val stream = docs.select(col(idCol).cast("long").as("sid"),
+      posexplode(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+        w => length(w) > 0)).as(Seq("pos", "tok")))
+    val flagged = stream.withColumn("anchor",
+      pmod(graft_mix64(graft_fnv1a64(col("tok"))), lit(mask.toLong + 1L)) === 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk_idx",
+        coalesce(sum(when(col("anchor"), 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy(col("sid"), col("chunk_idx"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        count(lit(1)).as("n_toks"))
+      .select(col("sid").as(idCol), col("chunk_idx"),
+        col("start_tok"), col("n_toks"))
+  }
+
   /** Bin-level utilization summary: (groupCol, shard_id, bin_id, n_docs,
     * used, fill_frac) — the packing-efficiency report a data loader
     * wants, keyed by the full bin identity. */

@@ -1531,6 +1531,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(xy == xs.length, "x-sorted files should all span the full y range")
   }
 
+  test("cdc chunks: anchors close chunks, insertion re-syncs at the next anchor (the CDC property)") {
+    import spark.implicits._
+    import graft.ops.Dedup.{fnv1a, mix64}
+    val toks = (1 to 60).map(i => s"t$i")
+    def anchor(t: String) = java.lang.Math.floorMod(mix64(fnv1a(t)), 4L) == 0L
+    assume(toks.exists(anchor) && toks.count(anchor) >= 4, "fixture needs anchors")
+    def chunksOf(words: Seq[String]) = graft.ops.Packing
+      .cdcChunks(Seq((1L, words.mkString(" "))).toDF("doc_id", "text"), mask = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+      .map(r => (r._3, r._4)).toSeq
+    val base = chunksOf(toks)
+    // sequential reference: chunk lengths from the anchor flags
+    val refLens = toks.foldLeft(Vector(0L)) { (acc, t) =>
+      val upd = acc.updated(acc.length - 1, acc.last + 1)
+      if (anchor(t)) upd :+ 0L else upd
+    }.filter(_ > 0L)
+    assert(base.map(_._2) == refLens)
+    assert(base.map(_._1) == refLens.scanLeft(0L)(_ + _).init) // starts = prefix sums
+    // CDC property: one token inserted at the front shifts starts by 1
+    // but every chunk AFTER the first anchor keeps its length sequence
+    val shifted = chunksOf("INSERTED" +: toks)
+    assume(!anchor("INSERTED"))
+    assert(shifted.map(_._2).tail == base.map(_._2).tail,
+      "chunks after the first boundary must re-sync")
+    // empty / null text → no chunks
+    assert(graft.ops.Packing.cdcChunks(
+      Seq((2L, ""), (3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      mask = 3).count() == 0L)
+  }
+
   test("context windows: hand-computed split pieces, coverage exact, partition invariant") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, ""), (4L, "f g h i"))
