@@ -298,4 +298,24 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Robots.robotsGate(urls, rules)
         .agg(sum(when(col("allowed"), 0L).otherwise(1L))).head().getLong(0))
   }
+
+  ignore("round-7 session-3b: semDedup pair stage and CDC chunking at scale (opt-in probe)") {
+    graft.functions.functions.register(spark)
+    val parts = Runtime.getRuntime.availableProcessors() * 4
+    // 50k 64-d vectors over k=64 cells (~780/cell → ~19M windowless
+    // within-cell pairs through the native cosine filter)
+    val embs = spark.range(0L, 50000L, 1L, parts)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(graft.functions.functions.graft_mix64(
+            col("id") * 64 + d.cast("long")), lit(2001L)) - 1000L)
+            .cast("double") / lit(1024.0)).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    timed("semDedup 50k × 64d, k=64 (~19M pairs)")(
+      graft.ops.Similarity.semDedup(embs, eps = 0.99, k = 64, iters = 1,
+        dim = 64, foldBuckets = 64).count())
+    val docs = corpus(2000000L).localCheckpoint(true)
+    timed("cdcChunks 2M docs (~80M tokens)")(
+      graft.ops.Packing.cdcChunks(docs, mask = 7).count())
+  }
 }
