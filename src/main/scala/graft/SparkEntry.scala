@@ -618,15 +618,32 @@ object SparkEntry {
     graft.ops.Dedup.simhashPairs(withNearDups(t(s, dir, "documents")), maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Deterministic dyadic echo perturbation (ADVICE r7: replaces the
+    * libm-dependent sin() — the one oracle input that deviated from the
+    * log/exp-free bit-exactness discipline): with 0-based index j,
+    * pert(j) = (((j·2654435761) mod 1024)/1024 − 1/2)/32 ∈ [−1/64, 1/64)
+    * — exact dyadic rationals end to end (the /32 is a power of two), so
+    * the float-cast echo is bit-identical across engines by construction,
+    * not empirically. Mirrors the hashModel k/1024 weight pattern. */
+  private def echoPerturb(x: org.apache.spark.sql.Column,
+      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (x.cast("double") +
+      (pmod(i.cast("long") * lit(2654435761L), lit(1024L)).cast("double")
+        / lit(1024.0) - lit(0.5)) / lit(32.0)).cast("float")
+
+  /** The same perturbation in DuckDB terms (oracle `i` is 1-based). */
+  private val echoPerturbSql: String =
+    "CAST(CAST(embedding[i] AS DOUBLE) + " +
+      "(CAST(((i - 1) * 2654435761) % 1024 AS DOUBLE) / 1024.0 - 0.5) / 32.0 AS FLOAT)"
+
   /** Embedding near-dup pairs blocked by random-hyperplane LSH buckets;
-    * planted perturbed vectors (index-dependent additive noise — cosine
-    * stays ≈0.99 but not 1.0). */
+    * planted perturbed vectors (index-dependent additive dyadic noise —
+    * cosine stays ≈0.999 but not 1.0). */
   private def qCosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val planted = e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x.cast("double") + lit(0.02) * sin(i.cast("double"))).cast("float")).as("embedding"))
+        transform(col("embedding"), (x, i) => echoPerturb(x, i)).as("embedding"))
     graft.ops.Similarity.cosineNearDupPairs(
       e.select(col("vec_id"), col("embedding")).unionByName(planted),
       threshold = 0.95, dim = 64)
@@ -646,16 +663,19 @@ object SparkEntry {
     * (the q_cosine_neardup plant — every vec_id % 10 == 0 gets a
     * +1000000-id near-identical echo), then drop within-cluster members
     * whose rounded cosine to an earlier-ranked member reaches 0.95. The
-    * planted echoes land in their source's cluster and are removed. */
+    * planted echoes land in their source's cluster and are removed.
+    * bucketBits = 6 exercises the MEGA-CELL path (VERDICT r7 #3): the
+    * pair join keys on (cell, hyperplane-bucket) with Hamming-1 probes;
+    * the oracle replicates the identical bucketed join (bit-exact ordered
+    * plane dots), so both engines see the same candidate set. */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val planted = e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x.cast("double") + lit(0.02) * sin(i.cast("double"))).cast("float")).as("embedding"))
+        transform(col("embedding"), (x, i) => echoPerturb(x, i)).as("embedding"))
     graft.ops.Similarity.semDedup(
       e.select(col("vec_id"), col("embedding")).unionByName(planted),
-      eps = 0.95, k = 8, iters = 2, dim = 64)
+      eps = 0.95, k = 8, iters = 2, dim = 64, bucketBits = 6)
       .orderBy(col("vec_id"))
   }
 
@@ -902,10 +922,11 @@ object SparkEntry {
     * (plus a comment); every 10th doc is a sitemapindex instead. The
     * oracle rebuilds the decoded entries — a scanner misread (entity,
     * CDATA, container scoping) diverges. */
-  private def qSitemap(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  /** The planted sitemap body — ONE definition shared by q_sitemap and
+    * the frontier funnel (q_frontier_funnel). */
+  private def plantedSitemapBody: org.apache.spark.sql.Column = {
     val k = pmod(col("doc_id"), lit(7L))
-    val body = when(pmod(col("doc_id"), lit(10L)) === 0L,
+    when(pmod(col("doc_id"), lit(10L)) === 0L,
       concat(lit("<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\"><sitemap><loc>https://h"),
         k, lit(".example.com/sitemap"), col("doc_id"),
         lit(".xml.gz</loc></sitemap></sitemapindex>")))
@@ -917,9 +938,79 @@ object SparkEntry {
         lit("</lastmod></url><!-- c --><url><loc><![CDATA[https://h"), k,
         lit(".example.com/q/"), col("doc_id"),
         lit("]]></loc></url></urlset>")))
+  }
+
+  private def qSitemap(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
     graft.sources.Sitemap.sitemapEntries(
-      d.select(col("doc_id").cast("string").as("sid"), body.as("body")))
+      d.select(col("doc_id").cast("string").as("sid"), plantedSitemapBody.as("body")))
       .orderBy(col("sid"), col("loc"))
+  }
+
+  /** Crawl-frontier composition (VERDICT r7 #5): the five politeness/
+    * frontier operators under ONE plan — sitemap scan → URL
+    * canonicalization + frontier dedup → blocklist → robots gate →
+    * per-host cap — with per-stage (url, host) survival counts: the
+    * politeness analogue of q_curation_funnel. Every stage reuses an
+    * operator with its own standalone oracle; the funnel oracle is the
+    * plant's ground-truth composition. */
+  private def qFrontierFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops._
+    def stat(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_urls"),
+        countDistinct(UrlOps.host(col("url"))).as("n_hosts"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_urls"), col("n_hosts"))
+
+    val d = t(s, dir, "documents")
+    // stage 0 — sitemap scan: url entries only (sitemapindex locs are
+    // frontier-of-frontiers, not fetchable pages)
+    val s0 = graft.sources.Sitemap.sitemapEntries(
+        d.select(col("doc_id").cast("string").as("sid"), plantedSitemapBody.as("body")))
+      .filter(col("kind") === "url").select(col("loc").as("url"))
+      .transform(scratchCkpt)
+    // stage 1 — canonicalize + frontier dedup (the per-url identity)
+    val s1 = s0.select(UrlOps.canonicalize(col("url")).as("url")).distinct()
+      .transform(scratchCkpt)
+    // stage 2 — URL blocklist: one host rule that hits (h5), one prefix
+    // rule that hits (h1's /q/ subtree), one no-op host rule
+    val blRules = Seq(
+      ("h5.example.com", "host"),
+      ("https://h1.example.com/q/", "prefix"),
+      ("never.example.com", "host")).toDF("rule", "kind")
+    val s2 = UrlFilter.blocklistFilter(s1, blRules).transform(scratchCkpt)
+    // stage 3 — robots gate: every host disallows /q; h0-h2 re-allow the
+    // /q/ subtree (longest-match Allow override); h3 blocks everything
+    val hosts = s.range(7).select(
+      concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+      col("id").as("hid"))
+    val rBody = concat(lit("User-agent: *\nDisallow: /q\n"),
+      when(col("hid") < 3L, lit("Allow: /q/\n")).otherwise(lit("")),
+      when(col("hid") === 3L, lit("Disallow: /\n")).otherwise(lit("")))
+    val rRules = Robots.parseRobots(hosts.select(col("host"), rBody.as("body")))
+    val s3 = Robots.robotsGate(s2, rRules)
+      .filter(col("allowed")).drop("allowed").transform(scratchCkpt)
+    // stage 4 — per-host frequency cap: newest docs win (doc id DESC,
+    // /p before /q on the same doc); uid = 2·doc_id + isq is unique per
+    // url (the capPerGroup id contract)
+    val did = regexp_extract(col("url"), "/[pq]/(\\d+)", 1).cast("long")
+    val withId = s3.select(col("url"), UrlOps.host(col("url")).as("host"),
+      (did * 2 + when(col("url").contains("/q/"), 1L).otherwise(0L)).as("uid"),
+      did.as("nid"))
+    val s4 = Selection.capPerGroup(withId, "host", 40, "nid", "uid")
+      .select(col("host"))
+    val s4stat = s4.agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("host")).as("n_hosts"))
+      .select(lit(4L).as("stage_idx"), lit("host_cap").as("stage"),
+        col("n_urls"), col("n_hosts"))
+
+    stat(0, "sitemap_urls", s0)
+      .unionByName(stat(1, "canonical", s1))
+      .unionByName(stat(2, "blocklist", s2))
+      .unionByName(stat(3, "robots", s3))
+      .unionByName(s4stat)
+      .orderBy(col("stage_idx"))
   }
 
   /** Split-leakage scrub over the q_minhash_lsh planted union: echoes of
@@ -1026,6 +1117,25 @@ object SparkEntry {
         concat(lit("entirely fresh synthetic content block "),
           col("doc_id") + 3000000L, lit(" qq ww ee rr tt")).as("text"))
     graft.ops.Dedup.incrementalNearDup(docs, nearCopies.union(fresh), 0.5)
+  }
+
+  /** Cross-crawl near-dup dedup against a PERSISTED band-key store
+    * (VERDICT r7 #2): the q_incremental_neardup plant, but the seen
+    * corpus's signatures are committed once to a NearDupStore and the
+    * batch joins the STORED keys — same oracle SQL as the recompute path
+    * (the two paths must be row-identical by construction). */
+  private def qStoreNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nearCopies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup copy")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("entirely fresh synthetic content block "),
+          col("doc_id") + 3000000L, lit(" qq ww ee rr tt")).as("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ndstore").toString
+    graft.ops.NearDupStore.append(root, docs)
+    graft.ops.NearDupStore.incrementalNearDup(root, nearCopies.union(fresh), 0.5)
   }
 
   /** Text normalization over a deterministically-messied corpus (the
@@ -1216,6 +1326,47 @@ object SparkEntry {
       .orderBy(col("cum_tokens"))
   }
 
+  /** The BPE merge table for q_bpe_tokens / q_bpe_budget — a rank-ordered
+    * static tokenizer artifact (the merges.txt role), targeting the
+    * synthetic vocabulary with MULTI-LEVEL compounding (t+a→ta, ta+ble→
+    * table; da+ta→data) and a rank-priority trap: in "window" the rank-9
+    * (o,w) merge must fire BEFORE the positionally-earlier rank-11 (i,n)
+    * — lowest rank wins, not leftmost pair. ONE Seq feeds the Spark frame
+    * AND the oracle VALUES literal. */
+  private val BpeMerges: Seq[(Int, String, String)] = Seq(
+    (0, "t", "a"), (1, "d", "a"), (2, "da", "ta"), (3, "l", "e"),
+    (4, "b", "le"), (5, "ta", "ble"), (6, "k", "e"), (7, "ke", "y"),
+    (8, "e", "r"), (9, "o", "w"), (10, "j", "o"), (11, "i", "n"),
+    (12, "jo", "in"), (13, "h", "a"), (14, "s", "h"), (15, "ha", "sh"),
+    (16, "s", "c"), (17, "a", "n"), (18, "sc", "an"), (19, "z", "q"))
+
+  private def bpeMergesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    BpeMerges.toDF("rank", "l", "r")
+  }
+
+  /** Subword BPE tokenization (iterative lowest-rank leftmost merge fold
+    * per word) — every (doc, word, position, token, vocab id) row; the
+    * oracle folds each DISTINCT word once through a recursive CTE with
+    * single-occurrence string surgery and joins back. */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.tokenize(t(s, dir, "documents"), bpeMergesDf(s))
+      .orderBy(col("doc_id"), col("widx"), col("pos"))
+
+  /** Token-budget selection re-parameterized over SUBWORD counts
+    * (VERDICT r7 #4's composition): quality-ranked docs kept until the
+    * cumulative BPE token count reaches the budget — the same
+    * distributed prefix-sum primitive, real token units. */
+  private def qBpeBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = graft.ops.TextAnalysis.qualityScore(d)
+      .select(col("doc_id"), col("quality_score"))
+      .join(graft.ops.Bpe.tokenCounts(d, bpeMergesDf(s)), Seq("doc_id"))
+    graft.ops.Selection.selectByTokenBudget(scored, budget = 20000L,
+        tokensCol = "n_bpe_tokens")
+      .orderBy(col("cum_tokens"))
+  }
+
   /** Host-graph PageRank over a planted deterministic link graph (hosts
     * = doc_id residues, one link per doc) — 4 fixed iterations of the
     * bit-exact ordered-fold power iteration, damping 0.85. */
@@ -1390,6 +1541,10 @@ object SparkEntry {
     "q_heavy_tokens"     -> qHeavyTokens _,
     "q_incremental_new"  -> qIncrementalNew _,
     "q_incremental_neardup" -> qIncrementalNearDup _,
+    "q_store_neardup"    -> qStoreNearDup _,
+    "q_bpe_tokens"       -> qBpeTokens _,
+    "q_bpe_budget"       -> qBpeBudget _,
+    "q_frontier_funnel"  -> qFrontierFunnel _,
     "q_warc_roundtrip"   -> qWarcRoundtrip _,
     "x_warc"          -> xWarc _,
     "x_extract_text"  -> xExtractText _,
@@ -1483,9 +1638,9 @@ object SparkEntry {
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** q_cosine_neardup oracle: rebuild the planted perturbed vectors (same
-    * float-rounded arithmetic — the double-level sin() ulp risk is
-    * absorbed by the FLOAT cast), replicate the 6-bit hyperplane buckets,
+  /** q_cosine_neardup oracle: rebuild the planted perturbed vectors
+    * (exact dyadic perturbation — bit-identical across engines by
+    * construction), replicate the 6-bit hyperplane buckets,
     * take Hamming ≤ 1 pairs, verify rounded cosine ≥ 0.95. */
   private def cosineNearDupOracle: String = {
     val planes = (0 until 6).map { p =>
@@ -1495,8 +1650,7 @@ object SparkEntry {
     s"""WITH pl(p, w) AS (VALUES $planes),
        |planted AS (
        |  SELECT vec_id + 1000000 AS vec_id,
-       |    list(CAST(CAST(embedding[i] AS DOUBLE)
-       |         + 0.02 * sin(CAST(i - 1 AS DOUBLE)) AS FLOAT) ORDER BY i) AS embedding
+       |    list($echoPerturbSql ORDER BY i) AS embedding
        |  FROM embeddings, generate_series(1, 64) t(i)
        |  WHERE vec_id % 10 = 0
        |  GROUP BY vec_id),
@@ -1653,26 +1807,41 @@ object SparkEntry {
        |SELECT vec_id, cell, round(cos, 4) AS cos FROM fin ORDER BY vec_id""".stripMargin
 
   /** q_semdedup oracle: the same k-means chain over base ∪ planted
-    * echoes, then within-cell (rank_a < rank_b) pairs at rounded cosine
-    * ≥ 0.95 mark the later-ranked member removed. */
+    * echoes, then within-cell (rank_a < rank_b) pairs AT HYPERPLANE-
+    * BUCKET HAMMING ≤ 1 (the engine's mega-cell bucketed join, VERDICT
+    * r7 #3, replicated bit-exactly: plane dots are the same 0-seeded
+    * left fold in dimension order as ExprEval.hyperplaneSig, so bucket
+    * signatures — and hence the candidate set — cannot diverge) at
+    * rounded cosine ≥ 0.95 mark the later-ranked member removed. */
   private def semDedupOracle: String = {
     def fold(v: String, key: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list($v ORDER BY $key)), (a, b) -> a + b)"
-    s"""WITH planted AS (
+    val planes = (0 until 6).map { p =>
+      val w = graft.ops.Similarity.hyperplane(p, 64)
+      s"($p, [${w.map(_.toString).mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n")
+    s"""WITH pl(p, w) AS (VALUES $planes),
+       |planted AS (
        |  SELECT vec_id + 1000000 AS vec_id,
-       |    list(CAST(CAST(embedding[i] AS DOUBLE)
-       |         + 0.02 * sin(CAST(i - 1 AS DOUBLE)) AS FLOAT) ORDER BY i) AS embedding
+       |    list($echoPerturbSql ORDER BY i) AS embedding
        |  FROM embeddings, generate_series(1, 64) t(i)
        |  WHERE vec_id % 10 = 0
        |  GROUP BY vec_id),
        |inp AS (SELECT vec_id, embedding FROM embeddings
        |        UNION ALL SELECT vec_id, embedding FROM planted),
        |${kmeansCtes("inp", 8, 2)},
-       |rnk AS MATERIALIZED (SELECT vec_id, cell, cos,
-       |    row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id) AS rnk
-       |  FROM fin),
+       |hb AS (SELECT em.vec_id, pl.p,
+       |    ${fold("em.x * pl.w[em.d]", "em.d")} AS dot
+       |  FROM em CROSS JOIN pl GROUP BY em.vec_id, pl.p),
+       |bk AS MATERIALIZED (SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM hb GROUP BY vec_id),
+       |rnk AS MATERIALIZED (SELECT f.vec_id, f.cell, f.cos, bk.bucket,
+       |    row_number() OVER (PARTITION BY f.cell ORDER BY f.cos DESC, f.vec_id) AS rnk
+       |  FROM fin f JOIN bk ON bk.vec_id = f.vec_id),
        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM rnk a JOIN rnk b ON a.cell = b.cell AND a.rnk < b.rnk),
+       |  FROM rnk a JOIN rnk b ON a.cell = b.cell AND a.rnk < b.rnk
+       |  AND ((xor(a.bucket, b.bucket) & (xor(a.bucket, b.bucket) - 1)) = 0)),
        |xl AS MATERIALIZED (SELECT vec_id, list(x ORDER BY d) AS xs
        |  FROM em GROUP BY vec_id),
        |pd AS (SELECT p.id_a, p.id_b,
@@ -2591,6 +2760,114 @@ object SparkEntry {
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
        |FROM c WHERE cum_tokens <= 10000""".stripMargin
 
+  /** The BPE fold as CTE text over `src(doc_id, text)`: each DISTINCT
+    * word folds ONCE through a recursive CTE (the oracle's analogue of
+    * the engine's per-task word memo) — state = space-delimited token
+    * string; each step applies the lowest-rank applicable merge to its
+    * LEFTMOST occurrence via strpos/substr surgery (single occurrence —
+    * replace-all would mis-handle overlapping occurrences that share a
+    * delimiter space); NOT EXISTS picks the lowest rank without an
+    * aggregate in the recursive term. Terminal states (no applicable
+    * merge) are exactly the fold results. Binds bmg/bdw/bst/bfw/bwords. */
+  private def bpeFoldCtes(src: String): String = {
+    val vals = BpeMerges.map { case (rk, l, r) => s"($rk,'$l','$r')" }.mkString(",")
+    s"""bmg(rank, l, r) AS (VALUES $vals),
+       |bdw AS (SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM $src)
+       |  WHERE length(w) > 0),
+       |bst AS (
+       |  SELECT w, ' ' || array_to_string(list_transform(range(1, length(w)+1), i -> w[i]), ' ') || ' ' AS st
+       |  FROM bdw
+       |  UNION ALL
+       |  SELECT w, st[1:strpos(st, pat)-1] || rep || st[strpos(st, pat)+length(pat):] AS st
+       |  FROM (
+       |    SELECT r0.w, r0.st,
+       |      ' ' || m.l || ' ' || m.r || ' ' AS pat,
+       |      ' ' || m.l || m.r || ' ' AS rep
+       |    FROM bst r0 JOIN bmg m ON contains(r0.st, ' ' || m.l || ' ' || m.r || ' ')
+       |    WHERE NOT EXISTS (SELECT 1 FROM bmg m2 WHERE m2.rank < m.rank
+       |                      AND contains(r0.st, ' ' || m2.l || ' ' || m2.r || ' ')))),
+       |bfw AS (
+       |  SELECT w, string_split(trim(st), ' ') AS toks FROM bst r0
+       |  WHERE NOT EXISTS (SELECT 1 FROM bmg m
+       |                    WHERE contains(r0.st, ' ' || m.l || ' ' || m.r || ' '))),
+       |bwords AS (SELECT doc_id, t.wi AS widx, t.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws)+1), i -> {'wi': i, 'w': ws[i]})) AS t
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src))
+       |  WHERE length(w) > 0)""".stripMargin
+  }
+
+  /** q_bpe_tokens oracle: per-word folds joined back to positional word
+    * instances; vocab ids = code point for single chars, 256 + min merge
+    * rank otherwise. */
+  private def bpeTokensOracle: String =
+    s"""WITH RECURSIVE ${margined(bpeFoldCtes("documents"))},
+       |btok AS (SELECT doc_id, widx, p.pos AS pos, p.tok AS tok FROM (
+       |    SELECT w2.doc_id, w2.widx,
+       |      unnest(list_transform(range(1, len(f.toks)+1), j -> {'pos': j, 'tok': f.toks[j]})) AS p
+       |    FROM bwords w2 JOIN bfw f USING (w))),
+       |bvid AS (SELECT l || r AS tk, min(rank) AS minr FROM bmg GROUP BY 1)
+       |SELECT b.doc_id, CAST(b.widx AS BIGINT) AS widx, CAST(b.pos AS BIGINT) AS pos,
+       |  b.tok AS token,
+       |  CAST(CASE WHEN length(b.tok) = 1 THEN ascii(b.tok) ELSE 256 + v.minr END AS BIGINT) AS token_id
+       |FROM btok b LEFT JOIN bvid v ON v.tk = b.tok""".stripMargin
+
+  /** q_bpe_budget oracle: the quality CTE verbatim + per-doc SUBWORD
+    * counts off the shared BPE fold, then the single-window running sum
+    * gated at the budget (the q_token_budget shape over real token
+    * units). */
+  private def bpeBudgetOracle: String =
+    s"""WITH RECURSIVE ${margined(bpeFoldCtes("documents"))},
+       |bq AS (
+       |${margined(qualityOracle)}
+       |),
+       |bc AS (SELECT w2.doc_id, CAST(sum(len(f.toks)) AS BIGINT) AS nb
+       |       FROM bwords w2 JOIN bfw f USING (w) GROUP BY 1),
+       |bj AS (SELECT bq.doc_id, bq.quality_score,
+       |         COALESCE(bc.nb, 0) AS n_bpe_tokens
+       |       FROM bq LEFT JOIN bc USING (doc_id)),
+       |bcum AS (SELECT doc_id, n_bpe_tokens,
+       |    CAST(sum(n_bpe_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM bj)
+       |SELECT doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens, cum_tokens
+       |FROM bcum WHERE cum_tokens <= 20000""".stripMargin
+
+  /** q_frontier_funnel oracle: the plant's ground truth composed —
+    * urlset docs contribute exactly their two decoded locs (already in
+    * canonical form by construction, so stage 1 is a pure distinct);
+    * blocklist drops host h5 + h1's /q/ subtree; robots drops h3
+    * entirely and /q on hosts without the Allow override (h4, h6);
+    * host cap = per-host top-40 by (doc id DESC, /p-before-/q). */
+  private def frontierFunnelOracle: String =
+    s"""WITH u0 AS (
+       |  SELECT doc_id, doc_id % 7 AS k,
+       |    'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id || '?a=1&b=2' AS url,
+       |    0 AS isq
+       |  FROM documents WHERE doc_id % 10 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, doc_id % 7 AS k,
+       |    'https://h' || (doc_id % 7) || '.example.com/q/' || doc_id AS url,
+       |    1 AS isq
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |f1 AS (SELECT DISTINCT doc_id, k, url, isq FROM u0),
+       |f2 AS (SELECT * FROM f1 WHERE k <> 5 AND NOT (k = 1 AND isq = 1)),
+       |f3 AS (SELECT * FROM f2 WHERE k <> 3 AND NOT (isq = 1 AND k IN (4, 6))),
+       |f4 AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY k
+       |      ORDER BY doc_id DESC, doc_id * 2 + isq ASC) AS rn
+       |    FROM f3) WHERE rn <= 40),
+       |st AS (
+       |  SELECT 0 AS stage_idx, 'sitemap_urls' AS stage, count(*) AS n_urls,
+       |         count(DISTINCT k) AS n_hosts FROM u0
+       |  UNION ALL SELECT 1, 'canonical', count(*), count(DISTINCT k) FROM f1
+       |  UNION ALL SELECT 2, 'blocklist', count(*), count(DISTINCT k) FROM f2
+       |  UNION ALL SELECT 3, 'robots', count(*), count(DISTINCT k) FROM f3
+       |  UNION ALL SELECT 4, 'host_cap', count(*), count(DISTINCT k) FROM f4)
+       |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       |  CAST(n_urls AS BIGINT) AS n_urls, CAST(n_hosts AS BIGINT) AS n_hosts
+       |FROM st ORDER BY stage_idx""".stripMargin
+
   /** q_ppl_buckets oracle: the LM fluency CTE verbatim, ranked best
     * first (avg_p DESC, doc_id tiebreak), bucket = rank·3 div n — the
     * single-window form of the distributed rank. */
@@ -2820,6 +3097,12 @@ object SparkEntry {
     "q_url_canonical" -> urlCanonicalOracle,
     "q_incremental_new" -> incrementalNewOracle,
     "q_incremental_neardup" -> incrementalNearDupOracle,
+    // the STORE path must be row-identical to the recompute path — ONE
+    // oracle text for both is the parity contract
+    "q_store_neardup" -> incrementalNearDupOracle,
+    "q_bpe_tokens" -> bpeTokensOracle,
+    "q_bpe_budget" -> bpeBudgetOracle,
+    "q_frontier_funnel" -> frontierFunnelOracle,
     "q_heavy_tokens" -> heavyTokensOracle,
     "q_sketch_quantiles" -> sketchQuantilesOracle,
     "q_pii_scrub" -> piiScrubOracle,

@@ -105,6 +105,9 @@ object ExprEval {
   /** Morton/Z-order interleave of the low `bits` bits of x and y — x on
     * even result bits, y on odd. bits ≤ 31 keeps the result positive. */
   def zValue(x: Long, y: Long, bits: Int): Long = {
+    // analysis catches foldable bits; this guards non-literal callers —
+    // silent shift wrap-around would interleave garbage (ADVICE r7)
+    require(bits >= 1 && bits <= 31, s"zvalue bits must be in [1, 31], got $bits")
     var z = 0L
     var b = 0
     while (b < bits) {
@@ -242,11 +245,25 @@ case class HyperplaneSig(first: Expression, second: Expression, third: Expressio
 case class ZValue(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (first.dataType == LongType && second.dataType == LongType &&
-      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"expected (bigint, bigint, int), got " +
-        s"${Seq(first, second, third).map(_.dataType).mkString(", ")}")
+    if (first.dataType != LongType || second.dataType != LongType ||
+      third.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"expected (bigint, bigint, int), got " +
+          s"${Seq(first, second, third).map(_.dataType).mkString(", ")}")
+    else if (third.foldable) {
+      // ADVICE r7: a SQL caller's graft_zvalue(x, y, 40) used to wrap
+      // shifts mod 64 and interleave garbage (and negative bits returned
+      // 0) — only the Scala-side Layout.zValue guarded the range. Fail
+      // at analysis for literals; non-foldable bits fail per-row in
+      // ExprEval.zValue.
+      third.eval(null) match {
+        case null => TypeCheckResult.TypeCheckSuccess // null propagates
+        case b: java.lang.Integer if b >= 1 && b <= 31 =>
+          TypeCheckResult.TypeCheckSuccess
+        case b => TypeCheckResult.TypeCheckFailure(
+          s"bits must be in [1, 31], got $b")
+      }
+    } else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_zvalue"
   override protected def nullSafeEval(x: Any, y: Any, b: Any): Any =

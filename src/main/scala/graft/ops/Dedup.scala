@@ -779,26 +779,52 @@ object Dedup {
   def incrementalNearDup(seen: DataFrame, batch: DataFrame, threshold: Double,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0,1], got $threshold")
+    val sBase = CheckpointScratch.ckpt(
+      shingleFrame(seen, shingleK, idCol, textCol))
+    incrementalNearDupAgainst(sBase, bandKeyFrame(sBase, numHashes, bands),
+      batch, threshold, numHashes, bands, shingleK, idCol, textCol)
+  }
+
+  /** The per-doc hashed-shingle frame (id, shs) — the ONE signature prep
+    * both near-dup paths and the persisted key store share. */
+  private[ops] def shingleFrame(docs: DataFrame, shingleK: Int,
+      idCol: String, textCol: String): DataFrame = {
     val shUdf = udf((text: String) =>
       shingleHashes(if (text == null) "" else text, shingleK))
+    docs.select(col(idCol).as("id"), shUdf(col(textCol)).as("shs"))
+  }
+
+  /** LSH band keys (id, band_key) off a shingle frame — 16 bytes + id per
+    * row × bands; the exploded frame never carries text or shingles. */
+  private[ops] def bandKeyFrame(base: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val bandUdf = udf((shs: Seq[Long]) =>
       lshBandKeys(minhashFromHashes(shs.toArray, numHashes), bands))
-    def prep(df: DataFrame) = CheckpointScratch.ckpt(
-      df.select(col(idCol).as("id"), shUdf(col(textCol)).as("shs")))
-    val sBase = prep(seen)
-    val bBase = prep(batch)
-    def keyed(base: DataFrame, as: String) = base
-      .select(col("id").as(as), explode(bandUdf(col("shs"))).as("band_key"))
-    val cands = keyed(bBase, "id_b")
-      .join(keyed(sBase, "id_s"), Seq("band_key"))
+    base.select(col("id"), explode(bandUdf(col("shs"))).as("band_key"))
+  }
+
+  /** The batch×seen near-dup core over PRE-BUILT seen-side frames —
+    * `seenBase(id, shs)` + `seenKeyed(id, band_key)` may be recomputed
+    * from text (the [[incrementalNearDup]] wrapper) or read back from a
+    * committed [[NearDupStore]] (the 100-TB path: each increment pays
+    * batch-side signatures only; the corpus is never re-shingled). */
+  def incrementalNearDupAgainst(seenBase: DataFrame, seenKeyed: DataFrame,
+      batch: DataFrame, threshold: Double,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val bBase = CheckpointScratch.ckpt(
+      shingleFrame(batch, shingleK, idCol, textCol))
+    val cands = bandKeyFrame(bBase, numHashes, bands)
+      .select(col("id").as("id_b"), col("band_key"))
+      .join(seenKeyed.select(col("id").as("id_s"), col("band_key")), Seq("band_key"))
       .select(col("id_b"), col("id_s"))
       .dropDuplicates("id_b", "id_s")
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val dupIds = cands
       .join(bBase.select(col("id").as("id_b"), col("shs").as("sb")), Seq("id_b"))
-      .join(sBase.select(col("id").as("id_s"), col("shs").as("sa")), Seq("id_s"))
+      .join(seenBase.select(col("id").as("id_s"), col("shs").as("sa")), Seq("id_s"))
       .withColumn("j",
         when(size(col("sa")) === 0 && size(col("sb")) === 0, lit(1.0))
           .otherwise(inter / (size(col("sa")) + size(col("sb")) - inter)))

@@ -89,20 +89,71 @@ object ShardStore {
       Files.walk(p).iterator().asScala.toVector.reverseIterator
         .foreach(Files.deleteIfExists(_))
 
+  /** Input fingerprint: row count + order-independent id-hash XOR fold
+    * (bit_xor — a SUM of 64-bit hashes overflows under ANSI mode) — one
+    * column-pruned aggregate over the ids. */
+  private def inputFingerprint(docs: DataFrame, idCol: String): (Long, Long) = {
+    val r = docs.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col(idCol))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** (root, salt, maxPerShard, idCol) combinations whose committed
+    * assignment this JVM already fingerprint-verified — exportAll calls
+    * export (→ ensureAssignment) once per commit unit, and re-hashing the
+    * input ids per unit would rescan the corpus exactly the way the unit
+    * loop already must not. A CHANGED parameter re-keys and re-verifies;
+    * changed docs under identical params within one JVM ride the cache
+    * (the stale-dir-from-a-prior-run case always verifies — fresh JVM). */
+  private val verifiedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The committed epoch-order assignment: computed + committed exactly
     * once (atomic directory rename — a crash mid-write leaves only the
     * tmp dir, retried next run); every later call reads the parquet back,
-    * so the global sort + zipWithIndex never re-run on resume. */
+    * so the global sort + zipWithIndex never re-run on resume.
+    *
+    * `params.tsv` INSIDE the assignment dir pins (salt, maxPerShard,
+    * idCol, input row count, input id-hash): a resume with different docs
+    * or parameters FAILS FAST instead of silently reusing the stale
+    * committed assignment (new ids would be dropped by the export's inner
+    * join, changed params ignored — ADVICE r7). */
   def ensureAssignment(docs: DataFrame, root: String, maxPerShard: Long,
       salt: String = "epoch0", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     val aDir = Paths.get(root, "assignment")
+    val vKey = s"$root\u0000$salt\u0000$maxPerShard\u0000$idCol"
     if (!Files.isDirectory(aDir)) {
       val tmp = Paths.get(root, "assignment.tmp")
       deleteRecursively(tmp) // stale tmp from a crashed first attempt
+      val (n, idHash) = inputFingerprint(docs, idCol)
       Splits.trainingShards(docs, maxPerShard, salt, idCol)
         .write.mode("overwrite").parquet(tmp.toString)
+      Files.write(tmp.resolve("_params.tsv"),
+        s"salt\t$salt\nmaxPerShard\t$maxPerShard\nidCol\t$idCol\nn\t$n\nidHash\t$idHash\n"
+          .getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, aDir, StandardCopyOption.ATOMIC_MOVE)
+      verifiedRoots.add(vKey)
+    } else if (!verifiedRoots.contains(vKey)) {
+      val pf = aDir.resolve("_params.tsv")
+      if (Files.isRegularFile(pf)) { // pre-fingerprint stores stay readable
+        val kv = Files.readAllLines(pf, StandardCharsets.UTF_8).asScala
+          .flatMap(_.split('\t') match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }).toMap
+        val (n, idHash) = inputFingerprint(docs, idCol)
+        val want = Map("salt" -> salt, "maxPerShard" -> maxPerShard.toString,
+          "idCol" -> idCol, "n" -> n.toString, "idHash" -> idHash.toString)
+        val diffs = want.collect {
+          case (k, v) if kv.getOrElse(k, v) != v => s"$k: stored=${kv(k)} now=$v"
+        }
+        require(diffs.isEmpty,
+          s"committed assignment at $root does not match this export " +
+            s"(${diffs.mkString("; ")}) — delete the store or use a new root; " +
+            "silently reusing it would drop new ids / ignore changed params")
+      }
+      verifiedRoots.add(vKey) // only AFTER a pass — a failed verify must re-run
     }
     spark.read.parquet(aDir.toString)
   }
@@ -112,7 +163,15 @@ object ShardStore {
     * pattern), write their JSONL unit, commit the next manifest. Returns
     * the committed manifest; a no-op (everything committed) returns the
     * previous one. Commits run in shard order, so the pending set is
-    * always a contiguous suffix and one `between` filter selects a unit. */
+    * always a contiguous suffix and one `between` filter selects a unit.
+    *
+    * COST NOTE (VERDICT r7): each commit unit joins the FULL `docs` frame
+    * against its assignment slice — `exportAll` with a small
+    * `maxShardsPerCommit` therefore re-scans the corpus once per unit.
+    * Units exist for RESUME granularity, not throughput; the default
+    * (one unit = everything pending) scans once. For a deliberately
+    * small unit size over an expensive upstream plan, localCheckpoint
+    * `docs` first so each unit reads materialized partitions. */
   def export(docs: DataFrame, root: String, maxPerShard: Long,
       salt: String = "epoch0", idCol: String = "doc_id",
       maxShards: Int = Int.MaxValue): Manifest = {

@@ -291,15 +291,24 @@ object Similarity {
     * Output: (vec_id, cell, kept) for every input row — a deterministic,
     * engine-independent keep decision.
     *
-    * Scale shape: the within-cell pair join is O(|cell|²) candidate pairs
-    * — at SemDeDup's operating point k grows with the corpus (the paper
-    * uses ~√N clusters) so |cell| stays bounded; for a degenerate
-    * mega-cell compose [[cosineNearDupPairs]]' hyperplane buckets INSIDE
-    * the cell (bucket key = (cell, lsh)) exactly like the minhash band
-    * join bounds its buckets. Embedding payloads, not text, cross the
-    * shuffle (dim × 4 bytes). */
+    * Scale shape: with `bucketBits = 0` the within-cell pair join is
+    * O(|cell|²) candidate pairs — at SemDeDup's operating point k grows
+    * with the corpus (the paper uses ~√N clusters) so |cell| stays
+    * bounded. `bucketBits > 0` (VERDICT r7 #3) composes
+    * [[cosineNearDupPairs]]' hyperplane buckets INSIDE the cell: the
+    * pair-join key becomes (cell, bucket) with Hamming-1 multi-probe on
+    * the earlier side, exactly like the minhash band join bounds its
+    * buckets — a degenerate mega-cell (bad seeds, duplicate-heavy
+    * corpora) splits into ~2^bits bounded buckets, at Hamming-≤1 recall
+    * (near-exact duplicates straddle at most one hyperplane with
+    * overwhelming probability; the oracle replicates the SAME bucketed
+    * join bit-for-bit — the theta-band engine-parity discipline — so the
+    * contract is deterministic, not probabilistic). Embedding payloads,
+    * not text, cross the shuffle (dim × 4 bytes). */
   def semDedup(embeddings: DataFrame, eps: Double, k: Int, iters: Int,
-      dim: Int, foldBuckets: Int = 16): DataFrame = {
+      dim: Int, foldBuckets: Int = 16, bucketBits: Int = 0): DataFrame = {
+    require(bucketBits >= 0 && bucketBits <= 16,
+      s"bucketBits must be in [0, 16], got $bucketBits")
     reg(embeddings)
     val cents = kmeansCentroids(embeddings, k, iters, dim, foldBuckets)
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
@@ -308,13 +317,28 @@ object Similarity {
     // precedence = the (cos-to-centroid DESC, vec_id ASC) order, applied
     // DIRECTLY in the pair condition — no Window ever sorts a whole cell
     // in one task; a mega-cell stays a hash join + narrow filter
-    val a = assigned.select(col("cell"), col("cos").as("cos_a"),
-      col("vec_id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cell"), col("cos").as("cos_b"),
-      col("vec_id").as("id_b"), col("v").as("vb"))
     val earlier = col("cos_a") > col("cos_b") ||
       (col("cos_a") === col("cos_b") && col("id_a") < col("id_b"))
-    val removed = a.join(b, Seq("cell"))
+    val removed = (if (bucketBits == 0) {
+      val a = assigned.select(col("cell"), col("cos").as("cos_a"),
+        col("vec_id").as("id_a"), col("v").as("va"))
+      val b = assigned.select(col("cell"), col("cos").as("cos_b"),
+        col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("cell"))
+    } else {
+      // Hamming-1 multi-probe on the a-side only: a pair at bucket
+      // distance d ∈ {0, 1} matches exactly one probe — no pair dedup
+      // shuffle needed
+      val keyed = assigned.withColumn("bucket0",
+        lshBucket(col("v"), dim, bucketBits))
+      val probes = array((col("bucket0") +: (0 until bucketBits).map(j =>
+        col("bucket0").bitwiseXOR(lit(1L << j)))): _*)
+      val a = keyed.select(col("cell"), explode(probes).as("bucket"),
+        col("cos").as("cos_a"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = keyed.select(col("cell"), col("bucket0").as("bucket"),
+        col("cos").as("cos_b"), col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("cell", "bucket"))
+    })
       .filter(earlier)
       .filter(round(cosine(col("va"), col("vb")), 4) >= eps)
       .select(col("id_b").as("vec_id")).distinct()

@@ -1,8 +1,10 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.util.control.NonFatal
 
 import graft.core.PageRow
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,7 +19,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Format facts the scanner relies on (all public):
   *   - a `.warc.gz` is a sequence of gzip MEMBERS, conventionally one per
   *     record, so byte-range readers can seek; JDK `GZIPInputStream`
-  *     transparently reads concatenated members, so one bounded inflate
+  *     transparently reads concatenated members, so one streaming inflate
   *     pass handles both the per-record and the whole-file-member layout;
   *   - each record is `WARC/1.0\r\n` + header lines + blank line +
   *     exactly `Content-Length` payload bytes + `\r\n\r\n`;
@@ -29,10 +31,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * header blocks with no terminator, gzip bombs, LF-only line endings —
   * degrades to fewer records, never to an executor exception or OOM.
   *
-  * 100-TB shape: `binaryFile` scan → per-file record iterator, purely
-  * narrow (one task per WARC file, the same unit Common Crawl shards by:
-  * ~1 GB per file). No shuffle; downstream extraction re-partitions by
-  * salted host exactly as it does for generated pages.
+  * STREAMING (VERDICT r7 #1): the scanner is an incremental
+  * [[Warc.RecordIterator]] over an InputStream — at most ONE header block
+  * (64 KiB cap) plus ONE record payload (Content-Length-sized, bounded by
+  * [[Warc.MaxRecordPayloadBytes]]) is ever buffered, in fixed-size chunks
+  * that track bytes actually read (a lying length never pre-allocates).
+  * The earlier whole-file inflate capped at ~2 GiB silently dropped the
+  * back half of a real Common-Crawl file (they inflate 3-4 GB from ~1 GB);
+  * the stream has no per-FILE bound at all — offsets never materialize,
+  * so file size is irrelevant to memory.
+  *
+  * 100-TB shape: file-PATH listing → per-file streamed record iterator,
+  * purely narrow (one task per WARC file, the same unit Common Crawl
+  * shards by: ~1 GB per file; peak task memory = one record, not one
+  * file). No shuffle; downstream extraction re-partitions by salted host
+  * exactly as it does for generated pages.
   */
 object Warc {
 
@@ -45,10 +58,14 @@ object Warc {
       headers: Map[String, String],
       payload: Array[Byte])
 
-  /** Decompression cap per WARC file: real CC files inflate ~3-4x from
-    * ~1 GB; 2 GiB also keeps every offset in Int range. A bomb member
-    * that would cross it yields only the bytes before the cap. */
-  val MaxInflatedBytes: Int = Int.MaxValue - 64
+  /** Per-RECORD payload cap for the streaming scanner — bounds task
+    * memory by one record, not one file (a record cannot out-size its
+    * ~1 GB source file in the Common-Crawl layout; typical response
+    * records are KBs-MBs). Payload bytes accumulate in 64 KiB chunks as
+    * they ARRIVE, so a lying Content-Length allocates only what the
+    * stream actually holds. A record declaring more than the cap is
+    * dropped and the scanner resyncs at the next `WARC/` line. */
+  val MaxRecordPayloadBytes: Long = 1L << 30
 
   /** A header block larger than this has a missing blank-line terminator
     * (or is hostile) — the scanner resyncs to the next record instead of
@@ -57,25 +74,6 @@ object Warc {
 
   def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
-
-  /** Inflate all concatenated gzip members, bounded. Truncated/corrupt
-    * tails salvage the bytes already inflated (complete earlier members
-    * survive a mid-file truncation — the scanner then drops whatever
-    * record the cut landed in). */
-  def gunzipBounded(bytes: Array[Byte], cap: Int = MaxInflatedBytes): Array[Byte] = {
-    val out = new ByteArrayOutputStream(math.min(bytes.length.toLong * 4, 1L << 20).toInt)
-    val chunk = new Array[Byte](64 << 10)
-    try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-      var n = in.read(chunk)
-      while (n >= 0) {
-        if (out.size.toLong + n > cap) return out.toByteArray // bomb: keep prefix
-        out.write(chunk, 0, n)
-        n = in.read(chunk)
-      }
-    } catch { case _: Exception => /* salvage complete prefix */ }
-    out.toByteArray
-  }
 
   private def startsWith(b: Array[Byte], pos: Int, s: String): Boolean = {
     if (pos < 0 || pos + s.length > b.length) return false
@@ -124,36 +122,233 @@ object Warc {
     null
   }
 
-  /** Scan every well-formed record out of one WARC file's bytes
-    * (gzip-inflating first when the magic matches). Malformed records are
-    * dropped and scanning resyncs at the next `WARC/` line start. */
-  def scanRecords(fileBytes: Array[Byte]): Vector[Record] = {
-    val b = if (isGzip(fileBytes)) gunzipBounded(fileBytes) else fileBytes
-    val out = Vector.newBuilder[Record]
-    var pos = nextRecordStart(b, 0)
-    while (pos >= 0 && pos < b.length) {
-      val parsed = parseHeaderBlock(b, pos)
-      if (parsed == null) { pos = nextRecordStart(b, pos + 1) }
-      else {
-        val (hdrs, payloadStart) = parsed
-        val lenOk = hdrs.get("content-length").flatMap(_.toLongOption)
-          .filter(n => n >= 0 && payloadStart + n <= b.length)
-        lenOk match {
-          case Some(n) =>
-            val payload = java.util.Arrays.copyOfRange(b, payloadStart, payloadStart + n.toInt)
-            out += Record(
-              hdrs.getOrElse("warc-type", ""),
-              hdrs.getOrElse("warc-target-uri", null),
-              hdrs.getOrElse("warc-date", null),
-              hdrs, payload)
-            pos = nextRecordStart(b, payloadStart + n.toInt)
-          case None => // missing/negative/lying Content-Length → drop, resync
-            pos = nextRecordStart(b, pos + 1)
+  /** Incremental record scanner over a (possibly gzipped) WARC byte
+    * stream. Bounded memory: one 64 KiB read buffer, at most one header
+    * block, and one record payload in 64 KiB chunks. Every stream fault
+    * (truncated member, corrupt trailer, hostile garbage) degrades to
+    * end-of-iteration after salvaging any complete records already
+    * decoded — the iterator itself never throws. The underlying stream is
+    * closed when the iterator exhausts (or via [[close]]). */
+  final class RecordIterator(raw: InputStream,
+      payloadCap: Long = MaxRecordPayloadBytes)
+      extends Iterator[Record] with java.io.Closeable {
+
+    // gzip sniff: wrap when the 2-byte magic matches (GZIPInputStream
+    // handles concatenated members); construction reads the gzip header
+    // and can throw on hostile bytes — degrade to an empty iterator
+    private val in: InputStream = {
+      val pb = new java.io.PushbackInputStream(raw, 2)
+      try {
+        val b0 = pb.read()
+        val b1 = if (b0 >= 0) pb.read() else -1
+        if (b1 >= 0) pb.unread(b1)
+        if (b0 >= 0) pb.unread(b0)
+        if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 64 << 10) else pb
+      } catch { case NonFatal(_) => closeQuiet(pb); null }
+    }
+
+    private val buf = new Array[Byte](64 << 10)
+    private var bufLen = 0
+    private var bufPos = 0
+    private var streamEof = in == null
+    // resync pushback: bytes already consumed from the stream that must
+    // re-enter the scan (suffix of a malformed header block / partial
+    // payload from a record start onward). Always a strict suffix of what
+    // one bounded buffer held — never grows with file size.
+    private var pending: Array[Byte] = null
+    private var pendPos = 0
+    private var lastByte: Int = '\n' // stream start counts as line start
+    private var nextRec: Record = null
+    private var done = false
+
+    private def closeQuiet(s: java.io.Closeable): Unit =
+      try if (s != null) s.close() catch { case NonFatal(_) => }
+
+    override def close(): Unit = { done = true; closeQuiet(in); closeQuiet(raw) }
+
+    private def fill(): Boolean = {
+      if (bufPos < bufLen) return true
+      if (streamEof) return false
+      val n = try in.read(buf)
+      catch { case NonFatal(_) => -1 } // corrupt tail: salvage complete prefix
+      if (n <= 0) { streamEof = true; false }
+      else { bufPos = 0; bufLen = n; true }
+    }
+
+    private def readByte(): Int = {
+      if (pending != null) {
+        val b = pending(pendPos) & 0xff
+        pendPos += 1
+        if (pendPos >= pending.length) { pending = null; pendPos = 0 }
+        lastByte = b
+        return b
+      }
+      if (!fill()) -1
+      else { val b = buf(bufPos) & 0xff; bufPos += 1; lastByte = b; b }
+    }
+
+    /** Prepend b[from..) to the unread stream (before any current
+      * pushback remainder — these bytes came out of readByte FIRST). */
+    private def pushBack(b: Array[Byte], from: Int): Unit = {
+      val rest =
+        if (pending == null) Array.emptyByteArray
+        else java.util.Arrays.copyOfRange(pending, pendPos, pending.length)
+      val merged = new Array[Byte](b.length - from + rest.length)
+      System.arraycopy(b, from, merged, 0, b.length - from)
+      System.arraycopy(rest, 0, merged, b.length - from, rest.length)
+      pending = if (merged.length == 0) null else merged
+      pendPos = 0
+      // the pushed-back head will re-report line-start state itself; the
+      // byte BEFORE a salvaged record start was '\n' or position 0 by
+      // construction (nextRecordStart's contract)
+      lastByte = '\n'
+    }
+
+    /** Consume until "WARC/" begins a line; false at stream end. */
+    private def seekRecordStart(): Boolean = {
+      var lineStart = lastByte == '\n'
+      var m = 0
+      while (true) {
+        val b = readByte()
+        if (b < 0) return false
+        if (m > 0 && b == Magic(m)) {
+          m += 1
+          if (m == Magic.length) return true
+        } else {
+          m = if (lineStart && b == 'W') 1 else 0
+        }
+        lineStart = b == '\n'
+      }
+      false
+    }
+
+    /** Accumulate the header block (starting with the already-consumed
+      * "WARC/") through its blank-line terminator. Returns (bytes,
+      * complete): complete=false on cap overflow or EOF — caller resyncs
+      * within the accumulated bytes. */
+    private def readHeaderBlock(): (Array[Byte], Boolean) = {
+      val acc = new ByteArrayOutputStream(512)
+      acc.write(Magic, 0, Magic.length)
+      var lineLen = Magic.length // non-CR bytes in the current line
+      while (acc.size < MaxHeaderBlockBytes) {
+        val b = readByte()
+        if (b < 0) return (acc.toByteArray, false)
+        acc.write(b)
+        if (b == '\n') {
+          if (lineLen == 0) return (acc.toByteArray, true) // blank line
+          lineLen = 0
+        } else if (b != '\r') lineLen += 1
+      }
+      (acc.toByteArray, false)
+    }
+
+    /** Scan consumed-but-unusable bytes for an inner record start and
+      * push the suffix back (from offset 1 — offset 0 is the block's own
+      * failed "WARC/", skipping it guarantees forward progress). */
+    private def resyncWithin(b: Array[Byte]): Unit = {
+      val p = nextRecordStart(b, 1)
+      if (p >= 0) pushBack(b, p)
+    }
+
+    /** Read exactly n payload bytes in chunks sized to what actually
+      * arrives. On EOF first (truncated/lying Content-Length) the partial
+      * bytes are SCANNED for a salvageable inner record (the old
+      * whole-buffer resync semantics) and null is returned. */
+    private def readPayload(n: Long): Array[Byte] = {
+      val chunks = Vector.newBuilder[Array[Byte]]
+      var got = 0L
+      while (got < n) {
+        if (pending != null) {
+          val take = math.min(n - got, (pending.length - pendPos).toLong).toInt
+          chunks += java.util.Arrays.copyOfRange(pending, pendPos, pendPos + take)
+          pendPos += take
+          if (pendPos >= pending.length) { pending = null; pendPos = 0 }
+          got += take
+        } else if (fill()) {
+          val take = math.min(n - got, (bufLen - bufPos).toLong).toInt
+          chunks += java.util.Arrays.copyOfRange(buf, bufPos, bufPos + take)
+          bufPos += take
+          got += take
+        } else {
+          // truncated: drop the record, salvage any record start inside
+          val partial = assemble(chunks.result(), got)
+          resyncWithin2(partial)
+          return null
         }
       }
+      val out = assemble(chunks.result(), got)
+      if (out.length > 0) lastByte = out(out.length - 1) & 0xff
+      out
     }
-    out.result()
+
+    /** Like [[resyncWithin]] but from offset 0 — a salvaged record may
+      * begin exactly at the payload's first byte (the blank line's '\n'
+      * precedes it). */
+    private def resyncWithin2(b: Array[Byte]): Unit = {
+      val p = nextRecordStart(b, 0)
+      if (p >= 0) pushBack(b, p)
+    }
+
+    private def assemble(chunks: Vector[Array[Byte]], total: Long): Array[Byte] = {
+      val out = new Array[Byte](total.toInt)
+      var off = 0
+      chunks.foreach { c => System.arraycopy(c, 0, out, off, c.length); off += c.length }
+      out
+    }
+
+    private def advance(): Record = {
+      while (!done) {
+        if (!seekRecordStart()) { close(); return null }
+        val (block, complete) = readHeaderBlock()
+        if (!complete) { resyncWithin(block) }
+        else {
+          val parsed = parseHeaderBlock(block, 0)
+          if (parsed == null) resyncWithin(block)
+          else {
+            val (hdrs, _) = parsed // payload starts right after the block
+            hdrs.get("content-length").flatMap(_.toLongOption)
+              .filter(n => n >= 0 && n <= payloadCap) match {
+              case None => resyncWithin(block) // missing/negative/huge → resync
+              case Some(n) =>
+                val payload = readPayload(n)
+                if (payload != null)
+                  return Record(
+                    hdrs.getOrElse("warc-type", ""),
+                    hdrs.getOrElse("warc-target-uri", null),
+                    hdrs.getOrElse("warc-date", null),
+                    hdrs, payload)
+              // payload == null: truncated — resync already pushed back
+            }
+          }
+        }
+      }
+      null
+    }
+
+    override def hasNext: Boolean = {
+      if (nextRec == null && !done) {
+        nextRec = advance()
+        if (nextRec == null) done = true
+      }
+      nextRec != null
+    }
+
+    override def next(): Record = {
+      if (!hasNext) throw new NoSuchElementException("RecordIterator")
+      val r = nextRec
+      nextRec = null
+      r
+    }
   }
+
+  private val Magic: Array[Byte] = "WARC/".getBytes(StandardCharsets.ISO_8859_1)
+
+  /** Scan every well-formed record out of one WARC file's bytes — the
+    * in-memory entry point (fixtures, round-trip tests). SAME scanner as
+    * the distributed readers: a [[RecordIterator]] over the byte array,
+    * so hostile-input semantics cannot drift between the two paths. */
+  def scanRecords(fileBytes: Array[Byte]): Vector[Record] =
+    new RecordIterator(new ByteArrayInputStream(fileBytes)).toVector
 
   /** Split an HTTP message payload into its body (the HTML): bytes after
     * the first blank line when the payload starts with `HTTP/`; the whole
@@ -191,7 +386,7 @@ object Warc {
 
   /** Deterministic record id (no randomness — fixtures must be stable). */
   private def recordId(uri: String, date: String): String =
-    f"<urn:uuid:${graft.ops.Dedup.fnv1a(uri + " " + date)}%016x-0000-0000-0000-000000000000>"
+    f"<urn:uuid:${graft.ops.Dedup.fnv1a(uri + " " + date)}%016x-0000-0000-0000-000000000000>"
 
   /** Header names the writer emits itself — dropped from `r.headers` so a
     * SCANNED record (whose map contains every parsed header) re-serializes
@@ -247,14 +442,40 @@ object Warc {
   // Distributed readers
   // ---------------------------------------------------------------------
 
+  /** File paths under `path` matching the WARC suffixes, as a Dataset of
+    * path strings — content is NEVER read driver- or shuffle-side; each
+    * task opens its own FS stream (binaryFile is used for LISTING only,
+    * with the `content` column pruned away). */
+  private def listPaths(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path).select("path")
+
+  /** Open one file as a streamed record iterator on an executor. The
+    * stream closes at task completion even when the iterator is not
+    * drained (limit/failure). */
+  private def openRecords(pathStr: String,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Record] = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val it =
+      try new RecordIterator(p.getFileSystem(conf).open(p))
+      catch { case NonFatal(_) => null } // unreadable file → zero records
+    if (it == null) Iterator.empty
+    else {
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+      it
+    }
+  }
+
   /** Low-level record table: one row per well-formed record across every
-    * `.warc`/`.warc.gz`/`.wet.gz` under `path`. Narrow (no shuffle). */
+    * `.warc`/`.warc.gz`/`.wet.gz` under `path`. Narrow (no shuffle);
+    * per-task memory is bounded by ONE record, not one file. */
   def readRecords(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) =>
-        scanRecords(bytes).iterator.zipWithIndex.map { case (r, i) =>
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    listPaths(spark, path).as[String]
+      .flatMap { file =>
+        openRecords(file, conf.value).zipWithIndex.map { case (r, i) =>
           (file, i.toLong, r.warcType, r.targetUri, r.date,
             r.payload.length.toLong, r.payload)
         }
@@ -270,10 +491,11 @@ object Warc {
     * metadata) are skipped — they carry no page. */
   def readPages(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("content").as[Array[Byte]]
-      .flatMap { bytes =>
-        scanRecords(bytes).iterator.collect {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    listPaths(spark, path).as[String]
+      .flatMap { file =>
+        openRecords(file, conf.value).collect {
           case r if r.warcType == "response" && r.targetUri != null =>
             PageRow(r.targetUri, parseTs(r.date), httpBody(r.payload), null,
               r.headers.getOrElse("warc-identified-content-language", null))

@@ -370,6 +370,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("semDedup mega-cell path: the pair join keys on (cell, bucket), not cell alone") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.semDedup(e, eps = 0.95, k = 4,
+      iters = 1, dim = 64, bucketBits = 6), "simple")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // the candidate join must carry the hyperplane bucket in its key —
+    // a degenerate mega-cell then splits into ~2^bits bounded buckets
+    val joinLine = p.linesIterator.find(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("cell")).getOrElse("")
+    assert(joinLine.contains("bucket"), s"pair join not keyed by bucket: $joinLine")
+  }
+
   test("context windows: range exchange from the prefix sum, never SinglePartition") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.Packing.contextWindows(d, winLen = 128), "simple")
