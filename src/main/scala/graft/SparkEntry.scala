@@ -1243,6 +1243,69 @@ object SparkEntry {
     graft.ops.Packing.cdcChunks(t(s, dir, "documents"), mask = 7)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** CDC chunk-hash dedup profile (the content-addressable-storage view):
+    * the q_dup_spans boilerplate plant repeated on every 3rd doc collapses
+    * to shared chunk hashes wherever CDC re-syncs — per-doc duplicated-
+    * chunk fractions out. */
+  private def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(BoilerplateSuffix)))
+        .otherwise(col("text")).as("text"))
+    graft.ops.Packing.cdcChunkDedup(base, mask = 7).orderBy(col("doc_id"))
+  }
+
+  /** The planted per-host robots META bodies (crawl-delay + sitemap
+    * lines) — ONE definition for q_crawl_delay and q_fetch_schedule.
+    * Plants: EvilBot group whose Crawl-delay 99 must be IGNORED; hosts
+    * 0-2 delay hid+2; host 3 an invalid "abc" (dropped → null); host 4
+    * TWO `*` groups (7 then 4 — min wins); 5-6 none. Sitemap lines are
+    * file-global: sm-a planted twice (dedup to one), even hosts add
+    * sm-b. */
+  private def plantedHostMeta(s: SparkSession, dir: String): DataFrame = {
+    val hosts = t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(7L)).as("hid")).distinct()
+      .select(concat(lit("h"), col("hid"), lit(".example.com")).as("host"),
+        col("hid"))
+    val body = concat(
+      lit("# meta plant\r\nUser-agent: EvilBot\nCrawl-delay: 99\nDisallow: /\n\n"),
+      lit("Sitemap: https://"), col("host"), lit("/sm-a.xml\n"),
+      lit("User-agent: *\nDisallow: /private\n"),
+      when(col("hid") < 3L, concat(lit("Crawl-delay: "), col("hid") + 2L, lit("\n")))
+        .otherwise(lit("")),
+      when(col("hid") === 3L, lit("Crawl-delay: abc\n")).otherwise(lit("")),
+      when(col("hid") === 4L, lit("Crawl-delay: 7\nUser-agent: *\nCrawl-delay: 4\n"))
+        .otherwise(lit("")),
+      lit("Sitemap: https://"), col("host"), lit("/sm-a.xml\n"),
+      when(col("hid") % 2 === 0,
+        concat(lit("Sitemap: https://"), col("host"), lit("/sm-b.xml\n")))
+        .otherwise(lit("")))
+    graft.ops.Robots.hostMeta(hosts.select(col("host"), body.as("body")))
+  }
+
+  /** Crawl-delay + sitemap discovery from robots.txt (the de-facto
+    * politeness extension + sitemaps.org autodiscovery): per-host
+    * (crawl_delay, n_sitemaps, first_sitemap); the oracle rebuilds the
+    * plant's ground truth, so a group-scoping or dedup misread
+    * diverges. */
+  private def qCrawlDelay(s: SparkSession, dir: String): DataFrame =
+    plantedHostMeta(s, dir).orderBy(col("host"))
+
+  /** Politeness fetch schedule: each host's frontier in url order spaced
+    * by its crawl-delay (default 1 s) — the per-host ordinal comes from
+    * ONE global range-partitioned rank minus the host's min rank, never
+    * a per-host window. */
+  private def qFetchSchedule(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hostC = concat(lit("h"), pmod(col("doc_id"), lit(7L)), lit(".example.com"))
+    val paths = array(lit("/"), lit("/private"), lit("/private/ok"),
+      lit("/public/page"), lit("/private/sub"))
+    val pages = d.select(concat(lit("https://"), hostC,
+      element_at(paths, (pmod(col("doc_id"), lit(5L)) + 1L).cast("int"))).as("url"))
+      .distinct()
+    graft.ops.Robots.fetchSchedule(pages, plantedHostMeta(s, dir))
+      .orderBy(col("host"), col("ord"))
+  }
+
   /** Z-order clustering key over a derived (host-bucket, ts-bucket)
     * pair — the multi-dim layout sort key (graft_zvalue is the native
     * Morton interleave; the pruning evidence lives in OpsSpec). */
@@ -1533,6 +1596,9 @@ object SparkEntry {
     "q_cdc_chunks"       -> qCdcChunks _,
     "q_zvalue"           -> qZValue _,
     "q_robots_gate"      -> qRobotsGate _,
+    "q_crawl_delay"      -> qCrawlDelay _,
+    "q_fetch_schedule"   -> qFetchSchedule _,
+    "q_chunk_dedup"      -> qChunkDedup _,
     "q_anchor_text"      -> qAnchorText _,
     "q_epoch_order"      -> qEpochOrder _,
     "q_train_shards"     -> qTrainShards _,
@@ -3236,6 +3302,70 @@ object SparkEntry {
          |  CAST(min(pos) - 1 AS BIGINT) AS start_tok,
          |  CAST(count(*) AS BIGINT) AS n_toks
          |FROM cx GROUP BY doc_id, ci ORDER BY doc_id, ci""".stripMargin
+    },
+    // ground truth from the plant: delays hid+2 (hid<3) / min(7,4)=4
+    // (hid=4) / null elsewhere (invalid "abc" drops, EvilBot's 99 never
+    // applies); sitemaps are file-global, sm-a deduped, even hosts +sm-b
+    "q_crawl_delay" ->
+      """WITH h AS (SELECT DISTINCT doc_id % 7 AS hid FROM documents)
+        |SELECT 'h' || CAST(hid AS VARCHAR) || '.example.com' AS host,
+        |  CAST(CASE WHEN hid < 3 THEN hid + 2 WHEN hid = 4 THEN 4 END AS BIGINT) AS crawl_delay,
+        |  CAST(CASE WHEN hid % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_sitemaps,
+        |  'https://h' || CAST(hid AS VARCHAR) || '.example.com/sm-a.xml' AS first_sitemap
+        |FROM h ORDER BY host""".stripMargin,
+    // per-host ordinal × planted delay (default 1): the single-window
+    // form the global-rank-minus-host-min construction must match
+    "q_fetch_schedule" ->
+      """WITH p AS (SELECT DISTINCT
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+        |    doc_id % 7 AS hid,
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+        |      ['/', '/private', '/private/ok', '/public/page', '/private/sub']
+        |        [CAST(doc_id % 5 AS INT) + 1] AS url
+        |  FROM documents),
+        |r AS (SELECT host, hid, url,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS ord
+        |  FROM p)
+        |SELECT url, host, ord,
+        |  CAST(ord * (CASE WHEN hid < 3 THEN hid + 2 WHEN hid = 4 THEN 4 ELSE 1 END) AS BIGINT) AS fetch_at_s
+        |FROM r ORDER BY host, ord""".stripMargin,
+    "q_chunk_dedup" -> {
+      // same anchor band + chunk assignment as q_cdc_chunks, chunk text
+      // re-joined per (doc, chunk), fnv1a chunk hashes grouped corpus-wide
+      val sg = signedSql(mix64Sql(s"list_transform([tok], w -> $fnvWordSql)[1]"))
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || '$BoilerplateSuffix'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |words AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+         |      x -> length(x) > 0) AS ws FROM base),
+         |st AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+         |      i -> {'pos': i, 'tok': ws[i]})) AS t FROM words),
+         |s2 AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM st),
+         |an AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN (($sg % 8) + 8) % 8 = 0 THEN 1 ELSE 0 END AS a
+         |  FROM s2),
+         |cx AS (SELECT doc_id, pos, tok,
+         |    COALESCE(SUM(a) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+         |  FROM an),
+         |ck AS (SELECT doc_id, ci, string_agg(tok, ' ' ORDER BY pos) AS cs
+         |       FROM cx GROUP BY 1, 2),
+         |ch AS (SELECT doc_id, ci,
+         |    list_transform([cs], w -> $fnvWordSql)[1] AS h FROM ck),
+         |fr AS (SELECT h, count(*) AS n FROM ch GROUP BY 1),
+         |pd AS (SELECT ch.doc_id, count(*) AS nc,
+         |    sum(CASE WHEN fr.n >= 2 THEN 1 ELSE 0 END) AS nd
+         |  FROM ch JOIN fr USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.nc, 0) AS BIGINT) AS n_chunks,
+         |  CAST(COALESCE(pd.nd, 0) AS BIGINT) AS n_dup_chunks,
+         |  round(CAST(COALESCE(pd.nd, 0) AS DOUBLE)
+         |    / CAST(greatest(COALESCE(pd.nc, 0), 1) AS DOUBLE), 4) AS dup_chunk_frac
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
     },
     "q_zvalue" -> {
       // the Morton interleave unrolled as pure BIGINT bit arithmetic

@@ -109,6 +109,63 @@ object Bpe {
       .toDF(idCol, "widx", "pos", "token", "token_id")
   }
 
+  /** BPE TRAINING (Sennrich 2016 learn_bpe): iterate numMerges times —
+    * tokenize every DISTINCT word under the merges so far, count
+    * frequency-weighted adjacent token pairs (every adjacent position,
+    * the symbol-sequence count), adopt the most frequent pair as the
+    * next merge (ties: lexicographic (l, r) — deterministic), stop early
+    * when the best count falls below `minCount`. Output: the learned
+    * merge table (rank, l, r, cnt).
+    *
+    * 100-TB shape: ONE corpus-scale pass builds the (word, freq) frame —
+    * VOCAB-scale, checkpointed; every iteration is a distributed
+    * flatMap+agg over that frame (re-applying the merges so far via
+    * [[applyWord]] — stateless, O(numMerges² · vocab) total, all
+    * vocab-scale) plus a ONE-ROW argmax collect. Merges accumulate on
+    * the driver (numMerges rows — model-scale, the kmeans-centroid
+    * precedent). No per-iteration corpus rescan.
+    *
+    * The DuckDB oracle replays training EXACTLY: numMerges unrolled
+    * blocks, each folding the distinct words through the recursive-CTE
+    * apply under the PREVIOUS blocks' adopted merges, recounting pairs,
+    * and re-running the argmax — tokenizer training verified against an
+    * independent engine. (The oracle cannot stop early; pick numMerges
+    * small enough that every level's best count stays ≥ minCount on the
+    * target corpus.) */
+  def trainMerges(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = CheckpointScratch.ckpt(
+      docs.select(explode(filter(split(coalesce(col(textCol), lit("")), " "),
+          w => length(w) > 0)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+      .as[(String, Long)]
+    var ranks = Map.empty[(String, String), Int]
+    val learned = Vector.newBuilder[(Int, String, String, Long)]
+    var k = 0
+    var go = true
+    while (go && k < numMerges) {
+      val bRanks = spark.sparkContext.broadcast(ranks)
+      val best = words.flatMap { case (w, f) =>
+        val toks = applyWord(w, bRanks.value)
+        (0 until toks.length - 1).iterator.map(i => (toks(i), toks(i + 1), f))
+      }.toDF("l", "r", "f")
+        .groupBy(col("l"), col("r")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) go = false
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        ranks += ((l, r) -> k)
+        learned += ((k, l, r, c))
+        k += 1
+      }
+    }
+    learned.result().toDF("rank", "l", "r", "cnt")
+  }
+
   /** Per-doc subword token counts: (idCol, n_bpe_tokens) — every input
     * doc appears (zero for empty text). The count feeding real token
     * budgets. */

@@ -162,8 +162,10 @@ object Packing {
     * narrow tokenize+flag pass; the running anchor count is a per-DOC
     * window (state bounded by doc length — the LM-fold class, never a
     * corpus-wide sort); one hash aggregation per (doc, chunk). */
-  def cdcChunks(docs: DataFrame, mask: Int = 63, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+  /** Token stream with CDC chunk assignment: (sid, pos, tok, chunk_idx)
+    * — the shared core of [[cdcChunks]] and [[cdcChunkDedup]]. */
+  private def cdcAssign(docs: DataFrame, mask: Int, idCol: String,
+      textCol: String): DataFrame = {
     require(mask >= 0, s"mask must be >= 0, got $mask")
     graft.functions.functions.register(docs.sparkSession)
     import graft.functions.functions.{graft_fnv1a64, graft_mix64}
@@ -175,14 +177,55 @@ object Packing {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sid")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    flagged
-      .withColumn("chunk_idx",
-        coalesce(sum(when(col("anchor"), 1L).otherwise(0L)).over(w), lit(0L)))
+    flagged.withColumn("chunk_idx",
+      coalesce(sum(when(col("anchor"), 1L).otherwise(0L)).over(w), lit(0L)))
+  }
+
+  def cdcChunks(docs: DataFrame, mask: Int = 63, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    cdcAssign(docs, mask, idCol, textCol)
       .groupBy(col("sid"), col("chunk_idx"))
       .agg(min(col("pos")).cast("long").as("start_tok"),
         count(lit(1)).as("n_toks"))
       .select(col("sid").as(idCol), col("chunk_idx"),
         col("start_tok"), col("n_toks"))
+
+  /** CDC chunk-level dedup profile — the content-addressable-storage
+    * view of the corpus: every chunk's CONTENT hashes (graft_fnv1a64 of
+    * its space-joined tokens — the engine-shared hash, so an independent
+    * SQL engine reproduces the buckets), chunks repeated anywhere in the
+    * corpus count as duplicated, and each doc reports
+    * (idCol, n_chunks, n_dup_chunks, dup_chunk_frac). Because CDC
+    * boundaries RE-SYNC at anchors, a boilerplate tail shared by many
+    * docs collapses to the same chunk hashes regardless of what precedes
+    * it — exactly the storage/transfer saving a chunk store realizes
+    * (LBFS, Muthitacharoen 2001).
+    *
+    * Scale shape: per-chunk token lists are bounded by chunk size (the
+    * anchor band keeps E[chunk] = mask+1 tokens); the corpus-wide count
+    * groups on 8-byte hashes — text never crosses the dedup shuffle. */
+  def cdcChunkDedup(docs: DataFrame, mask: Int = 63, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.functions.graft_fnv1a64
+    val chunks = cdcAssign(docs, mask, idCol, textCol)
+      .groupBy(col("sid"), col("chunk_idx"))
+      .agg(graft_fnv1a64(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ")).as("ch"))
+      .transform(CheckpointScratch.ckpt) // feeds the count AND the rejoin
+    val freq = chunks.groupBy(col("ch")).agg(count(lit(1)).as("n"))
+    val perDoc = chunks.join(freq, Seq("ch"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+    docs.select(col(idCol).cast("long").as("sid")).distinct()
+      .join(perDoc, Seq("sid"), "left")
+      .select(col("sid").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        round(coalesce(col("n_dup_chunks"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L)).cast("double"), 4)
+          .as("dup_chunk_frac"))
   }
 
   /** Bin-level utilization summary: (groupCol, shard_id, bin_id, n_docs,

@@ -55,12 +55,109 @@ object Robots {
               inRules = true
               if (agentsSawStar && value.nonEmpty)
                 out += ((key == "allow", value))
-            case _ => () // crawl-delay, sitemap, … — ignored, stanza intact
+            case "crawl-delay" =>
+              // group-scoped like the path rules: it must CLOSE the
+              // stanza or a following User-agent line would stack onto
+              // this group (parseBodyMeta shares the boundary rule —
+              // one body, one grouping)
+              inRules = true
+            case _ => () // sitemap, unknown — ignored, stanza intact
           }
         }
       }
     }
     out.toSeq
+  }
+
+  /** Per-host politeness metadata from one robots body: the `*`-group
+    * Crawl-delay (de-facto extension — seconds; the SMALLEST valid
+    * non-negative value across `*` groups wins, a deterministic tie rule
+    * for hostile multi-group bodies) and every `Sitemap:` directive
+    * (GLOBAL per sitemaps.org — not group-scoped, collected anywhere in
+    * the file, first-occurrence order, duplicates dropped). Never
+    * throws. */
+  def parseBodyMeta(body: String): (Option[Long], Seq[String]) = {
+    var delay: Option[Long] = None
+    val sitemaps = scala.collection.mutable.LinkedHashSet.empty[String]
+    var agentsSawStar = false
+    var inRules = false
+    body.split("\r\n|\n|\r", -1).foreach { raw =>
+      val noComment = {
+        val i = raw.indexOf('#')
+        if (i >= 0) raw.substring(0, i) else raw
+      }
+      val line = noComment.trim
+      if (line.nonEmpty) {
+        val ci = line.indexOf(':')
+        if (ci > 0) {
+          val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(ci + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inRules) { agentsSawStar = false; inRules = false }
+              if (value == "*") agentsSawStar = true
+            case "disallow" | "allow" => inRules = true
+            case "crawl-delay" =>
+              inRules = true // group-scoped like the path rules
+              if (agentsSawStar)
+                value.toLongOption.filter(_ >= 0L).foreach { d =>
+                  delay = Some(delay.fold(d)(math.min(_, d)))
+                }
+            case "sitemap" =>
+              // global: group state untouched (RFC 9309 treats unknown
+              // lines as transparent; sitemaps.org defines file scope)
+              if (value.nonEmpty) sitemaps += value
+            case _ => ()
+          }
+        }
+      }
+    }
+    (delay, sitemaps.toSeq)
+  }
+
+  /** Per-host politeness metadata table: (hostCol, crawl_delay,
+    * n_sitemaps, first_sitemap) — crawl_delay null when the `*` group
+    * sets none. Robots-scale (one row per host). */
+  def hostMeta(robots: DataFrame, hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(bodyCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, body) =>
+        if (host == null || body == null) Iterator.empty
+        else {
+          val (d, sm) = parseBodyMeta(body)
+          Iterator((host, d.map(java.lang.Long.valueOf).orNull,
+            sm.length.toLong, sm.headOption.orNull))
+        }
+      }.toDF(hostCol, "crawl_delay", "n_sitemaps", "first_sitemap")
+  }
+
+  /** Politeness FETCH SCHEDULE: order each host's frontier
+    * deterministically (url ASC) and space fetches by the host's
+    * crawl-delay — fetch_at_s = ordinal × delay (pure BIGINT; hosts
+    * without a delay use `defaultDelay`). The per-host ordinal is the
+    * GLOBAL rank over (host, url) minus the host's min rank — ranks of
+    * one host are consecutive under that sort, so the subtraction is the
+    * per-host dense index WITHOUT a per-host window (a mega-host would
+    * otherwise sort in one task; here it spans range partitions like any
+    * other key run). Output: (urlCol, host, ord, fetch_at_s). */
+  def fetchSchedule(pages: DataFrame, meta: DataFrame,
+      urlCol: String = "url", defaultDelay: Long = 1L): DataFrame = {
+    val host = graft.ops.UrlOps.host(col(urlCol))
+    val keyed = pages.select(col(urlCol), host.as("host"))
+      .withColumn("__id", xxhash64(col(urlCol))) // rankBy id tiebreak
+    val ranks = Selection.rankBy(keyed,
+      Seq(col("host"), col(urlCol)), Seq(true, true), "__id")
+    val ranked = keyed.join(ranks, Seq("__id")).drop("__id")
+    val base = ranked.groupBy(col("host")).agg(min(col("rank")).as("__h0"))
+    ranked.join(base, Seq("host"))
+      .join(meta.select(col("host"), col("crawl_delay")), Seq("host"), "left")
+      .select(col(urlCol), col("host"),
+        (col("rank") - col("__h0")).as("ord"),
+        ((col("rank") - col("__h0")) *
+          coalesce(col("crawl_delay"), lit(defaultDelay))).as("fetch_at_s"))
   }
 
   /** Parse per-host robots bodies into the rules table

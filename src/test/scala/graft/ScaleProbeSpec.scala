@@ -318,4 +318,48 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     timed("cdcChunks 2M docs (~80M tokens)")(
       graft.ops.Packing.cdcChunks(docs, mask = 7).count())
   }
+
+  ignore("round-8: warm band-key store vs per-batch recompute; BPE apply at 2M docs (opt-in probe)") {
+    import spark.implicits._
+    graft.functions.functions.register(spark)
+    // 2M-doc seen corpus, 100k-doc batch (5k drifted re-crawls + 95k fresh)
+    val seen = corpus(2000000L).localCheckpoint(true)
+    val batch = corpus(5000L)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        concat(col("text"), lit(" drifted tail")).as("text"))
+      .unionByName(spark.range(4000000L, 4095000L).select(col("id").as("doc_id"),
+        concat(lit("fresh page "), col("id"), lit(" qq ww ee rr tt yy uu ii oo pp "
+          + "aa ss dd ff gg hh jj kk ll zz xx cc vv bb nn mm q1 w2 e3 r4 t5 y6 u7 "
+          + "i8 o9 p0 a1 s2 d3 f4 g5")).as("text")))
+      .localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("graft-nds-2m").toString
+    timed("NearDupStore.append 2M (one-time cold cost)") {
+      graft.ops.NearDupStore.append(root, seen); 2000000L
+    }
+    // warm path: batch-side signatures only — the seen corpus is two
+    // parquet scans of 8/16-byte keys, never re-shingled
+    timed("incrementalNearDup 100k batch vs STORED 2M keys (warm)")(
+      graft.ops.NearDupStore.incrementalNearDup(root, batch, 0.5).count())
+    timed("incrementalNearDup 100k batch, seen recomputed per batch (cold)")(
+      graft.ops.Dedup.incrementalNearDup(seen, batch, 0.5).count())
+    // decomposed seen-side cost: the stored frames are a parquet scan
+    // (warm) vs a full re-shingle+minhash+band pass (cold ≈ the append
+    // minus its write). At probe scale the ~250 B synthetic docs make the
+    // two END-TO-END walls similar (the band join dominates); on real
+    // ~20 KB pages the cold path re-reads and re-tokenizes corpus TEXT
+    // per batch while the warm path scans signature-scale columns only.
+    timed("stored seen-side scan (keys + sigs) — the warm increment's seen cost")(
+      graft.ops.NearDupStore.seenKeys(spark, root).count() +
+        graft.ops.NearDupStore.seenSigs(spark, root)
+          .agg(sum(size(col("shs")))).head().getLong(0))
+    // BPE apply: two-level char merges over the wNNNN vocabulary ("w"+digit,
+    // then "wD"+digit) — every word folds 2+ merges; the per-task memo
+    // collapses the 4096-word vocab
+    val merges = ((0 until 10).map(d => (d, "w", d.toString)) ++
+      (for (i <- 0 until 10; j <- 0 until 10)
+        yield (10 + i * 10 + j, s"w$i", j.toString)))
+      .toDF("rank", "l", "r")
+    timed("Bpe.tokenize 2M docs (~80M words)")(
+      graft.ops.Bpe.tokenize(seen, merges).count())
+  }
 }
