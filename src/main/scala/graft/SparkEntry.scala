@@ -1430,6 +1430,19 @@ object SparkEntry {
       .orderBy(col("cum_tokens"))
   }
 
+  /** BPE merge TRAINING (Sennrich 2016 learn_bpe) replayed end-to-end:
+    * 4 merge levels learned from the documents corpus — each level
+    * re-tokenizes the distinct-word vocabulary under the merges adopted
+    * so far, counts frequency-weighted adjacent pairs, and adopts the
+    * (cnt DESC, l, r) argmax. The oracle UNROLLS the same loop as four
+    * recursive-CTE fold blocks, so a wrong pair count, tie-break, or
+    * merge application at ANY level diverges. */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.trainMerges(t(s, dir, "documents"), numMerges = 4)
+      .select(col("rank").cast("long").as("rank"), col("l"), col("r"),
+        col("cnt"))
+      .orderBy(col("rank"))
+
   /** Host-graph PageRank over a planted deterministic link graph (hosts
     * = doc_id residues, one link per doc) — 4 fixed iterations of the
     * bit-exact ordered-fold power iteration, damping 0.85. */
@@ -1610,6 +1623,7 @@ object SparkEntry {
     "q_store_neardup"    -> qStoreNearDup _,
     "q_bpe_tokens"       -> qBpeTokens _,
     "q_bpe_budget"       -> qBpeBudget _,
+    "q_bpe_train"        -> qBpeTrain _,
     "q_frontier_funnel"  -> qFrontierFunnel _,
     "q_warc_roundtrip"   -> qWarcRoundtrip _,
     "x_warc"          -> xWarc _,
@@ -2899,6 +2913,59 @@ object SparkEntry {
        |SELECT doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens, cum_tokens
        |FROM bcum WHERE cum_tokens <= 20000""".stripMargin
 
+  /** q_bpe_train oracle: the training loop UNROLLED — level k folds the
+    * distinct (word, freq) vocabulary through the recursive merge CTE
+    * under the merges ADOPTED at levels < k (tmg_k = union of the
+    * previous levels' argmax rows), recounts frequency-weighted adjacent
+    * pairs over every position, and re-runs the (cnt DESC, l, r)
+    * argmax — tokenizer training verified against an independent engine. */
+  private def bpeTrainOracle: String = {
+    val K = 4
+    def level(k: Int): String = {
+      val mg =
+        if (k == 0)
+          s"tmg_0(rank, l, r) AS (SELECT CAST(NULL AS INT), '', '' WHERE 1=0)"
+        else
+          s"tmg_$k(rank, l, r) AS (" + (0 until k)
+            .map(j => s"SELECT $j AS rank, l, r FROM ta_$j")
+            .mkString(" UNION ALL ") + ")"
+      s"""$mg,
+         |tst_$k AS (
+         |  SELECT w, freq, ' ' || array_to_string(list_transform(range(1, length(w)+1), i -> w[i]), ' ') || ' ' AS st
+         |  FROM twf
+         |  UNION ALL
+         |  SELECT w, freq, st[1:strpos(st, pat)-1] || rep || st[strpos(st, pat)+length(pat):] AS st
+         |  FROM (
+         |    SELECT r0.w, r0.freq, r0.st,
+         |      ' ' || m.l || ' ' || m.r || ' ' AS pat,
+         |      ' ' || m.l || m.r || ' ' AS rep
+         |    FROM tst_$k r0 JOIN tmg_$k m ON contains(r0.st, ' ' || m.l || ' ' || m.r || ' ')
+         |    WHERE NOT EXISTS (SELECT 1 FROM tmg_$k m2 WHERE m2.rank < m.rank
+         |                      AND contains(r0.st, ' ' || m2.l || ' ' || m2.r || ' ')))),
+         |tfw_$k AS (
+         |  SELECT w, freq, string_split(trim(st), ' ') AS toks FROM tst_$k r0
+         |  WHERE NOT EXISTS (SELECT 1 FROM tmg_$k m
+         |                    WHERE contains(r0.st, ' ' || m.l || ' ' || m.r || ' '))),
+         |tpp_$k AS (
+         |  SELECT freq, unnest(list_transform(range(1, len(toks)),
+         |      i -> {'pl': toks[i], 'pr': toks[i+1]})) AS p
+         |  FROM tfw_$k),
+         |tpc_$k AS (SELECT p.pl AS l, p.pr AS r, sum(freq) AS cnt
+         |  FROM tpp_$k GROUP BY 1, 2),
+         |ta_$k AS (SELECT l, r, cnt FROM tpc_$k ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    }
+    val levels = (0 until K).map(level).mkString(",\n")
+    val union = (0 until K)
+      .map(k => s"SELECT $k AS rank, l, r, cnt FROM ta_$k")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE twi AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |twf AS (SELECT w, count(*) AS freq FROM twi WHERE length(w) > 0 GROUP BY 1),
+       |$levels
+       |SELECT CAST(rank AS BIGINT) AS rank, l, r, CAST(cnt AS BIGINT) AS cnt
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   /** q_frontier_funnel oracle: the plant's ground truth composed —
     * urlset docs contribute exactly their two decoded locs (already in
     * canonical form by construction, so stage 1 is a pure distinct);
@@ -3168,6 +3235,7 @@ object SparkEntry {
     "q_store_neardup" -> incrementalNearDupOracle,
     "q_bpe_tokens" -> bpeTokensOracle,
     "q_bpe_budget" -> bpeBudgetOracle,
+    "q_bpe_train" -> bpeTrainOracle,
     "q_frontier_funnel" -> frontierFunnelOracle,
     "q_heavy_tokens" -> heavyTokensOracle,
     "q_sketch_quantiles" -> sketchQuantilesOracle,

@@ -70,6 +70,32 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.toSeq == Seq((1L, 2L), (2L, 4L), (3L, 0L)))
   }
 
+  test("trainMerges: hand-computed Sennrich corpus — counts, ties, adopted ranks") {
+    import spark.implicits._
+    // freqs: low:3 lower:2 newest:4 widest:2.
+    // L0 pair counts: (w,e)=6 (e,s)=6 (s,t)=6 (l,o)=5 (o,w)=5 ... —
+    //   three-way tie at 6, lexicographic (l,r): (e,s) wins.
+    // L1: es adopted → (es,t)=6 wins. L2: (l,o)=5 beats (o,w)=5 on l<o.
+    // L3: lo adopted → (lo,w)=5.
+    val docs = Seq(
+      (1L, "low low low lower lower"),
+      (2L, "newest newest newest newest widest widest")).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, numMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0, "e", "s", 6L), (1, "es", "t", 6L),
+      (2, "l", "o", 5L), (3, "lo", "w", 5L)), got.mkString(","))
+    // minCount stops early: level 2's best count (5) is below 6
+    val stopped = Bpe.trainMerges(docs, numMerges = 4, minCount = 6L).collect()
+    assert(stopped.length == 2, stopped.mkString(","))
+    // the learned table round-trips through the APPLY path
+    val merges = Bpe.trainMerges(docs, numMerges = 4)
+    assert(Bpe.applyWord("newest",
+      merges.collect().map(r => ((r.getString(1), r.getString(2)), r.getInt(0))).toMap)
+      == Vector("n", "e", "w", "est"))
+  }
+
   test("duplicate merge pairs are rejected; duplicate SURFACE forms take the min rank id") {
     import spark.implicits._
     val dup = Seq((0, "a", "b"), (1, "a", "b")).toDF("rank", "l", "r")
