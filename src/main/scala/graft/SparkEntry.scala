@@ -1443,6 +1443,40 @@ object SparkEntry {
         col("cnt"))
       .orderBy(col("rank"))
 
+  /** Labels for the in-engine classifier training: distill the
+    * handcrafted quality rules into {0,1} targets — exact quarters, so
+    * the threshold compare is platform-independent. */
+  private def trainLabeled(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.qualityScore(t(s, dir, "documents"))
+      .select(col("doc_id"), col("text"),
+        when(col("quality_score") >= 0.5, lit(1.0)).otherwise(lit(0.0)).as("y"))
+
+  /** Linear classifier TRAINING in-engine (full-batch squared-loss GD,
+    * 2 fixed iterations, lr = 1/2): the quality-rule labels distilled
+    * into a bag-of-words linear model. The oracle unrolls both GD steps
+    * with the identical two-level (doc-bucket → doc) gradient folds, so
+    * one addition out of order at ANY step diverges. */
+  private def qTrainLinear(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Train.linearFit(trainLabeled(s, dir), labelCol = "y",
+        iters = 2, lr = 0.5)
+      .select(col("tok"), round(col("w"), 6).as("w"))
+      .orderBy(col("tok"))
+
+  /** The trained model deployed on the EXISTING inference path
+    * ([[graft.ops.Classifier.linearScore]]'s position-ordered mean
+    * fold): train → score in one composed query — the CCNet/GPT-3
+    * distill-then-gate recipe end-to-end. */
+  private def qDistillScore(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.ops.Train.linearFit(trainLabeled(s, dir),
+      labelCol = "y", iters = 2, lr = 0.5)
+    // the bias is a one-row scalar by construction — the k-means
+    // centroid-collect precedent (model-scale driver state only)
+    val bias = model.filter(col("tok").isNull).head().getDouble(1)
+    graft.ops.Classifier.linearScore(t(s, dir, "documents"),
+        model.filter(col("tok").isNotNull), bias)
+      .orderBy(col("doc_id"))
+  }
+
   /** Host-graph PageRank over a planted deterministic link graph (hosts
     * = doc_id residues, one link per doc) — 4 fixed iterations of the
     * bit-exact ordered-fold power iteration, damping 0.85. */
@@ -1624,6 +1658,8 @@ object SparkEntry {
     "q_bpe_tokens"       -> qBpeTokens _,
     "q_bpe_budget"       -> qBpeBudget _,
     "q_bpe_train"        -> qBpeTrain _,
+    "q_train_linear"     -> qTrainLinear _,
+    "q_distill_score"    -> qDistillScore _,
     "q_frontier_funnel"  -> qFrontierFunnel _,
     "q_warc_roundtrip"   -> qWarcRoundtrip _,
     "x_warc"          -> xWarc _,
@@ -2966,6 +3002,90 @@ object SparkEntry {
        |FROM ($union) ORDER BY rank""".stripMargin
   }
 
+  /** Shared CTE chain for q_train_linear / q_distill_score: quality-rule
+    * labels, bag-of-words features x = cnt/n_tokens, then BOTH GD
+    * iterations unrolled with the identical two-level (doc%16 → doc)
+    * ordered gradient folds, per-doc token-ordered prediction folds, and
+    * the one fixed update expression w − 0.5·(g/n). Ends at lw2 (tok, w)
+    * and lb2 (b). */
+  private def trainFoldCtes: String = {
+    def fold(v: String, k: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list($v ORDER BY $k)), (a, b) -> a + b)"
+    def gradLevel(i: Int, errCte: String): String =
+      s"""lg${i}p AS (SELECT lx.tok, lx.doc_id % 16 AS bk,
+         |    ${fold(s"$errCte.e * lx.x", "lx.doc_id")} AS s
+         |  FROM lx JOIN $errCte USING (doc_id) GROUP BY 1, 2),
+         |lg$i AS (SELECT tok, ${fold("s", "bk")} AS g FROM lg${i}p GROUP BY 1),
+         |lgb${i}p AS (SELECT doc_id % 16 AS bk, ${fold("e", "doc_id")} AS s
+         |  FROM $errCte GROUP BY 1),
+         |lgb$i AS (SELECT ${fold("s", "bk")} AS gb FROM lgb${i}p)""".stripMargin
+    s"""lab0 AS (
+       |${margined(qualityOracle)}
+       |),
+       |lab AS (SELECT doc_id, CASE WHEN quality_score >= 0.5
+       |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y FROM lab0),
+       |lw AS (SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+       |    x -> length(x) > 0) AS ws FROM documents),
+       |lc AS (SELECT doc_id, tok, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM lw) GROUP BY 1, 2),
+       |lnd AS (SELECT doc_id, sum(c) AS nt FROM lc GROUP BY 1),
+       |lx AS (SELECT lc.doc_id, lc.tok, CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS x
+       |  FROM lc JOIN lnd USING (doc_id)),
+       |lv AS (SELECT DISTINCT tok FROM lc),
+       |ln AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+       |le1 AS (SELECT doc_id, CAST(0 AS DOUBLE) - y AS e FROM lab),
+       |${margined(gradLevel(1, "le1"))},
+       |lw1 AS (SELECT lv.tok,
+       |    CAST(0 AS DOUBLE) - 0.5 * (COALESCE(lg1.g, CAST(0 AS DOUBLE)) / nd) AS w
+       |  FROM lv LEFT JOIN lg1 USING (tok) CROSS JOIN ln),
+       |lb1 AS (SELECT CAST(0 AS DOUBLE) - 0.5 * (gb / nd) AS b FROM lgb1 CROSS JOIN ln),
+       |lp2 AS (SELECT lx.doc_id, ${fold("lw1.w * lx.x", "lx.tok")} AS ps
+       |  FROM lx JOIN lw1 USING (tok) GROUP BY 1),
+       |le2 AS (SELECT lab.doc_id,
+       |    (lb1.b + COALESCE(lp2.ps, CAST(0 AS DOUBLE))) - lab.y AS e
+       |  FROM lab LEFT JOIN lp2 USING (doc_id) CROSS JOIN lb1),
+       |${margined(gradLevel(2, "le2"))},
+       |lw2 AS (SELECT lw1.tok,
+       |    lw1.w - 0.5 * (COALESCE(lg2.g, CAST(0 AS DOUBLE)) / nd) AS w
+       |  FROM lw1 LEFT JOIN lg2 USING (tok) CROSS JOIN ln),
+       |lb2 AS (SELECT lb1.b - 0.5 * (gb / nd) AS b
+       |  FROM lgb2 CROSS JOIN lb1 CROSS JOIN ln)""".stripMargin
+  }
+
+  /** q_train_linear oracle: the trained (tok, w) table plus the NULL-tok
+    * bias row, both GD steps replayed exactly. */
+  private def trainLinearOracle: String =
+    s"""WITH ${margined(trainFoldCtes)}
+       |SELECT tok, round(w, 6) AS w FROM lw2
+       |UNION ALL
+       |SELECT CAST(NULL AS VARCHAR) AS tok, round(b, 6) AS w FROM lb2""".stripMargin
+
+  /** q_distill_score oracle: the classifierOracle fold shape (position-
+    * ordered weight mean) evaluated under the TRAINED model — the full
+    * train→deploy chain in one statement. */
+  private def distillScoreOracle: String =
+    s"""WITH ${margined(trainFoldCtes)},
+       |cst AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |    i -> {'pos': i, 'tok': ws[i]})) AS t FROM lw),
+       |cs2 AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM cst),
+       |csc AS (SELECT cs2.doc_id, cs2.pos, COALESCE(m.w, CAST(0 AS DOUBLE)) AS w,
+       |    m.tok IS NOT NULL AS hit
+       |  FROM cs2 LEFT JOIN lw2 m ON m.tok = cs2.tok),
+       |cagg AS (SELECT doc_id, count(*) AS n,
+       |    sum(CASE WHEN hit THEN 1 ELSE 0 END) AS h,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY pos)),
+       |      (a, b) -> a + b) AS wsum
+       |  FROM csc GROUP BY 1),
+       |cout AS (SELECT d.doc_id,
+       |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(a.h, 0) AS BIGINT) AS n_hits,
+       |    round(lb2.b + COALESCE(a.wsum, CAST(0 AS DOUBLE))
+       |      / CAST(greatest(COALESCE(a.n, 0), 1) AS DOUBLE), 4) AS score
+       |  FROM (SELECT doc_id FROM documents) d
+       |  LEFT JOIN cagg a USING (doc_id) CROSS JOIN lb2)
+       |SELECT doc_id, n_tokens, n_hits, score, (score >= 0) AS positive
+       |FROM cout ORDER BY doc_id""".stripMargin
+
   /** q_frontier_funnel oracle: the plant's ground truth composed —
     * urlset docs contribute exactly their two decoded locs (already in
     * canonical form by construction, so stage 1 is a pure distinct);
@@ -3236,6 +3356,8 @@ object SparkEntry {
     "q_bpe_tokens" -> bpeTokensOracle,
     "q_bpe_budget" -> bpeBudgetOracle,
     "q_bpe_train" -> bpeTrainOracle,
+    "q_train_linear" -> trainLinearOracle,
+    "q_distill_score" -> distillScoreOracle,
     "q_frontier_funnel" -> frontierFunnelOracle,
     "q_heavy_tokens" -> heavyTokensOracle,
     "q_sketch_quantiles" -> sketchQuantilesOracle,

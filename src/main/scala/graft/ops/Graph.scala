@@ -162,8 +162,9 @@ object Graph {
 
   /** Two-level ordered fold tree: (groupCols…) → exact double sum of
     * `valC` folded by `keyC` within `pmod(keyC, buckets)` sub-folds.
-    * Returns the level-1 frame (groupCols, __bk, __s). */
-  private def foldLevel1(df: DataFrame, groupCols: Seq[Column], keyC: Column,
+    * Returns the level-1 frame (groupCols, __bk, __s). Shared with the
+    * gradient folds in [[Train]]. */
+  private[ops] def foldLevel1(df: DataFrame, groupCols: Seq[Column], keyC: Column,
       valC: Column, buckets: Int): DataFrame =
     df.groupBy(groupCols :+ pmod(keyC, lit(buckets.toLong)).as("__bk"): _*)
       .agg(orderedFold(keyC, valC).as("__s"))

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear quality-classifier TRAINING — the in-engine counterpart of
+  * [[Classifier.linearScore]]: full-batch gradient descent on squared
+  * loss over bag-of-words features, the standard way web pipelines
+  * distill expensive quality judgments (human labels, LLM judges, or —
+  * here — the handcrafted Gopher/C4-style rule score) into a linear
+  * model cheap enough to gate 100 TB (the CCNet / GPT-3 quality-filter
+  * recipe: train linear, score everything).
+  *
+  * Model: pred(d) = b + Σ_tok w(tok) · x(d,tok), with features
+  * x(d,tok) = count(tok in d) / n_tokens(d) — EXACTLY the feature map
+  * [[Classifier.linearScore]] evaluates (its mean-of-position-weights
+  * score equals Σ w·cnt/n), so a model trained here deploys on the
+  * existing inference path unchanged.
+  *
+  * Updates (squared loss, fixed `iters`, w≡0, b=0 init — results are a
+  * pure function of the input, the fixed-iteration discipline of
+  * [[Graph.pageRank]] / the k-means fold):
+  *
+  *   err(d)  = pred(d) − y(d)
+  *   w(tok) −= lr · foldΣ_d err(d)·x(d,tok) / n
+  *   b      −= lr · foldΣ_d err(d)          / n
+  *
+  * Bit-exactness discipline (the repo's oracle contract — every double
+  * reproducible by an independent engine): x is ONE IEEE division of
+  * exact integers; the per-doc prediction folds w·x in ascending TOKEN
+  * order from 0.0; each gradient folds err·x in the two-level
+  * (pmod(doc_id, gradBuckets) → doc_id) tree of [[Graph.orderedFold]] —
+  * which is also HUB SAFETY: a stopword appearing in every document
+  * folds in `gradBuckets` bounded tasks, never one giant ordered list;
+  * the bias gradient is the same tree over all docs. lr and labels
+  * should be exact dyadic rationals so update arithmetic stays
+  * platform-independent.
+  *
+  * Shape at 100 TB: the (doc, tok, x) frame is built once and
+  * checkpointed; each iteration is one equi-join of that frame against
+  * the token-keyed weight frame (vocab-scale, NEVER broadcast — the
+  * [[Classifier]] model-as-a-table discipline), one per-doc fold, one
+  * per-token two-level fold, and one-row scalar broadcasts for n and
+  * the bias. Per-iteration checkpoints keep plans flat; driver state is
+  * zero (even the bias lives in a one-row frame).
+  */
+object Train {
+
+  /** Train `iters` full-batch GD steps. `docs` must carry idCol, textCol
+    * and a numeric `labelCol` (the regression target; use exact values
+    * like 0.0/1.0). Returns the trained model: (tok, w) rows plus ONE
+    * bias row with tok = NULL — split it with `tok IS NULL` or feed the
+    * token rows straight to [[Classifier.linearScore]] with the bias. */
+  def linearFit(docs: DataFrame, labelCol: String, iters: Int, lr: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      gradBuckets: Int = 16): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(gradBuckets >= 1, s"gradBuckets must be >= 1, got $gradBuckets")
+    val base = CheckpointScratch.ckpt(
+      docs.select(col(idCol).cast("long").as("did"),
+        col(labelCol).cast("double").as("y"),
+        col(textCol).as("__text")))
+    val tk = base.select(col("did"),
+        explode(filter(split(coalesce(col("__text"), lit("")), "\\s+"),
+          w => length(w) > 0)).as("tok"))
+      .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("c"))
+    val nd = tk.groupBy(col("did")).agg(sum(col("c")).as("nt"))
+    val x = CheckpointScratch.ckpt(
+      tk.join(nd, Seq("did"))
+        .select(col("did"), col("tok"),
+          (col("c").cast("double") / col("nt").cast("double")).as("x")))
+    val labels = base.select(col("did"), col("y"))
+    val nF = base.agg(count(lit(1)).as("__n")) // one-row scalar: doc count
+    val nD = col("__n").cast("double")
+
+    var w = CheckpointScratch.ckpt(
+      x.select(col("tok")).distinct().select(col("tok"), lit(0.0).as("w")))
+    // one-row scalar frame holding the bias (agg ⇒ exactly one row even
+    // on an empty corpus)
+    var bF = base.agg(count(lit(1)).as("__z")).select(lit(0.0).as("__b"))
+    for (_ <- 1 to iters) {
+      val (wN, bN) = step(x, labels, nF, w, bF, lr, gradBuckets)
+      w = CheckpointScratch.ckpt(wN)
+      bF = CheckpointScratch.ckpt(bN)
+    }
+    w.select(col("tok"), col("w"))
+      .union(bF.select(lit(null).cast("string").as("tok"),
+        col("__b").as("w")))
+  }
+
+  /** One un-checkpointed GD update — exposed (like [[Graph.step]]) so
+    * the plan gates can pin its shape: equi-joins on did/tok keys, keyed
+    * two-level folds, scalar attaches as one-row broadcasts, no Window,
+    * no cartesian. Returns (new weight frame, new one-row bias frame).
+    * The error frame is checkpointed internally — it feeds BOTH
+    * gradients and would otherwise recompute the prediction fold. */
+  private[graft] def step(x: DataFrame, labels: DataFrame, nF: DataFrame,
+      w: DataFrame, bF: DataFrame, lr: Double,
+      gradBuckets: Int): (DataFrame, DataFrame) = {
+    val nD = col("__n").cast("double")
+    // pred(d) = b + fold_{tok asc}(w·x) ; docs with no tokens get b
+    val wx = x.join(w, Seq("tok"))
+      .select(col("did"), col("tok"), (col("w") * col("x")).as("wx"))
+    val predSum = wx.groupBy(col("did"))
+      .agg(Graph.orderedFold(col("tok"), col("wx")).as("ps"))
+    val err = CheckpointScratch.ckpt(
+      labels.join(predSum, Seq("did"), "left")
+        .crossJoin(broadcast(bF))
+        .select(col("did"),
+          (col("__b") + coalesce(col("ps"), lit(0.0)) - col("y")).as("e")))
+    // per-token gradient: two-level (doc-bucket → doc) ordered fold
+    val ex = x.join(err, Seq("did"))
+      .select(col("tok"), col("did"), (col("e") * col("x")).as("ex"))
+    val grad = Graph.foldLevel1(ex, Seq(col("tok")), col("did"), col("ex"),
+        gradBuckets)
+      .groupBy(col("tok"))
+      .agg(Graph.orderedFold(col("__bk"), col("__s")).as("g"))
+    val wN = w.join(grad, Seq("tok"), "left").crossJoin(broadcast(nF))
+      .select(col("tok"),
+        (col("w") - lit(lr) * (coalesce(col("g"), lit(0.0)) / nD)).as("w"))
+    val gbF = Graph.foldLevel1(err, Nil, col("did"), col("e"), gradBuckets)
+      .agg(Graph.orderedFold(col("__bk"), col("__s")).as("gb"))
+    val bN = bF.crossJoin(broadcast(gbF)).crossJoin(broadcast(nF))
+      .select((col("__b") - lit(lr) * (col("gb") / nD)).as("__b"))
+    (wN, bN)
+  }
+}
