@@ -1443,6 +1443,29 @@ object SparkEntry {
         col("cnt"))
       .orderBy(col("rank"))
 
+  /** Inverted-index dictionary: per-term (df, cf) corpus statistics —
+    * the index-build aggregation, gated at df ≥ 5. */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Index.dictionary(t(s, dir, "documents"))
+      .filter(col("df") >= 5L).orderBy(col("term"))
+
+  /** Conjunctive (AND) search through the postings table: every doc
+    * containing ALL of {spark, merge, hash}, scored by total probe tf —
+    * the probe filter pushes into the scan, the match test is a
+    * doc-keyed hash agg. */
+  private def qConjSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Index.conjunctiveSearch(t(s, dir, "documents"),
+        Seq("spark", "merge", "hash"))
+      .orderBy(col("doc_id"))
+
+  /** Exact positional phrase search ("batch batch" — the overlapping-
+    * occurrence case: "batch batch batch" yields TWO matches): equi-join
+    * on (doc, pos+1), text never rescanned. */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Index.phraseSearch(t(s, dir, "documents"),
+        Seq("batch", "batch"))
+      .orderBy(col("doc_id"))
+
   /** Labels for the in-engine classifier training: distill the
     * handcrafted quality rules into {0,1} targets — exact quarters, so
     * the threshold compare is platform-independent. */
@@ -1660,6 +1683,9 @@ object SparkEntry {
     "q_bpe_train"        -> qBpeTrain _,
     "q_train_linear"     -> qTrainLinear _,
     "q_distill_score"    -> qDistillScore _,
+    "q_inverted_index"   -> qInvertedIndex _,
+    "q_conj_search"      -> qConjSearch _,
+    "q_phrase_search"    -> qPhraseSearch _,
     "q_frontier_funnel"  -> qFrontierFunnel _,
     "q_warc_roundtrip"   -> qWarcRoundtrip _,
     "x_warc"          -> xWarc _,
@@ -3052,6 +3078,43 @@ object SparkEntry {
        |  FROM lgb2 CROSS JOIN lb1 CROSS JOIN ln)""".stripMargin
   }
 
+  /** Shared positional term stream for the inverted-index oracles —
+    * positions index the RAW \s+ split (empties dropped without closing
+    * gaps), exactly [[graft.ops.Index.termStream]]. */
+  private def indexStreamCtes: String =
+    """ist AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+      |    i -> {'pos': i, 'tok': ws[i]})) AS t
+      |  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS ws
+      |        FROM documents)),
+      |is2 AS (SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, t.tok AS tok
+      |  FROM ist WHERE length(t.tok) > 0)""".stripMargin
+
+  /** q_inverted_index oracle: postings agg then dictionary agg. */
+  private def invertedIndexOracle: String =
+    s"""WITH ${margined(indexStreamCtes)},
+       |ip AS (SELECT tok AS term, doc_id, count(*) AS tf FROM is2 GROUP BY 1, 2)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |FROM ip GROUP BY 1 HAVING count(*) >= 5 ORDER BY term""".stripMargin
+
+  /** q_conj_search oracle: probe-filtered postings, doc-keyed AND test. */
+  private def conjSearchOracle: String =
+    s"""WITH ${margined(indexStreamCtes)},
+       |ip AS (SELECT tok, doc_id, count(*) AS tf, min(pos) AS fp
+       |  FROM is2 WHERE tok IN ('spark', 'merge', 'hash') GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score,
+       |  CAST(min(fp) AS BIGINT) AS first_hit
+       |FROM ip GROUP BY 1 HAVING count(*) = 3 ORDER BY doc_id""".stripMargin
+
+  /** q_phrase_search oracle: the (doc, pos+1) adjacency join — counts
+    * OVERLAPPING occurrences exactly like the op. */
+  private def phraseSearchOracle: String =
+    s"""WITH ${margined(indexStreamCtes)}
+       |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(a.pos) AS BIGINT) AS first_pos
+       |FROM is2 a JOIN is2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |WHERE a.tok = 'batch' AND b.tok = 'batch'
+       |GROUP BY 1 ORDER BY a.doc_id""".stripMargin
+
   /** q_train_linear oracle: the trained (tok, w) table plus the NULL-tok
     * bias row, both GD steps replayed exactly. */
   private def trainLinearOracle: String =
@@ -3358,6 +3421,9 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracle,
     "q_train_linear" -> trainLinearOracle,
     "q_distill_score" -> distillScoreOracle,
+    "q_inverted_index" -> invertedIndexOracle,
+    "q_conj_search" -> conjSearchOracle,
+    "q_phrase_search" -> phraseSearchOracle,
     "q_frontier_funnel" -> frontierFunnelOracle,
     "q_heavy_tokens" -> heavyTokensOracle,
     "q_sketch_quantiles" -> sketchQuantilesOracle,
