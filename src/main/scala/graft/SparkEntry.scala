@@ -1443,6 +1443,44 @@ object SparkEntry {
         col("cnt"))
       .orderBy(col("rank"))
 
+  /** Dataset-card rollup — the per-source statistics table every corpus
+    * release publishes (docs, tokens, chars, exact-dup rate, language
+    * mix, mean rule-quality): one composed plan over the quality scorer,
+    * a corpus-wide dup profile, and a two-phase language argmax. The dup
+    * key here is the text itself (oracle-literal, like the curation
+    * funnel's stage 2); the production op is Dedup.exact's 16-byte
+    * hash+length key. */
+  private def qDataCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val q = graft.ops.TextAnalysis.qualityScore(d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("n_tokens"), (col("quality_score") * 4).cast("long").as("q4"))
+    val dupc = d.groupBy(col("text")).agg(count(lit(1)).as("dc"))
+    val dup = d.select(col("doc_id"), col("text"))
+      .join(dupc, Seq("text"))
+      .select(col("doc_id"), (col("dc") >= 2L).as("isdup"))
+    val main = q.join(dup, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("q4")).as("sq4"))
+    val lc = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val la = lc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(struct((-col("c")).as("nc"), col("lang").as("l"))).as("top"))
+      .select(col("source"), col("n_langs"),
+        col("top").getField("l").as("top_lang"))
+    main.join(la, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars_total"), col("n_dup_docs"), col("n_langs"),
+        col("top_lang"),
+        round(col("sq4").cast("double")
+          / (col("n_docs") * 4L).cast("double"), 4).as("mean_quality"))
+      .orderBy(col("source"))
+  }
+
   /** Inverted-index dictionary: per-term (df, cf) corpus statistics —
     * the index-build aggregation, gated at df ≥ 5. */
   private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
@@ -1686,6 +1724,7 @@ object SparkEntry {
     "q_inverted_index"   -> qInvertedIndex _,
     "q_conj_search"      -> qConjSearch _,
     "q_phrase_search"    -> qPhraseSearch _,
+    "q_data_card"        -> qDataCard _,
     "q_frontier_funnel"  -> qFrontierFunnel _,
     "q_warc_roundtrip"   -> qWarcRoundtrip _,
     "x_warc"          -> xWarc _,
@@ -3105,6 +3144,35 @@ object SparkEntry {
        |  CAST(min(fp) AS BIGINT) AS first_hit
        |FROM ip GROUP BY 1 HAVING count(*) = 3 ORDER BY doc_id""".stripMargin
 
+  /** q_data_card oracle: quality CTE + text-keyed dup profile + the
+    * row_number form of the language argmax; mean quality via the exact
+    * quarters-integer sum and ONE division. */
+  private def dataCardOracle: String =
+    s"""WITH q AS (
+       |${margined(qualityOracle)}
+       |),
+       |d AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+       |tc AS (SELECT text, count(*) AS dc FROM d GROUP BY 1),
+       |per AS (SELECT d.doc_id, d.source, d.n_chars, q.n_tokens,
+       |    CAST(q.quality_score * 4 AS BIGINT) AS q4, (tc.dc >= 2) AS isdup
+       |  FROM d JOIN q USING (doc_id) JOIN tc USING (text)),
+       |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       |    CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |    CAST(sum(q4) AS BIGINT) AS sq4
+       |  FROM per GROUP BY 1),
+       |lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+       |la AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs FROM lc GROUP BY 1),
+       |lt AS (SELECT source, lang,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+       |  FROM lc)
+       |SELECT m.source, m.n_docs, m.n_tokens, m.n_chars_total, m.n_dup_docs,
+       |  la.n_langs, lt.lang AS top_lang,
+       |  round(CAST(m.sq4 AS DOUBLE) / CAST(m.n_docs * 4 AS DOUBLE), 4) AS mean_quality
+       |FROM m JOIN la USING (source) JOIN lt ON lt.source = m.source AND lt.rn = 1
+       |ORDER BY m.source""".stripMargin
+
   /** q_phrase_search oracle: the (doc, pos+1) adjacency join — counts
     * OVERLAPPING occurrences exactly like the op. */
   private def phraseSearchOracle: String =
@@ -3424,6 +3492,7 @@ object SparkEntry {
     "q_inverted_index" -> invertedIndexOracle,
     "q_conj_search" -> conjSearchOracle,
     "q_phrase_search" -> phraseSearchOracle,
+    "q_data_card" -> dataCardOracle,
     "q_frontier_funnel" -> frontierFunnelOracle,
     "q_heavy_tokens" -> heavyTokensOracle,
     "q_sketch_quantiles" -> sketchQuantilesOracle,
