@@ -1538,6 +1538,145 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Threshold LADDER for the classifier calibration sweep — exact
+    * dyadic rationals (k/32) spanning the regression's working range,
+    * so the `score >= t` compare is platform-independent and several
+    * rungs split the score mass at every sf (the model — and hence the
+    * score cluster — shifts with the corpus). ONE definition shared by
+    * the engine query and the oracle VALUES list. */
+  private val EvalThresholds: Seq[Double] =
+    (16 to 26).map(k => k / 32.0)
+
+  /** Strict labels for the calibration sweep: ALL four quality rules
+    * must pass (quality == 1.0 exact quarters) — unlike [[trainLabeled]]
+    * 's >= 0.5 bar this has a real negative class (~7% of the synthetic
+    * corpus fails one rule), so the confusion cells are non-trivial. */
+  private def evalLabeled(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.qualityScore(t(s, dir, "documents"))
+      .select(col("doc_id"), col("text"),
+        when(col("quality_score") >= 1.0, lit(1.0)).otherwise(lit(0.0)).as("y"))
+
+  /** Classifier calibration: train on the strict labels, score the
+    * corpus on the existing inference path, sweep the dyadic threshold
+    * ladder against those SAME labels — per-threshold confusion counts
+    * + precision/recall in ONE conditional-agg pass (no row
+    * amplification). The compare runs on the 4-decimal ROUNDED score
+    * both engines verify identical in the distill chain. */
+  private def qClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.ops.Train.linearFit(evalLabeled(s, dir),
+      labelCol = "y", iters = 2, lr = 0.5)
+    val bias = model.filter(col("tok").isNull).head().getDouble(1)
+    val scored = graft.ops.Classifier.linearScore(t(s, dir, "documents"),
+        model.filter(col("tok").isNotNull), bias)
+      .select(col("doc_id"), col("score"))
+      .join(evalLabeled(s, dir).select(col("doc_id"), col("y")), Seq("doc_id"))
+    graft.ops.Eval.confusionSweep(scored, "score", "y", EvalThresholds)
+      .orderBy(col("threshold"))
+  }
+
+  /** BM25-ranked retrieval THROUGH the inverted index (top-50 over the
+    * q_bm25 probe set): candidate postings only — the probe filter lands
+    * before the index shuffle, text is never rescanned, and the per-doc
+    * score folds in literal term order (each per-term conditional agg
+    * covers exactly one (term, doc) row). */
+  private def qRankedSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Index.rankedSearch(t(s, dir, "documents"),
+      Seq("spark", "join", "window", "vector", "stream"), k = 50)
+
+  /** Doc-tier extraction — the per-source training-tier table (the
+    * RefinedWeb/FineWeb release shape): exact-dup and repetition culls,
+    * then head/middle/tail by the exact-quarters rule-quality score,
+    * rolled up per (source, tier). Composes three individually-oracled
+    * signals under one plan. */
+  private def qDocTiers(s: SparkSession, dir: String): DataFrame = {
+    // plant every tier: low-quality variants (a one-char-word doc scores
+    // 0.5 = middle, a symbol doc 0.25 = tail) and exact-dup re-crawls
+    val pd = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      when(col("doc_id") % 17 === 3, lit("a 1 2 3 4 5"))
+        .when(col("doc_id") % 17 === 5, lit("### ### ###"))
+        .otherwise(col("text")).as("text"))
+    val d = pd.union(pd.filter(col("doc_id") % 23 === 1)
+      .select(col("doc_id") + 5000000L, col("source"), col("text")))
+    val q = graft.ops.TextAnalysis.qualityScore(d)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val r = graft.ops.TextAnalysis.repetitionStats(d)
+      .select(col("doc_id"), col("repetitive"))
+    val dupc = d.groupBy(col("text")).agg(count(lit(1)).as("dc"))
+    val dup = d.select(col("doc_id"), col("source"), col("text"))
+      .join(dupc, Seq("text"))
+      .select(col("doc_id"), col("source"), (col("dc") >= 2L).as("isdup"))
+    q.join(r, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .select(col("source"), col("n_tokens"),
+        when(col("isdup"), "cull_dup")
+          .when(col("repetitive"), "cull_rep")
+          .when(col("quality_score") >= 0.75, "head")
+          .when(col("quality_score") >= 0.5, "middle")
+          .otherwise("tail").as("tier"))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("tier"))
+  }
+
+  /** Host-tier extraction — the graph × quality axis: link-graph
+    * PageRank authority joined with per-host corpus quality, tiered by
+    * a dyadic pr threshold and an INTEGER cross-multiplied mean-quality
+    * bar (sq4·2 ≥ n·4 ⇔ mean ≥ 0.5 — no float compare at all). Hosts
+    * seen only as link targets tier on authority alone. */
+  private def qHostTier(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val edges = d.select((col("doc_id") % 13).as("src"),
+        (lit(100L) + col("doc_id") % 7).as("dst"))
+      .union(d.select((col("doc_id") % 13).as("src"),
+        (lit(200L) + col("doc_id") % 5).as("dst")))
+      .distinct()
+    val pr = graft.ops.Graph.pageRank(edges, iters = 4)
+    val hq = graft.ops.TextAnalysis.qualityScore(d)
+      .select((col("doc_id") % 13).as("host"),
+        (col("quality_score") * 4).cast("long").as("q4"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q4")).as("sq4"))
+    pr.join(hq, pr("node") === hq("host"), "left")
+      .select(col("node").as("host"),
+        coalesce(col("n_docs"), lit(0L)).as("docs"),
+        round(col("sq4").cast("double")
+          / (col("n_docs") * 4L).cast("double"), 4).as("mean_quality"),
+        round(col("pr"), 6).as("pr"),
+        when(round(col("pr"), 6) >= 0.03125, "authority")
+          .when(col("n_docs").isNull, "linked_only")
+          // mean quality >= 0.98 = 49/50, INTEGER cross-multiplied:
+          // sq4/(4n) >= 49/50  <=>  25*sq4 >= 98*n
+          .when(col("sq4") * 25L >= col("n_docs") * 98L, "quality")
+          .otherwise("cull").as("tier"))
+      .orderBy(col("host"))
+  }
+
+  /** Subword compression data-card: per-source chars/token and
+    * tokens/word under the BPE merge table — the tokenizer-efficiency
+    * statistic every corpus release reports (and the denominator
+    * sanity-check for subword token budgets). */
+  private def qBpeCompression(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val counts = graft.ops.Bpe.tokenCounts(d, bpeMergesDf(s))
+    d.select(col("doc_id"), col("source"), col("n_chars").cast("long").as("nc"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("nw"))
+      .join(counts, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_words"),
+        sum(coalesce(col("n_bpe_tokens"), lit(0L))).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_chars").cast("double")
+          / greatest(col("n_bpe_tokens"), lit(1L)).cast("double"), 4)
+          .as("chars_per_token"),
+        round(col("n_bpe_tokens").cast("double")
+          / greatest(col("n_words"), lit(1L)).cast("double"), 4)
+          .as("tokens_per_word"))
+      .orderBy(col("source"))
+  }
+
   /** Host-graph PageRank over a planted deterministic link graph (hosts
     * = doc_id residues, one link per doc) — 4 fixed iterations of the
     * bit-exact ordered-fold power iteration, damping 0.85. */
@@ -1724,6 +1863,11 @@ object SparkEntry {
     "q_inverted_index"   -> qInvertedIndex _,
     "q_conj_search"      -> qConjSearch _,
     "q_phrase_search"    -> qPhraseSearch _,
+    "q_ranked_search"    -> qRankedSearch _,
+    "q_classifier_eval"  -> qClassifierEval _,
+    "q_doc_tiers"        -> qDocTiers _,
+    "q_host_tier"        -> qHostTier _,
+    "q_bpe_compression"  -> qBpeCompression _,
     "q_data_card"        -> qDataCard _,
     "q_frontier_funnel"  -> qFrontierFunnel _,
     "q_warc_roundtrip"   -> qWarcRoundtrip _,
@@ -2464,8 +2608,11 @@ object SparkEntry {
        |FROM f, s""".stripMargin
   }
 
-  private def repetitionOracle: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def repetitionOracle: String = repetitionOracleFrom("documents")
+
+  /** Repetition statement over an arbitrary (doc_id, text) relation. */
+  private def repetitionOracleFrom(src: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
        |wc AS (SELECT doc_id, w, count(*) AS c
        |       FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2),
        |wagg AS (SELECT doc_id, sum(c) AS nw, count(*) AS nd, max(c) AS topw
@@ -2906,8 +3053,12 @@ object SparkEntry {
   /** q_quality oracle: identical ratio arithmetic and band constants as
     * TextAnalysis.qualityScore — also the scoring CTE of q_token_budget
     * (ONE definition for both). */
-  private def qualityOracle: String =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+  private def qualityOracle: String = qualityOracleFrom("documents")
+
+  /** The quality-rule statement over an arbitrary (doc_id, text) source
+    * relation — q_doc_tiers scores a PLANTED corpus with it. */
+  private def qualityOracleFrom(src: String): String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $src),
       |f AS (SELECT doc_id,
       |   CAST(len(toks) AS DOUBLE) AS ntok,
       |   CAST(length(text) AS DOUBLE) / len(toks) AS meanlen,
@@ -3073,7 +3224,7 @@ object SparkEntry {
     * ordered gradient folds, per-doc token-ordered prediction folds, and
     * the one fixed update expression w − 0.5·(g/n). Ends at lw2 (tok, w)
     * and lb2 (b). */
-  private def trainFoldCtes: String = {
+  private def trainFoldCtes(labelCond: String = "quality_score >= 0.5"): String = {
     def fold(v: String, k: String): String =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list($v ORDER BY $k)), (a, b) -> a + b)"
     def gradLevel(i: Int, errCte: String): String =
@@ -3087,7 +3238,7 @@ object SparkEntry {
     s"""lab0 AS (
        |${margined(qualityOracle)}
        |),
-       |lab AS (SELECT doc_id, CASE WHEN quality_score >= 0.5
+       |lab AS (SELECT doc_id, CASE WHEN $labelCond
        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y FROM lab0),
        |lw AS (SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
        |    x -> length(x) > 0) AS ws FROM documents),
@@ -3144,6 +3295,94 @@ object SparkEntry {
        |  CAST(min(fp) AS BIGINT) AS first_hit
        |FROM ip GROUP BY 1 HAVING count(*) = 3 ORDER BY doc_id""".stripMargin
 
+  /** q_ranked_search oracle: the SAME index stream, probe-filtered
+    * postings, one-row corpus stats, rational idf and fixed-order
+    * per-term additions — every float op mirrored operation-for-
+    * operation against [[graft.ops.Index.rankedSearch]] (each per-term
+    * conditional sum covers exactly one (term, doc) row, so the only
+    * order-dependent additions are the literal c0 + c1 + … chain). */
+  private def rankedSearchOracle: String = {
+    val terms = Seq("spark", "join", "window", "vector", "stream")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN c END) AS c$i"
+    }.mkString(",\n       |    ")
+    val chain = terms.indices
+      .map(i => s"COALESCE(c$i, CAST(0 AS DOUBLE))").mkString(" + ")
+    s"""WITH ${margined(indexStreamCtes)},
+       |rdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM is2 GROUP BY 1),
+       |rst AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(COALESCE(rdl.dl, 0)) AS DOUBLE) AS sumdl
+       |  FROM documents d LEFT JOIN rdl ON rdl.doc_id = d.doc_id),
+       |rp AS (SELECT tok AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM is2 WHERE tok IN ($inList) GROUP BY 1, 2),
+       |rdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM rp GROUP BY 1),
+       |rc AS (SELECT rp.doc_id, rp.term,
+       |    ((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+       |      * (CAST(rp.tf AS DOUBLE) * 2.2)
+       |      / (CAST(rp.tf AS DOUBLE)
+       |         + 1.2 * (0.25 + 0.75 * (CAST(d2.dl AS DOUBLE) / (s.sumdl / s.n)))) AS c
+       |  FROM rp JOIN rdl d2 USING (doc_id) CROSS JOIN rst s JOIN rdf f USING (term)),
+       |ra AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
+       |    $perTerm
+       |  FROM rc GROUP BY 1)
+       |SELECT doc_id, matched, round($chain, 4) AS bm25
+       |FROM ra ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+  }
+
+  /** q_doc_tiers oracle: the SAME tier plant (low-quality variants +
+    * exact-dup re-crawls), then quality + repetition + text-keyed dup
+    * CTEs composed into the tier CASE (same precedence: dup beats
+    * repetition beats quality bands), rolled up per (source, tier). */
+  private def docTiersOracle: String =
+    s"""WITH dtp AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 17 = 3 THEN 'a 1 2 3 4 5'
+       |         WHEN doc_id % 17 = 5 THEN '### ### ###'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |dta AS (SELECT doc_id, source, text FROM dtp
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, source, text FROM dtp WHERE doc_id % 23 = 1),
+       |q AS (
+       |${margined(qualityOracleFrom("dta"))}
+       |),
+       |r AS (
+       |${margined(repetitionOracleFrom("dta"))}
+       |),
+       |tc AS (SELECT text, count(*) AS dc FROM dta GROUP BY 1),
+       |per AS (SELECT d.source, q.n_tokens,
+       |    CASE WHEN tc.dc >= 2 THEN 'cull_dup'
+       |         WHEN r.repetitive THEN 'cull_rep'
+       |         WHEN q.quality_score >= 0.75 THEN 'head'
+       |         WHEN q.quality_score >= 0.5 THEN 'middle'
+       |         ELSE 'tail' END AS tier
+       |  FROM dta d JOIN q USING (doc_id) JOIN r USING (doc_id)
+       |  JOIN tc USING (text))
+       |SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_bpe_compression oracle: the shared BPE fold (each distinct word
+    * folds once), per-doc subword counts joined back, per-source exact
+    * integer sums and two final divisions. */
+  private def bpeCompressionOracle: String =
+    s"""WITH RECURSIVE ${margined(bpeFoldCtes("documents"))},
+       |bc AS (SELECT w2.doc_id, CAST(sum(len(f.toks)) AS BIGINT) AS nb
+       |       FROM bwords w2 JOIN bfw f USING (w) GROUP BY 1),
+       |bd AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS nc,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS nw
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(COALESCE(bc.nb, 0)) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(nc) AS DOUBLE)
+       |    / CAST(greatest(sum(COALESCE(bc.nb, 0)), 1) AS DOUBLE), 4) AS chars_per_token,
+       |  round(CAST(sum(COALESCE(bc.nb, 0)) AS DOUBLE)
+       |    / CAST(greatest(sum(nw), 1) AS DOUBLE), 4) AS tokens_per_word
+       |FROM bd LEFT JOIN bc USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_data_card oracle: quality CTE + text-keyed dup profile + the
     * row_number form of the language argmax; mean quality via the exact
     * quarters-integer sum and ONE division. */
@@ -3186,16 +3425,17 @@ object SparkEntry {
   /** q_train_linear oracle: the trained (tok, w) table plus the NULL-tok
     * bias row, both GD steps replayed exactly. */
   private def trainLinearOracle: String =
-    s"""WITH ${margined(trainFoldCtes)}
+    s"""WITH ${margined(trainFoldCtes())}
        |SELECT tok, round(w, 6) AS w FROM lw2
        |UNION ALL
        |SELECT CAST(NULL AS VARCHAR) AS tok, round(b, 6) AS w FROM lb2""".stripMargin
 
-  /** q_distill_score oracle: the classifierOracle fold shape (position-
-    * ordered weight mean) evaluated under the TRAINED model — the full
-    * train→deploy chain in one statement. */
-  private def distillScoreOracle: String =
-    s"""WITH ${margined(trainFoldCtes)},
+  /** Shared train→deploy chain: [[trainFoldCtes]] + the classifierOracle
+    * fold shape (position-ordered weight mean) evaluated under the
+    * TRAINED model — ends at `cout(doc_id, n_tokens, n_hits, score)`.
+    * ONE definition shared by q_distill_score and q_classifier_eval. */
+  private def distillChainCtes(labelCond: String = "quality_score >= 0.5"): String =
+    s"""${margined(trainFoldCtes(labelCond))},
        |cst AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
        |    i -> {'pos': i, 'tok': ws[i]})) AS t FROM lw),
        |cs2 AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM cst),
@@ -3213,9 +3453,34 @@ object SparkEntry {
        |    round(lb2.b + COALESCE(a.wsum, CAST(0 AS DOUBLE))
        |      / CAST(greatest(COALESCE(a.n, 0), 1) AS DOUBLE), 4) AS score
        |  FROM (SELECT doc_id FROM documents) d
-       |  LEFT JOIN cagg a USING (doc_id) CROSS JOIN lb2)
+       |  LEFT JOIN cagg a USING (doc_id) CROSS JOIN lb2)""".stripMargin
+
+  /** q_distill_score oracle: the shared chain's scored table. */
+  private def distillScoreOracle: String =
+    s"""WITH ${margined(distillChainCtes())}
        |SELECT doc_id, n_tokens, n_hits, score, (score >= 0) AS positive
        |FROM cout ORDER BY doc_id""".stripMargin
+
+  /** q_classifier_eval oracle: the shared train→deploy chain swept over
+    * fixed dyadic thresholds against the SAME quality-rule labels the
+    * model was trained on — counts are order-independent BIGINTs, the
+    * compare runs on the 4-decimal ROUNDED score both engines verified
+    * identical, and precision/recall are single guarded divisions. */
+  private def classifierEvalOracle: String = {
+    val vals = EvalThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH ${margined(distillChainCtes("quality_score >= 1.0"))},
+       |ej AS (SELECT c.score, l.y FROM cout c JOIN lab l USING (doc_id)),
+       |ec AS (SELECT t.thr AS threshold,
+       |    CAST(sum(CASE WHEN score >= t.thr AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN score >= t.thr AND y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN score < t.thr AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN score < t.thr AND y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM ej CROSS JOIN (VALUES $vals) t(thr) GROUP BY 1)
+       |SELECT threshold, tp, fp, fn, tn,
+       |  round(CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE), 4) AS precision,
+       |  round(CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE), 4) AS recall
+       |FROM ec ORDER BY threshold""".stripMargin
+  }
 
   /** q_frontier_funnel oracle: the plant's ground truth composed —
     * urlset docs contribute exactly their two decoded locs (already in
@@ -3306,7 +3571,7 @@ object SparkEntry {
   /** The 4-iteration PageRank oracle (two-level ordered folds, unrolled
     * expression tree) parameterized over the edge CTE body — ONE
     * definition shared by q_host_pagerank and q_link_pagerank. */
-  private def pageRankCtes(edgeSql: String): String = {
+  private def pageRankChainCtes(edgeSql: String): String = {
     val iters = 4
     val D = "CAST(0.85 AS DOUBLE)"
     val Z = "CAST(0 AS DOUBLE)"
@@ -3328,26 +3593,63 @@ object SparkEntry {
          |      + $D * (COALESCE(ii.insum, $Z) + dd.dm / CAST(cnt.n AS DOUBLE)) AS pr
          |  FROM nodes n LEFT JOIN i$i ii ON ii.dst = n.node, d$i dd, cnt)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (${margined(edgeSql)}),
+    s"""e AS (${margined(edgeSql)}),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
        |cnt AS (SELECT count(*) AS n FROM nodes),
        |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(cnt.n AS DOUBLE) AS pr FROM nodes, cnt),
-       |$iterCtes
-       |SELECT node, round(pr, 6) AS pr FROM pr$iters""".stripMargin
+       |$iterCtes""".stripMargin
   }
 
-  private def pageRankOracle: String = pageRankCtes(
+  /** The unrolled-PageRank chain as a full statement (binds `pr4` as the
+    * final frame) — [[pageRankChainCtes]] is the composable CTE text for
+    * queries that join the ranks onward (q_host_tier). */
+  private def pageRankStatement(edgeSql: String): String =
+    s"""WITH ${margined(pageRankChainCtes(edgeSql))}
+       |SELECT node, round(pr, 6) AS pr FROM pr4""".stripMargin
+
+  private def pageRankOracle: String = pageRankStatement(
     """SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
       |FROM documents""".stripMargin)
+
+  /** The link-graph plant's ground-truth edge set — ONE definition
+    * shared by q_link_pagerank and q_host_tier (a drifted copy would
+    * silently desync their rank oracles). */
+  private val LinkEdgesSql: String =
+    """SELECT DISTINCT doc_id % 13 AS src, 100 + doc_id % 7 AS dst FROM documents
+      |UNION
+      |SELECT DISTINCT doc_id % 13 AS src, 200 + doc_id % 5 AS dst FROM documents""".stripMargin
 
   /** q_link_pagerank oracle: the SAME unrolled PageRank tree over the
     * link-graph plant's ground-truth edges (host names mapped to the
     * deterministic ids the engine query derives). */
-  private def linkPagerankOracle: String = pageRankCtes(
-    """SELECT DISTINCT doc_id % 13 AS src, 100 + doc_id % 7 AS dst FROM documents
-      |UNION
-      |SELECT DISTINCT doc_id % 13 AS src, 200 + doc_id % 5 AS dst FROM documents""".stripMargin)
+  private def linkPagerankOracle: String = pageRankStatement(LinkEdgesSql)
+
+  /** q_host_tier oracle: the unrolled PageRank chain over the shared
+    * link-edge plant joined with per-host quality quarters — the tier
+    * CASE compares the 6-decimal ROUNDED pr against a dyadic threshold
+    * and mean quality via INTEGER cross-multiplication (sq4·2 ≥ n·4),
+    * so no raw-float compare exists anywhere in the tier logic. */
+  private def hostTierOracle: String =
+    s"""WITH ${margined(pageRankChainCtes(LinkEdgesSql))},
+       |hq0 AS (
+       |${margined(qualityOracle)}
+       |),
+       |hq AS (SELECT d.doc_id % 13 AS host,
+       |    CAST(hq0.quality_score * 4 AS BIGINT) AS q4
+       |  FROM documents d JOIN hq0 ON hq0.doc_id = d.doc_id),
+       |hs AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(q4) AS BIGINT) AS sq4 FROM hq GROUP BY 1)
+       |SELECT p.node AS host,
+       |  COALESCE(hs.n_docs, 0) AS docs,
+       |  round(CAST(hs.sq4 AS DOUBLE) / CAST(hs.n_docs * 4 AS DOUBLE), 4) AS mean_quality,
+       |  round(p.pr, 6) AS pr,
+       |  CASE WHEN round(p.pr, 6) >= 0.03125 THEN 'authority'
+       |       WHEN hs.n_docs IS NULL THEN 'linked_only'
+       |       WHEN hs.sq4 * 25 >= hs.n_docs * 98 THEN 'quality'
+       |       ELSE 'cull' END AS tier
+       |FROM pr4 p LEFT JOIN hs ON hs.host = p.node
+       |ORDER BY host""".stripMargin
 
   /** Funnel planted corpus (base + union planting): concat-only, CHEAP
     * to recompute — split out so the pyfold contract can materialize the
@@ -3492,6 +3794,11 @@ object SparkEntry {
     "q_inverted_index" -> invertedIndexOracle,
     "q_conj_search" -> conjSearchOracle,
     "q_phrase_search" -> phraseSearchOracle,
+    "q_ranked_search" -> rankedSearchOracle,
+    "q_classifier_eval" -> classifierEvalOracle,
+    "q_doc_tiers" -> docTiersOracle,
+    "q_host_tier" -> hostTierOracle,
+    "q_bpe_compression" -> bpeCompressionOracle,
     "q_data_card" -> dataCardOracle,
     "q_frontier_funnel" -> frontierFunnelOracle,
     "q_heavy_tokens" -> heavyTokensOracle,

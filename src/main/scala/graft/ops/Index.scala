@@ -94,4 +94,63 @@ object Index {
     m.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
   }
+
+  /** Disjunctive (OR) BM25-ranked retrieval THROUGH the index — the
+    * top-k query path over [[postings]], where [[graft.ops.Ranking.bm25]]
+    * rescans text narrowly. Same RATIONAL idf' = (N−df+0.5)/(df+0.5)+1
+    * (log-free, every float op a single IEEE divide/multiply/add in a
+    * FIXED order — an independent SQL engine reproduces scores
+    * bit-for-bit).
+    *
+    * Shape at 100 TB: the probe `IsIn` filter lands on the term stream
+    * BEFORE the (term, doc) index shuffle, so only candidate postings
+    * shuffle; df comes from a ≤|terms|-row agg of those postings
+    * (broadcast); N and Σdl are a one-row scalar attach (the repo's
+    * scalar-subquery shape); doc lengths come from the SAME stream
+    * definition (one tokenizer — a desynced copy would break the
+    * bit-exact claim). The per-doc score folds in LITERAL term order:
+    * each per-term conditional agg folds exactly ONE row ((term, doc)
+    * is unique in postings), so the only float additions are the fixed
+    * t0 + t1 + … chain — never a set-ordered sum. Top-k is a
+    * TakeOrderedAndProject on (score DESC, doc_id), never a global sort
+    * materialization. */
+  def rankedSearch(docs: DataFrame, terms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, "probe terms must be 1..32")
+    require(terms.distinct.size == terms.size, "probe terms must be distinct")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stream = termStream(docs, idCol, textCol)
+    val dls = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // corpus stats: N over ALL docs (zero-token docs count toward N and
+    // avgdl even though they can never match) — one-row frame, exact longs
+    val stats = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(dls, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("dl"), lit(0L))).as("sumdl"))
+    val p = postings(docs, idCol, textCol).filter(col("term").isin(terms: _*))
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nD = col("n").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    // avgdl = ONE IEEE division of exact longs; idf', tf-saturation and
+    // their product/quotient in the exact order the oracle SQL spells
+    val avgdl = col("sumdl").cast("double") / nD
+    val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0)
+    val c = idf * (tfD * lit(Ranking.K1Plus1)) /
+      (tfD + lit(Ranking.K1) * (lit(Ranking.OneMinusB) + lit(Ranking.B) * (dlD / avgdl)))
+    val scored = p.join(dls, Seq("doc_id"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), c.as("c"))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("c"))).as(s"c_$i") }
+    val aggd = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched"), perTerm: _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"c_$i"), lit(0.0)))
+      .reduce(_ + _)
+    aggd.select(col("doc_id"), col("matched"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
 }

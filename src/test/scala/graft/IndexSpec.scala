@@ -64,6 +64,25 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Index.phraseSearch(docs, Seq("b", "b", "a")).isEmpty)
   }
 
+  test("ranked search: hand-computed rational-idf BM25, fixed term order, top-k") {
+    // N = 5 docs (empty/null docs count toward N and avgdl), dl: 5,3,2,0,0
+    // => sumdl = 10, avgdl = 2.0
+    // df(a) = 2 (docs 1,3), df(c) = 1 (doc 3)
+    // idf'(a) = (5-2+0.5)/(2+0.5)+1 = 2.4 ; idf'(c) = (5-1+0.5)/(1+0.5)+1 = 4.0
+    // doc1: a tf=3, dl=5 -> 2.4*(3*2.2)/(3+1.2*(0.25+0.75*2.5)) = 15.84/5.55
+    // doc3: a tf=1, dl=2 -> 2.4*2.2/2.2 = 2.4 ; c tf=1 -> 4.0*2.2/2.2 = 4.0
+    val exp1 = BigDecimal(2.4 * (3.0 * 2.2) / (3.0 + 1.2 * (0.25 + 0.75 * (5.0 / 2.0))))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Index.rankedSearch(docs, Seq("a", "c"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r.toSeq == Seq((3L, 2L, 6.4), (1L, 1L, exp1)), r.toSeq)
+    // k truncates after the (score DESC, doc_id) order
+    val top1 = Index.rankedSearch(docs, Seq("a", "c"), k = 1).collect()
+    assert(top1.map(_.getLong(0)).toSeq == Seq(3L), top1.toSeq)
+    // no probe hit anywhere -> empty result, not an error
+    assert(Index.rankedSearch(docs, Seq("zz"), k = 5).isEmpty)
+  }
+
   test("plan: probe filter lands below the postings agg; search joins are equi-joins") {
     val tmp = java.nio.file.Files.createTempDirectory("idxspec").toString
     docs.write.mode("overwrite").parquet(tmp)

@@ -415,4 +415,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pb.contains("Window") && !pb.contains("CartesianProduct"), pb.take(2500))
     assert(pb.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2, pb.take(2500))
   }
+
+  test("ranked search: probe filter below the index shuffle, one scalar attach, top-k never a global sort") {
+    val p = plan(SparkEntry.queries("q_ranked_search")(spark, sf), "simple")
+    // the probe IN-filter sits on the generated term stream, BEFORE the
+    // (term, doc) aggregation shuffle
+    val genIdx = p.indexOf("Generate posexplode")
+    val filterIdx = p.indexOf("IN (")
+    assert(filterIdx >= 0 && genIdx > filterIdx, p.take(2500))
+    // the only nested loop is the one-row corpus-stats attach
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      p.take(2500))
+    // top-k plans as TakeOrderedAndProject, never a global Sort+Limit
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    assert(!p.contains("Window"), p.take(2500))
+  }
+
+  test("doc tiers: hash aggregates only — no window, no cartesian") {
+    val p = plan(SparkEntry.queries("q_doc_tiers")(spark, sf), "simple")
+    assert(!p.contains("Window"), p.take(2500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
 }

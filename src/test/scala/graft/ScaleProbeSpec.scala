@@ -362,4 +362,25 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     timed("Bpe.tokenize 2M docs (~80M words)")(
       graft.ops.Bpe.tokenize(seen, merges).count())
   }
+
+  ignore("round-8 session-2: BPE training, GD training, inverted index at 2M docs (opt-in probe)") {
+    val docs = corpus(2000000L).localCheckpoint(true)
+    // ONE corpus pass builds the (word, freq) vocab frame; each of the 4
+    // levels re-folds only the 4096 distinct words + one argmax collect
+    timed("Bpe.trainMerges 4 levels over 2M docs")(
+      graft.ops.Bpe.trainMerges(docs, numMerges = 4).count())
+    // 4096-token vocab over 2M docs: every token is a corpus-wide hub —
+    // the per-token gradients MUST fold in the two-level tree, so this
+    // probe is the hub-safety evidence for Train
+    val labeled = docs.withColumn("y",
+      pmod(col("doc_id"), lit(2L)).cast("double"))
+    timed("Train.linearFit 2 GD iters, 2M docs x 4096-token vocab")(
+      graft.ops.Train.linearFit(labeled, "y", iters = 2, lr = 0.5).count())
+    timed("Index.dictionary 2M docs (~80M postings)")(
+      graft.ops.Index.dictionary(docs).count())
+    timed("Index.conjunctiveSearch 3 probes, 2M docs")(
+      graft.ops.Index.conjunctiveSearch(docs, Seq("w1", "w2", "w3")).count())
+    timed("Index.phraseSearch 2-term, 2M docs")(
+      graft.ops.Index.phraseSearch(docs, Seq("w1", "w2")).count())
+  }
 }

@@ -75,4 +75,19 @@ class TrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // err1 = -y → b1 = 1/4 ; err2 = (1/4 - 1, 1/4) → gb2 = -1/2 → b2 = 3/8
     assert(m(0).getDouble(1) == 0.375, m.mkString(","))
   }
+
+  test("confusionSweep: hand-counted cells, guarded precision/recall") {
+    import spark.implicits._
+    val scored = Seq((0.9, 1.0), (0.8, 0.0), (0.5, 1.0), (0.2, 0.0),
+      (0.1, 1.0)).toDF("score", "y")
+    val r = graft.ops.Eval
+      .confusionSweep(scored, "score", "y", Seq(0.0, 0.5, 1.0))
+      .collect()
+      .map(x => x.getDouble(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getDouble(6)))).toMap
+    assert(r(0.0) == ((3L, 2L, 0L, 0L, 0.6, 1.0)), r)
+    assert(r(0.5) == ((2L, 1L, 1L, 1L, 0.6667, 0.6667)), r)
+    // no positives: precision divides by the /1 guard, not by zero
+    assert(r(1.0) == ((0L, 0L, 3L, 2L, 0.0, 0.0)), r)
+  }
 }
