@@ -1254,6 +1254,66 @@ object SparkEntry {
     graft.ops.Packing.cdcChunkDedup(base, mask = 7).orderBy(col("doc_id"))
   }
 
+  /** The q_revisit_delta re-crawl plant: doc_id%4 = 0 unchanged,
+    * 1 prepends three tokens (CDC re-sync keeps the tail chunks),
+    * 2 appends one token, 3 is a full rewrite (no shared chunks) — one
+    * representative per revisit class. ONE definition for the engine
+    * query and (textually mirrored) the oracle CASE. */
+  private def revisitNewDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(col("doc_id") % 4 === 1, concat(lit("zq1 zq2 zq3 "), col("text")))
+        .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" zq9")))
+        .when(col("doc_id") % 4 === 3,
+          concat(lit("fully rewritten page "), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+
+  /** Crawl revisit-delta over the re-crawl plant: CDC chunk-hash Jaccard
+    * between the stored snapshot and the new crawl, per-doc change
+    * fraction + static/low/high revisit class. */
+  private def qRevisitDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.ops.Revisit.delta(d.select(col("doc_id"), col("text")),
+        revisitNewDocs(d), mask = 7)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source quantile gate: flag each source's top-1/4 docs by
+    * (rule-quality DESC, doc_id) — the percentile cut as an auditable
+    * per-doc flag (window-free group ranks). */
+  private def qQuantileGate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val q = graft.ops.TextAnalysis.qualityScore(d)
+      .select(col("doc_id"), col("quality_score"))
+    graft.ops.Selection.quantileGate(
+        d.select(col("doc_id"), col("source")).join(q, Seq("doc_id")),
+        "source", num = 1L, den = 4L)
+      .select(col("doc_id"), col("source"), col("rank_in_group"),
+        col("n_group"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-LANGUAGE tier card (the FineWeb2 per-language cut): language-ID
+    * each doc, gate each language's top half by quality, report per
+    * (language, kept) doc counts and exact-quarters mean quality. */
+  private def qLangTier(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val lang = graft.ops.TextAnalysis.langId(d)
+      .select(col("doc_id"), col("pred_lang"))
+    val q = graft.ops.TextAnalysis.qualityScore(d)
+      .select(col("doc_id"), col("quality_score"))
+    val gated = graft.ops.Selection.quantileGate(
+      lang.join(q, Seq("doc_id")), "pred_lang", num = 1L, den = 2L)
+    gated.join(q, Seq("doc_id"))
+      .select(col("pred_lang"), col("kept"),
+        (col("quality_score") * 4).cast("long").as("q4"))
+      .groupBy(col("pred_lang"), col("kept"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q4")).as("sq4"))
+      .select(col("pred_lang"), col("kept"), col("n_docs"),
+        round(col("sq4").cast("double")
+          / (col("n_docs") * 4L).cast("double"), 4).as("mean_quality"))
+      .orderBy(col("pred_lang"), col("kept"))
+  }
+
   /** The planted per-host robots META bodies (crawl-delay + sitemap
     * lines) — ONE definition for q_crawl_delay and q_fetch_schedule.
     * Plants: EvilBot group whose Crawl-delay 99 must be IGNORED; hosts
@@ -1846,6 +1906,9 @@ object SparkEntry {
     "q_crawl_delay"      -> qCrawlDelay _,
     "q_fetch_schedule"   -> qFetchSchedule _,
     "q_chunk_dedup"      -> qChunkDedup _,
+    "q_revisit_delta"    -> qRevisitDelta _,
+    "q_quantile_gate"    -> qQuantileGate _,
+    "q_lang_tier"        -> qLangTier _,
     "q_anchor_text"      -> qAnchorText _,
     "q_epoch_order"      -> qEpochOrder _,
     "q_train_shards"     -> qTrainShards _,
@@ -3334,6 +3397,128 @@ object SparkEntry {
     * exact-dup re-crawls), then quality + repetition + text-keyed dup
     * CTEs composed into the tier CASE (same precedence: dup beats
     * repetition beats quality bands), rolled up per (source, tier). */
+  /** The CDC chunk-HASH CTE chain (mask = 7 anchor band, identical
+    * signed mix64∘fnv1a anchors, pos-ordered chunk text, fnv1a content
+    * hash) over an arbitrary (doc_id, text) relation, CTE names prefixed
+    * with `p` so two instances coexist in one statement — ends at
+    * `${p}ch(doc_id, ci, h)`. ONE definition shared by q_chunk_dedup and
+    * q_revisit_delta's two snapshots. */
+  /** q_langid oracle: the stopword-overlap argmax with the cascaded-CASE
+    * tie-break (language codes in alphabetical order) — ONE definition
+    * shared by q_langid and q_lang_tier's language CTE. */
+  private def langIdOracle: String =
+    """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) AS de,
+      |  len(list_intersect(toks, ['the','a','of','and','to','in','is','that','for','it'])) AS en,
+      |  len(list_intersect(toks, ['el','la','los','y','es','un','una','para','en','que'])) AS es,
+      |  len(list_intersect(toks, ['le','la','les','et','est','un','une','pour','dans','que'])) AS fr
+      | FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+      |       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+      |       WHEN en >= es AND en >= fr THEN 'en'
+      |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang,
+      |  CAST(greatest(de, en, es, fr) AS BIGINT) AS lang_hits
+      |FROM s""".stripMargin
+
+  private def chunkHashCtes(src: String, p: String): String = {
+    val sg = signedSql(mix64Sql(s"list_transform([tok], w -> $fnvWordSql)[1]"))
+    s"""${p}words AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+       |      x -> length(x) > 0) AS ws FROM $src),
+       |${p}st AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'pos': i, 'tok': ws[i]})) AS t FROM ${p}words),
+       |${p}s2 AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM ${p}st),
+       |${p}an AS (SELECT doc_id, pos, tok,
+       |    CASE WHEN (($sg % 8) + 8) % 8 = 0 THEN 1 ELSE 0 END AS a
+       |  FROM ${p}s2),
+       |${p}cx AS (SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(a) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+       |  FROM ${p}an),
+       |${p}ck AS (SELECT doc_id, ci, string_agg(tok, ' ' ORDER BY pos) AS cs
+       |       FROM ${p}cx GROUP BY 1, 2),
+       |${p}ch AS (SELECT doc_id, ci,
+       |    list_transform([cs], w -> $fnvWordSql)[1] AS h FROM ${p}ck)""".stripMargin
+  }
+
+  /** q_revisit_delta oracle: the re-crawl plant mirrored, the shared
+    * chunk-hash chain instantiated for BOTH snapshots, distinct hash
+    * sets side-tagged and unioned, exact BIGINT intersection/union
+    * counts, one reported division, and the integer cross-multiplied
+    * revisit class ((nu−nc)·2 ≤ nu ⇔ change ≤ 1/2). */
+  private def revisitDeltaOracle: String =
+    s"""WITH newdocs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 1 THEN 'zq1 zq2 zq3 ' || text
+       |         WHEN doc_id % 4 = 2 THEN text || ' zq9'
+       |         WHEN doc_id % 4 = 3 THEN 'fully rewritten page ' || CAST(doc_id AS VARCHAR)
+       |         ELSE text END AS text
+       |  FROM documents),
+       |${margined(chunkHashCtes("documents", "o"))},
+       |${margined(chunkHashCtes("newdocs", "n"))},
+       |oh AS (SELECT DISTINCT doc_id, h FROM och),
+       |nh AS (SELECT DISTINCT doc_id, h FROM nch),
+       |u AS (SELECT doc_id, h, max(o) AS o, max(n) AS n FROM (
+       |    SELECT doc_id, h, 1 AS o, 0 AS n FROM oh
+       |    UNION ALL SELECT doc_id, h, 0 AS o, 1 AS n FROM nh) GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, sum(o) AS no, sum(n) AS nn, sum(o * n) AS nc,
+       |    count(*) AS nu FROM u GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(no, 0) AS BIGINT) AS n_old,
+       |  CAST(COALESCE(nn, 0) AS BIGINT) AS n_new,
+       |  CAST(COALESCE(nc, 0) AS BIGINT) AS n_common,
+       |  CAST(COALESCE(nu, 0) AS BIGINT) AS n_union,
+       |  round(CAST(COALESCE(nu, 0) - COALESCE(nc, 0) AS DOUBLE)
+       |    / CAST(greatest(COALESCE(nu, 0), 1) AS DOUBLE), 4) AS change_frac,
+       |  CASE WHEN nu IS NULL OR nc = nu THEN 'static'
+       |       WHEN (nu - nc) * 2 <= nu THEN 'low' ELSE 'high' END AS revisit
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q_quantile_gate oracle: the quality CTE joined to sources, the
+    * single-window rank form the engine's global-rank-minus-group-min
+    * construction must match, and the BIGINT cross-multiplied keep test
+    * ((rig+1)·4 ≤ n·1 ⇔ top quarter). */
+  private def quantileGateOracle: String =
+    s"""WITH qg0 AS (
+       |${margined(qualityOracle)}
+       |),
+       |qj AS (SELECT d.doc_id, d.source, q.quality_score
+       |  FROM documents d JOIN qg0 q USING (doc_id)),
+       |qr AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id) - 1 AS BIGINT) AS rig,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM qj)
+       |SELECT doc_id, source, rig AS rank_in_group, n AS n_group,
+       |  ((rig + 1) * 4 <= n * 1) AS kept
+       |FROM qr ORDER BY doc_id""".stripMargin
+
+  /** q_lang_tier oracle: language argmax CTE × quality CTE, the same
+    * per-language window rank, top-half cross-multiplied keep, and the
+    * exact quarters-integer mean per (language, kept) tier. */
+  private def langTierOracle: String =
+    s"""WITH lt0 AS (
+       |${margined(langIdOracle)}
+       |),
+       |ltq AS (
+       |${margined(qualityOracle)}
+       |),
+       |ltj AS (SELECT l.doc_id, l.pred_lang, q.quality_score
+       |  FROM lt0 l JOIN ltq q USING (doc_id)),
+       |ltr AS (SELECT doc_id, pred_lang, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY pred_lang
+       |      ORDER BY quality_score DESC, doc_id) - 1 AS BIGINT) AS rig,
+       |    CAST(count(*) OVER (PARTITION BY pred_lang) AS BIGINT) AS n
+       |  FROM ltj)
+       |SELECT pred_lang, ((rig + 1) * 2 <= n * 1) AS kept,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(CAST(sum(CAST(quality_score * 4 AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(*) * 4 AS DOUBLE), 4) AS mean_quality
+       |FROM ltr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def docTiersOracle: String =
     s"""WITH dtp AS (
        |  SELECT doc_id, source,
@@ -3964,29 +4149,12 @@ object SparkEntry {
     "q_chunk_dedup" -> {
       // same anchor band + chunk assignment as q_cdc_chunks, chunk text
       // re-joined per (doc, chunk), fnv1a chunk hashes grouped corpus-wide
-      val sg = signedSql(mix64Sql(s"list_transform([tok], w -> $fnvWordSql)[1]"))
       s"""WITH base AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 0 THEN text || '$BoilerplateSuffix'
          |         ELSE text END AS text
          |  FROM documents),
-         |words AS (
-         |  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
-         |      x -> length(x) > 0) AS ws FROM base),
-         |st AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
-         |      i -> {'pos': i, 'tok': ws[i]})) AS t FROM words),
-         |s2 AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM st),
-         |an AS (SELECT doc_id, pos, tok,
-         |    CASE WHEN (($sg % 8) + 8) % 8 = 0 THEN 1 ELSE 0 END AS a
-         |  FROM s2),
-         |cx AS (SELECT doc_id, pos, tok,
-         |    COALESCE(SUM(a) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
-         |  FROM an),
-         |ck AS (SELECT doc_id, ci, string_agg(tok, ' ' ORDER BY pos) AS cs
-         |       FROM cx GROUP BY 1, 2),
-         |ch AS (SELECT doc_id, ci,
-         |    list_transform([cs], w -> $fnvWordSql)[1] AS h FROM ck),
+         |${margined(chunkHashCtes("base", ""))},
          |fr AS (SELECT h, count(*) AS n FROM ch GROUP BY 1),
          |pd AS (SELECT ch.doc_id, count(*) AS nc,
          |    sum(CASE WHEN fr.n >= 2 THEN 1 ELSE 0 END) AS nd
@@ -3999,6 +4167,9 @@ object SparkEntry {
          |FROM (SELECT doc_id FROM documents) d
          |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "q_revisit_delta" -> revisitDeltaOracle,
+    "q_quantile_gate" -> quantileGateOracle,
+    "q_lang_tier" -> langTierOracle,
     "q_zvalue" -> {
       // the Morton interleave unrolled as pure BIGINT bit arithmetic
       val terms = (0 until 6).flatMap(b => Seq(
@@ -4150,21 +4321,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
-    "q_langid" ->
-      """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents),
-        |s AS (SELECT doc_id,
-        |  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) AS de,
-        |  len(list_intersect(toks, ['the','a','of','and','to','in','is','that','for','it'])) AS en,
-        |  len(list_intersect(toks, ['el','la','los','y','es','un','una','para','en','que'])) AS es,
-        |  len(list_intersect(toks, ['le','la','les','et','est','un','une','pour','dans','que'])) AS fr
-        | FROM t)
-        |SELECT doc_id,
-        |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
-        |       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
-        |       WHEN en >= es AND en >= fr THEN 'en'
-        |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang,
-        |  CAST(greatest(de, en, es, fr) AS BIGINT) AS lang_hits
-        |FROM s""".stripMargin,
+    "q_langid" -> langIdOracle,
     "q_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -204,14 +204,23 @@ object Packing {
     * Scale shape: per-chunk token lists are bounded by chunk size (the
     * anchor band keeps E[chunk] = mask+1 tokens); the corpus-wide count
     * groups on 8-byte hashes — text never crosses the dedup shuffle. */
-  def cdcChunkDedup(docs: DataFrame, mask: Int = 63, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+  /** Per-chunk CONTENT hashes (sid, chunk_idx, ch): graft_fnv1a64 of the
+    * chunk's space-joined tokens — the engine-shared hash, reproducible
+    * by an independent SQL engine. Shared core of [[cdcChunkDedup]] and
+    * [[Revisit.delta]]. */
+  private[ops] def chunkHashes(docs: DataFrame, mask: Int, idCol: String,
+      textCol: String): DataFrame = {
     import graft.functions.functions.graft_fnv1a64
-    val chunks = cdcAssign(docs, mask, idCol, textCol)
+    cdcAssign(docs, mask, idCol, textCol)
       .groupBy(col("sid"), col("chunk_idx"))
       .agg(graft_fnv1a64(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("tok")))),
         s => s.getField("tok")), " ")).as("ch"))
+  }
+
+  def cdcChunkDedup(docs: DataFrame, mask: Int = 63, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val chunks = chunkHashes(docs, mask, idCol, textCol)
       .transform(CheckpointScratch.ckpt) // feeds the count AND the rejoin
     val freq = chunks.groupBy(col("ch")).agg(count(lit(1)).as("n"))
     val perDoc = chunks.join(freq, Seq("ch"))

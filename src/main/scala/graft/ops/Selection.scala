@@ -127,6 +127,46 @@ object Selection {
         (-col("__w.nq")).as(scoreCol), (col("__r") + 1).cast("long").as("rank"))
   }
 
+  /** Per-group QUANTILE GATE — flag each group's best floor(n·num/den)
+    * docs by (`scoreCol` DESC, idCol ASC): the FineWeb-style
+    * per-language / per-source percentile cut ("keep the top 25% of
+    * each language by quality") as an exact, engine-independent
+    * selection. Unlike [[capPerGroup]] (absolute k) the cut scales with
+    * the group, so a 100×-bigger source still contributes its best
+    * num/den fraction, not a fixed count.
+    *
+    * Rank-in-group = the GLOBAL range-partitioned [[rankBy]] rank under
+    * (group, score DESC, id) minus the group's min rank — ranks of one
+    * group are consecutive under that sort, so the subtraction is the
+    * per-group dense index WITHOUT a per-group window (the
+    * [[graft.ops.Robots.fetchSchedule]] construction: a mega-group
+    * spans range partitions like any other key run; group stats are a
+    * groups-scale agg). The keep test is pure BIGINT
+    * cross-multiplication: kept ⇔ (rig+1)·den ≤ n·num ⇔
+    * rig < floor(n·num/den) — no float compare anywhere.
+    *
+    * Output: (idCol, groupCol, rank_in_group, n_group, kept) for EVERY
+    * input row — the gate is a FLAG, not a filter, so callers can audit
+    * the cut (per-tier counts, survivor mass) before applying it. */
+  def quantileGate(docs: DataFrame, groupCol: String, num: Long, den: Long,
+      scoreCol: String = "quality_score", idCol: String = "doc_id",
+      numPartitions: Int = 0): DataFrame = {
+    require(den >= 1L && num >= 0L && num <= den,
+      s"need 0 <= num/den <= 1, got $num/$den")
+    val keyed = docs.select(col(idCol).cast("long").as(idCol),
+      col(groupCol), col(scoreCol))
+    val ranks = rankBy(keyed, Seq(col(groupCol), col(scoreCol)),
+      Seq(true, false), idCol, numPartitions)
+    val ranked = keyed.join(ranks, Seq(idCol))
+    val gs = ranked.groupBy(col(groupCol))
+      .agg(min(col("rank")).as("__g0"), count(lit(1)).as("n_group"))
+    ranked.join(gs, Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        (col("rank") - col("__g0")).as("rank_in_group"), col("n_group"),
+        ((col("rank") - col("__g0") + lit(1L)) * lit(den)
+          <= col("n_group") * lit(num)).as("kept"))
+  }
+
   /** Greedy token-budget selection: order docs by `scoreCol` DESCENDING
     * (idCol tiebreak) and keep every doc whose INCLUSIVE running token
     * total stays within `budget`. Output: (idCol, tokensCol,

@@ -1300,6 +1300,67 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("h", 3L, 1L, 1L), ("h", 4L, 1L, 2L)))
   }
 
+  test("quantileGate: floor(n*num/den) kept per group, score-desc/id-asc ranks, partition invariant") {
+    import spark.implicits._
+    // groups: a = 5 docs (keep floor(5/2)=2), b = 3 (keep floor(3/2)=1),
+    // c = 1 (keep floor(1/2)=0 — a singleton group keeps NOTHING at 1/2)
+    val docs = Seq(
+      ("a", 1L, 4.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0), ("a", 5L, 7.0),
+      ("b", 6L, 2.0), ("b", 7L, 3.0), ("b", 8L, 2.0),
+      ("c", 9L, 5.0)).toDF("source", "doc_id", "quality_score")
+    def gate(p: Int) = graft.ops.Selection
+      .quantileGate(docs, "source", 1L, 2L, numPartitions = p)
+      .select($"doc_id", $"rank_in_group", $"n_group", $"kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val want = Set(
+      (2L, 0L, 5L, true), (3L, 1L, 5L, true), // tie at 9.0 -> id asc
+      (5L, 2L, 5L, false), (1L, 3L, 5L, false), (4L, 4L, 5L, false),
+      (7L, 0L, 3L, true), (6L, 1L, 3L, false), (8L, 2L, 3L, false),
+      (9L, 0L, 1L, false))
+    assert(gate(1) == want)
+    assert(gate(7) == want)
+    // num = den keeps everything; num = 0 keeps nothing
+    assert(graft.ops.Selection.quantileGate(docs, "source", 1L, 1L)
+      .filter(!$"kept").count() == 0L)
+    assert(graft.ops.Selection.quantileGate(docs, "source", 0L, 1L)
+      .filter($"kept").count() == 0L)
+  }
+
+  test("revisit delta: exact chunk-set Jaccard, re-sync keeps unchanged chunks, class thresholds") {
+    import spark.implicits._
+    // mask = 0: EVERY token is an anchor, so chunks are single tokens and
+    // the chunk-hash set is exactly the distinct-token set — hand-countable
+    val oldD = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y"), (4L, "")).toDF("doc_id", "text")
+    val newD = Seq((1L, "a b c d"),  // unchanged -> static
+      (2L, "a b z"),                 // union {a,b,z}=3, common 2 -> 1/3 low
+      (3L, "p q r"),                 // disjoint -> change 1.0 high
+      (4L, "")).toDF("doc_id", "text") // empty both sides -> static
+    val out = graft.ops.Revisit.delta(oldD, newD, mask = 0)
+      .select($"doc_id", $"n_old", $"n_new", $"n_common", $"n_union",
+        $"change_frac", $"revisit")
+      .as[(Long, Long, Long, Long, Long, Double, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 4L, 4L, 4L, 0.0, "static")), out(1L))
+    assert(out(2L) == ((2L, 2L, 3L, 2L, 3L, 0.3333, "low")), out(2L))
+    assert(out(3L) == ((3L, 2L, 3L, 0L, 5L, 1.0, "high")), out(3L))
+    assert(out(4L) == ((4L, 0L, 0L, 0L, 0L, 0.0, "static")), out(4L))
+    // exactly-half change is 'low' (the <= boundary): old {a,b}, new {a,c}
+    // union 3, common 1 -> 2/3 high; old {a b c d}, new {a b e f}:
+    // union 6, common 2 -> 4/6 high; use {a,b,c} -> {a,b,d}: 2/4 = 1/2 low
+    val ob = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val nb = Seq((9L, "a b d")).toDF("doc_id", "text")
+    val b = graft.ops.Revisit.delta(ob, nb, mask = 0)
+      .select($"change_frac", $"revisit").as[(Double, String)].head()
+    assert(b == ((0.5, "low")), b)
+    // a doc present on only ONE side still reports (against the empty set)
+    val onlyOld = graft.ops.Revisit.delta(
+      Seq((5L, "a b")).toDF("doc_id", "text"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), mask = 0)
+      .select($"doc_id", $"n_new", $"change_frac", $"revisit")
+      .as[(Long, Long, Double, String)].head()
+    assert(onlyOld == ((5L, 0L, 1.0, "high")), onlyOld)
+  }
+
   /** Deterministic jittered cluster corpus for the k-means tests: 3
     * well-separated directions in 4-d, 4 members each, ids interleaved
     * across clusters so vec_id order ≠ cluster order. */

@@ -432,6 +432,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p.take(2500))
   }
 
+  test("quantile gate: group ranks without a per-group window; group stats are an agg, not a sort") {
+    val p = plan(SparkEntry.queries("q_quantile_gate")(spark, sf), "simple")
+    assert(!p.contains("Window"), p.take(2500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
+  test("lang tier: langid + quantile gate compose window-free") {
+    val p = plan(SparkEntry.queries("q_lang_tier")(spark, sf), "simple")
+    assert(!p.contains("Window"), p.take(2500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
+  test("revisit delta: only the per-doc chunk-assignment window; hash joins on 8-byte hashes") {
+    val p = plan(SparkEntry.queries("q_revisit_delta")(spark, sf), "simple")
+    // the ONLY windows are the two per-doc CDC running-anchor counts
+    // (state bounded by doc length), one per snapshot side
+    assert(p.linesIterator.count(_.contains("Window")) == 2, p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
   test("doc tiers: hash aggregates only — no window, no cartesian") {
     val p = plan(SparkEntry.queries("q_doc_tiers")(spark, sf), "simple")
     assert(!p.contains("Window"), p.take(2500))
