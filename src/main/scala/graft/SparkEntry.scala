@@ -1643,6 +1643,22 @@ object SparkEntry {
     graft.ops.Index.rankedSearch(t(s, dir, "documents"),
       Seq("spark", "join", "window", "vector", "stream"), k = 50)
 
+  private val IndexStoreTerms = Seq("data", "model", "learning")
+
+  /** BM25 top-40 THROUGH the PERSISTED two-increment index store: the
+    * corpus split by doc_id parity, each half committed as its own crawl
+    * increment, the search running on the stored postings/doclen union.
+    * The oracle is the single-pass recompute statement — increments
+    * composing back to exactly the full-corpus scores IS the store's
+    * correctness claim. */
+  private def qIndexStore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft-idxstore").toString
+    graft.ops.IndexStore.append(root, docs.filter(col("doc_id") % 2 === 0))
+    graft.ops.IndexStore.append(root, docs.filter(col("doc_id") % 2 === 1))
+    graft.ops.IndexStore.rankedSearch(s, root, IndexStoreTerms, k = 40)
+  }
+
   /** Doc-tier extraction — the per-source training-tier table (the
     * RefinedWeb/FineWeb release shape): exact-dup and repetition culls,
     * then head/middle/tail by the exact-quarters rule-quality score,
@@ -1927,6 +1943,7 @@ object SparkEntry {
     "q_conj_search"      -> qConjSearch _,
     "q_phrase_search"    -> qPhraseSearch _,
     "q_ranked_search"    -> qRankedSearch _,
+    "q_index_store"      -> qIndexStore _,
     "q_classifier_eval"  -> qClassifierEval _,
     "q_doc_tiers"        -> qDocTiers _,
     "q_host_tier"        -> qHostTier _,
@@ -3364,8 +3381,15 @@ object SparkEntry {
     * operation against [[graft.ops.Index.rankedSearch]] (each per-term
     * conditional sum covers exactly one (term, doc) row, so the only
     * order-dependent additions are the literal c0 + c1 + … chain). */
-  private def rankedSearchOracle: String = {
-    val terms = Seq("spark", "join", "window", "vector", "stream")
+  private def rankedSearchOracle: String =
+    rankedSearchOracleFor(Seq("spark", "join", "window", "vector", "stream"), 50)
+
+  /** The ranked-search statement parameterized over (terms, k) — ONE
+    * definition shared by q_ranked_search (recompute path) and
+    * q_index_store (the same scores must come back THROUGH the persisted
+    * two-increment store: union-of-increments postings ≡ full-corpus
+    * postings is exactly the store's correctness claim). */
+  private def rankedSearchOracleFor(terms: Seq[String], k: Int): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN term = '$t' THEN c END) AS c$i"
@@ -3390,7 +3414,7 @@ object SparkEntry {
        |    $perTerm
        |  FROM rc GROUP BY 1)
        |SELECT doc_id, matched, round($chain, 4) AS bm25
-       |FROM ra ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+       |FROM ra ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** q_doc_tiers oracle: the SAME tier plant (low-quality variants +
@@ -3980,6 +4004,7 @@ object SparkEntry {
     "q_conj_search" -> conjSearchOracle,
     "q_phrase_search" -> phraseSearchOracle,
     "q_ranked_search" -> rankedSearchOracle,
+    "q_index_store" -> rankedSearchOracleFor(IndexStoreTerms, 40),
     "q_classifier_eval" -> classifierEvalOracle,
     "q_doc_tiers" -> docTiersOracle,
     "q_host_tier" -> hostTierOracle,

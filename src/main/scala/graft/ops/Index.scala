@@ -64,10 +64,16 @@ object Index {
     * the match test is a doc-keyed hash agg (distinct-term count =
     * |terms|), never a per-doc window. */
   def conjunctiveSearch(docs: DataFrame, terms: Seq[String],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    conjunctiveSearchOn(postings(docs, idCol, textCol), terms)
+
+  /** [[conjunctiveSearch]] over an ALREADY-BUILT postings frame — the
+    * query path shared by the recompute path and [[IndexStore]]'s
+    * stored postings. */
+  def conjunctiveSearchOn(postings: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "probe terms must be non-empty")
     require(terms.distinct.size == terms.size, "probe terms must be distinct")
-    postings(docs, idCol, textCol)
+    postings
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nt"), sum(col("tf")).as("score"),
@@ -116,18 +122,29 @@ object Index {
     * materialization. */
   def rankedSearch(docs: DataFrame, terms: Seq[String], k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(terms.nonEmpty && terms.size <= 32, "probe terms must be 1..32")
-    require(terms.distinct.size == terms.size, "probe terms must be distinct")
-    require(k >= 1, s"k must be >= 1, got $k")
     val stream = termStream(docs, idCol, textCol)
     val dls = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     // corpus stats: N over ALL docs (zero-token docs count toward N and
     // avgdl even though they can never match) — one-row frame, exact longs
-    val stats = docs.select(col(idCol).cast("long").as("doc_id"))
+    val doclens = docs.select(col(idCol).cast("long").as("doc_id"))
       .join(dls, Seq("doc_id"), "left")
-      .agg(count(lit(1)).as("n"),
-        sum(coalesce(col("dl"), lit(0L))).as("sumdl"))
-    val p = postings(docs, idCol, textCol).filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+    rankedSearchOn(postings(docs, idCol, textCol), doclens, terms, k)
+  }
+
+  /** [[rankedSearch]] over ALREADY-BUILT (postings, doclens) frames —
+    * the query path shared by the recompute path and [[IndexStore]].
+    * `doclens` must cover EVERY indexed doc (dl = 0 for empty ones):
+    * corpus N and avgdl are derived from it. */
+  def rankedSearchOn(postings: DataFrame, doclens: DataFrame,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, "probe terms must be 1..32")
+    require(terms.distinct.size == terms.size, "probe terms must be distinct")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dls = doclens.select(col("doc_id").cast("long").as("doc_id"),
+      col("dl").cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val p = postings.filter(col("term").isin(terms: _*))
     val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nD = col("n").cast("double")
     val dfD = col("df").cast("double")

@@ -1,0 +1,170 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted INCREMENTAL inverted index — the [[Index]] postings table
+  * committed once per crawl increment, so search over the full corpus
+  * costs a parquet scan of stored (term, doc) rows instead of
+  * re-tokenizing every document on every probe (the cross-crawl
+  * persistence discipline [[NearDupStore]] established for LSH keys,
+  * applied to the retrieval tier; Lucene's segment model, kept
+  * relational).
+  *
+  * Commit discipline = [[NearDupStore]] verbatim: each increment's
+  * parquet dirs land under a tmp name and flip via atomic rename, then
+  * `manifest-<K>.tsv` flips to record the committed increment list — a
+  * reader never sees a half-written increment; a crashed append retries
+  * idempotently (the id derives from the previous manifest, the data
+  * dirs overwrite uncommitted leftovers). `params.tsv` pins the
+  * tokenizer identity at store creation: postings built under a
+  * different tokenization are NOT mergeable (df/tf/positions all move),
+  * so a mismatched append fails fast.
+  *
+  * Layout under `root/`:
+  *   params.tsv                 tokenizer / version
+  *   inc-<K>/postings/ parquet  (term, doc_id, tf, first_pos, last_pos)
+  *   inc-<K>/doclen/   parquet  (doc_id, dl) — ALL docs, dl = 0 for empty
+  *   manifest-<K>.tsv           committed increments so far
+  *
+  * Contract: doc ids are unique ACROSS increments (each crawl dump
+  * contributes new ids — the [[NearDupStore]] id contract), so the
+  * union of increment postings is itself a valid postings table and
+  * per-term stats aggregate by plain hash agg.
+  *
+  * 100-TB shape: the store holds (term, 8-byte id, 3 longs) rows —
+  * corpus token CARDINALITY, not corpus bytes; text never enters the
+  * store. Searches union the committed increments (manifest-scale file
+  * listing) and run the SAME probe-pruned join plans as the recompute
+  * path ([[Index.conjunctiveSearchOn]] / [[Index.rankedSearchOn]]), so
+  * the plan-shape gates apply unchanged. Positions beyond first/last are
+  * not stored — [[Index.phraseSearch]] stays a recompute-path op. */
+object IndexStore {
+
+  /** Tokenizer identity pinned at store creation — whitespace split,
+    * empty tokens dropped, 1-based split positions ([[Index.termStream]]). */
+  val Tokenizer = "ws-v1"
+
+  private def paramsPath(root: String): Path = Paths.get(root, "params.tsv")
+
+  private def readTokenizer(root: String): Option[String] = {
+    val p = paramsPath(root)
+    if (!Files.isRegularFile(p)) return None
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .flatMap(_.split('\t') match {
+        case Array("tokenizer", v) => Some(v)
+        case _ => None
+      }).headOption
+  }
+
+  private def ensureParams(root: String): Unit =
+    readTokenizer(root) match {
+      case None =>
+        Files.createDirectories(Paths.get(root))
+        val tmp = Paths.get(root, "params.tsv.tmp")
+        Files.write(tmp, s"tokenizer\t$Tokenizer\n".getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, paramsPath(root), StandardCopyOption.ATOMIC_MOVE)
+      case Some(existing) =>
+        require(existing == Tokenizer,
+          s"IndexStore at $root was built with tokenizer $existing; refusing " +
+            s"$Tokenizer — mixed tokenizations make df/tf/positions incomparable")
+    }
+
+  private def lastManifest(root: String): Option[(Long, Vector[Long])] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return None
+    val ms = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-\\d+\\.tsv")).toVector
+    if (ms.isEmpty) return None
+    val latest = ms.maxBy(_.getFileName.toString
+      .stripPrefix("manifest-").stripSuffix(".tsv").toLong)
+    val id = latest.getFileName.toString
+      .stripPrefix("manifest-").stripSuffix(".tsv").toLong
+    val incs = Files.readAllLines(latest, StandardCharsets.UTF_8).asScala
+      .collect { case l if l.startsWith("inc\t") => l.stripPrefix("inc\t").toLong }
+      .toVector
+    Some((id, incs))
+  }
+
+  private def commitManifest(root: String, id: Long, incs: Vector[Long]): Unit = {
+    val dir = Paths.get(root)
+    val tmp = dir.resolve(s"manifest-$id.tsv.tmp")
+    Files.write(tmp, incs.sorted.map(k => s"inc\t$k").mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"manifest-$id.tsv"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toVector.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+
+  /** Commit one crawl increment's postings + doc lengths. Idempotent on
+    * retry ([[NearDupStore.append]] semantics): a crash after the data
+    * rename but before the manifest flip leaves `inc-<K>` unlisted; the
+    * retry recomputes the SAME id, overwrites, and flips. Returns the
+    * increment id. */
+  def append(root: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    ensureParams(root)
+    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    val inc = prevId + 1
+    val incDir = Paths.get(root, s"inc-$inc")
+    deleteRecursively(incDir) // uncommitted leftovers from a crashed attempt
+    val tmpDir = Paths.get(root, s"inc-$inc.tmp")
+    deleteRecursively(tmpDir)
+    Index.postings(docs, idCol, textCol)
+      .write.parquet(tmpDir.resolve("postings").toString)
+    // dl for ALL docs (0 for empty) — corpus N and avgdl come from here
+    val dls = Index.termStream(docs, idCol, textCol)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(dls, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+      .write.parquet(tmpDir.resolve("doclen").toString)
+    Files.move(tmpDir, incDir, StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(root, inc, incs :+ inc)
+    inc
+  }
+
+  private def readUnion(spark: SparkSession, root: String, sub: String): DataFrame = {
+    val incs = lastManifest(root).map(_._2).getOrElse(Vector.empty)
+    require(incs.nonEmpty, s"IndexStore at $root has no committed increments")
+    incs.map(k => spark.read.parquet(s"$root/inc-$k/$sub")).reduce(_.unionByName(_))
+  }
+
+  /** The committed postings union (term, doc_id, tf, first_pos, last_pos). */
+  def storedPostings(spark: SparkSession, root: String): DataFrame =
+    readUnion(spark, root, "postings")
+
+  /** The committed per-doc lengths union (doc_id, dl) — every indexed
+    * doc, dl = 0 for token-free ones. */
+  def storedDocLens(spark: SparkSession, root: String): DataFrame =
+    readUnion(spark, root, "doclen")
+
+  /** The dictionary over the stored corpus: (term, df, cf) — valid
+    * because ids never repeat across increments. */
+  def dictionary(spark: SparkSession, root: String): DataFrame =
+    storedPostings(spark, root).groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+
+  /** Conjunctive search over the STORED corpus — identical output to
+    * [[Index.conjunctiveSearch]] over the store's source docs, at the
+    * cost of a probe-pruned postings scan. */
+  def conjunctiveSearch(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame =
+    Index.conjunctiveSearchOn(storedPostings(spark, root), terms)
+
+  /** BM25 top-k over the STORED corpus — identical scores to
+    * [[Index.rankedSearch]] over the store's source docs (same rational
+    * idf, same fixed-order folds; corpus stats come from the stored
+    * doc-length table). */
+  def rankedSearch(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int): DataFrame =
+    Index.rankedSearchOn(storedPostings(spark, root),
+      storedDocLens(spark, root), terms, k)
+}
