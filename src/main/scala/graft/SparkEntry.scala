@@ -1645,6 +1645,13 @@ object SparkEntry {
 
   private val IndexStoreTerms = Seq("data", "model", "learning")
 
+  /** Skip-gram co-occurrence + log-free PMI ratio (window 2, pairs seen
+    * ≥ 5×): the embedding-training pair table / collocation card. */
+  private def qCooccur(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cooccur.pairCounts(t(s, dir, "documents"),
+        window = 2, minCount = 5L)
+      .orderBy(col("a"), col("b"))
+
   /** BM25 top-40 THROUGH the PERSISTED two-increment index store: the
     * corpus split by doc_id parity, each half committed as its own crawl
     * increment, the search running on the stored postings/doclen union.
@@ -1944,6 +1951,7 @@ object SparkEntry {
     "q_phrase_search"    -> qPhraseSearch _,
     "q_ranked_search"    -> qRankedSearch _,
     "q_index_store"      -> qIndexStore _,
+    "q_cooccur"          -> qCooccur _,
     "q_classifier_eval"  -> qClassifierEval _,
     "q_doc_tiers"        -> qDocTiers _,
     "q_host_tier"        -> qHostTier _,
@@ -3417,6 +3425,26 @@ object SparkEntry {
        |FROM ra ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** q_cooccur oracle: the shared positional stream, the same bounded
+    * ×window position explode and composite-key join, marginals/total
+    * from the grouped pair frame, and the one fixed-shape DOUBLE ratio
+    * (cast-multiply-cast-multiply-divide, mirrored exactly). */
+  private def cooccurOracle: String =
+    s"""WITH ${margined(indexStreamCtes)},
+       |cl AS (SELECT doc_id, pos, tok AS a FROM is2),
+       |cr AS (SELECT doc_id, pos - j AS pos, tok AS b
+       |  FROM is2, (VALUES (1), (2)) t(j)),
+       |cp AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair
+       |  FROM cl JOIN cr USING (doc_id, pos) GROUP BY 1, 2),
+       |cd AS (SELECT CAST(sum(n_pair) AS BIGINT) AS d FROM cp),
+       |cla AS (SELECT a, CAST(sum(n_pair) AS BIGINT) AS n_left FROM cp GROUP BY 1),
+       |crb AS (SELECT b, CAST(sum(n_pair) AS BIGINT) AS n_right FROM cp GROUP BY 1)
+       |SELECT p.a, p.b, p.n_pair, la.n_left, rb.n_right,
+       |  round(CAST(p.n_pair AS DOUBLE) * CAST(d.d AS DOUBLE)
+       |    / (CAST(la.n_left AS DOUBLE) * CAST(rb.n_right AS DOUBLE)), 4) AS pmi_ratio
+       |FROM cp p JOIN cla la USING (a) JOIN crb rb USING (b) CROSS JOIN cd d
+       |WHERE p.n_pair >= 5 ORDER BY a, b""".stripMargin
+
   /** q_doc_tiers oracle: the SAME tier plant (low-quality variants +
     * exact-dup re-crawls), then quality + repetition + text-keyed dup
     * CTEs composed into the tier CASE (same precedence: dup beats
@@ -4005,6 +4033,7 @@ object SparkEntry {
     "q_phrase_search" -> phraseSearchOracle,
     "q_ranked_search" -> rankedSearchOracle,
     "q_index_store" -> rankedSearchOracleFor(IndexStoreTerms, 40),
+    "q_cooccur" -> cooccurOracle,
     "q_classifier_eval" -> classifierEvalOracle,
     "q_doc_tiers" -> docTiersOracle,
     "q_host_tier" -> hostTierOracle,

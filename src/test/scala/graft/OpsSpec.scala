@@ -1326,6 +1326,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter($"kept").count() == 0L)
   }
 
+  test("cooccur: hand-counted directional window pairs, pre-threshold marginals, exact ratio") {
+    import spark.implicits._
+    // "a b a c", window 2 -> pairs: a->b, a->a, b->a, b->c, a->c (1 each)
+    val d1 = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val out = graft.ops.Cooccur.pairCounts(d1, window = 2)
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out.size == 5)
+    // D = 5; n_left(a) = 3, n_right(a) = 2 -> pmi(a,a) = 5/6
+    assert(out(("a", "a")) == ((1L, 3L, 2L, 0.8333)), out)
+    assert(out(("a", "b")) == ((1L, 3L, 1L, 1.6667)), out)
+    // pairs never cross documents
+    val d2 = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val cross = graft.ops.Cooccur.pairCounts(d2, window = 4)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(cross.map(r => (r._1, r._2)).toSet == Set(("a", "b"), ("c", "d")))
+    // minCount prunes REPORTED rows but marginals stay pre-threshold:
+    // 5x "a b" + 1x "a c" -> only (a,b) survives, with n_left(a) = 6
+    val d3 = ((1L to 5L).map(i => (i, "a b")) :+ (6L, "a c")).toDF("doc_id", "text")
+    val thr = graft.ops.Cooccur.pairCounts(d3, window = 1, minCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(thr.toSeq == Seq(("a", "b", 5L, 6L, 5L, 1.0)), thr.toSeq)
+  }
+
   test("revisit delta: exact chunk-set Jaccard, re-sync keeps unchanged chunks, class thresholds") {
     import spark.implicits._
     // mask = 0: EVERY token is an anchor, so chunks are single tokens and

@@ -432,6 +432,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p.take(2500))
   }
 
+  test("cooccur: one composite-key equi-join, marginals as hash aggs — no window, one scalar attach") {
+    val p = plan(SparkEntry.queries("q_cooccur")(spark, sf), "simple")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(2500))
+    // the only nested loop is the one-row pair-total attach
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      p.take(2500))
+  }
+
   test("quantile gate: group ranks without a per-group window; group stats are an agg, not a sort") {
     val p = plan(SparkEntry.queries("q_quantile_gate")(spark, sf), "simple")
     assert(!p.contains("Window"), p.take(2500))
