@@ -363,6 +363,36 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Bpe.tokenize(seen, merges).count())
   }
 
+  ignore("round-8 session-4: quantile gate, revisit delta, cooccur at 2M docs (opt-in probe)") {
+    val docs = corpus(2000000L)
+      .withColumn("quality_score",
+        pmod(col("doc_id"), lit(5L)).cast("double") / lit(4.0))
+      .localCheckpoint(true)
+    // 1000 sources -> 2k docs/group, plus one planted mega-source holding
+    // half the corpus (the group-rank construction must not sort it in
+    // one task)
+    val skewed = docs.withColumn("source",
+      when(col("doc_id") % 2 === 0, lit("mega")).otherwise(col("source")))
+      .localCheckpoint(true)
+    timed("quantileGate 2M, 50% mega-source, top quarter")(
+      graft.ops.Selection.quantileGate(skewed, "source", 1L, 4L)
+        .filter(col("kept")).count())
+    // re-crawl: 25% of docs drift (token appended), the rest unchanged
+    val recrawl = docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 1, concat(col("text"), lit(" drift")))
+        .otherwise(col("text")).as("text"))
+    timed("revisitDelta 2M docs x ~80M tokens")(
+      graft.ops.Revisit.delta(docs, recrawl, mask = 63)
+        .groupBy(col("revisit")).count().agg(sum("count")).head().getLong(0))
+    // 160M pair rows over a 4096² pair space (~10 avg per pair) — the
+    // threshold keeps the surviving tail non-trivial. Measured (session 4,
+    // local[32]): quantileGate 12.1 s, revisitDelta 84.8 s (two chunk
+    // passes over ~80M tokens each), cooccur 171.9 s (~930k pairs/s
+    // through the composite-key join + three aggregates).
+    timed("cooccur 2M docs, window 2, minCount 20")(
+      graft.ops.Cooccur.pairCounts(docs, window = 2, minCount = 20L).count())
+  }
+
   ignore("round-8 session-2: BPE training, GD training, inverted index at 2M docs (opt-in probe)") {
     val docs = corpus(2000000L).localCheckpoint(true)
     // ONE corpus pass builds the (word, freq) vocab frame; each of the 4

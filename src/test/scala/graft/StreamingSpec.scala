@@ -283,6 +283,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).toSet == Set("alpha text", "beta text", "gamma text"))
   }
 
+  test("index maintenance streams via foreachBatch: one store increment per micro-batch, search = recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the deployment shape of IndexStore: a stream of crawl batches, each
+    // micro-batch committed as one increment (append is idempotent, so a
+    // retried batch overwrites rather than duplicates); queries run over
+    // the committed union at any point
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.IndexStore.append(root, batch)
+        ()
+      }
+      .start()
+    stream.addData((1L, "data model training"), (2L, "data only here"))
+    q.processAllAvailable()
+    stream.addData((3L, "model data pair"), (4L, "nothing relevant"))
+    q.processAllAvailable()
+    q.stop()
+    val all = Seq((1L, "data model training"), (2L, "data only here"),
+      (3L, "model data pair"), (4L, "nothing relevant")).toDF("doc_id", "text")
+    val viaStore = graft.ops.IndexStore
+      .rankedSearch(spark, root, Seq("data", "model"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val recompute = graft.ops.Index.rankedSearch(all, Seq("data", "model"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaStore == recompute && viaStore.map(_._1).toSet == Set(1L, 2L, 3L),
+      s"$viaStore vs $recompute")
+  }
+
   test("incremental NEAR-dup dedup streams via foreachBatch against an accumulating history") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
