@@ -710,6 +710,21 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN top-5 THROUGH the PERSISTED two-increment IVF store: centroids
+    * trained once on the even-id increment and pinned, odd ids appended
+    * under those centroids, probes over the stored union. The oracle is
+    * the recompute statement with its training CTE restricted to the
+    * first increment — pinned-centroid composition IS the store's
+    * correctness claim. */
+  private def qVectorStore(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-vecstore").toString
+    graft.ops.VectorStore.create(root, e.filter(col("vec_id") % 2 === 0), dim = 64)
+    graft.ops.VectorStore.append(root, e.filter(col("vec_id") % 2 === 1))
+    graft.ops.VectorStore.topK(s, root, e.filter(col("vec_id") < 20), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Stopword-profile language ID with deterministic argmax. */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.langId(t(s, dir, "documents"))
@@ -1983,6 +1998,7 @@ object SparkEntry {
     "q_ann_topk"      -> qAnnTopK _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_ivf"       -> qAnnIvf _,
+    "q_vector_store"  -> qVectorStore _,
     "q_langid"        -> qLangId _,
     "q_token_counts"  -> qTokenCounts _,
     "q_quality"       -> qQuality _,
@@ -2096,8 +2112,14 @@ object SparkEntry {
     * empty cells fall back to their seed) — then cell assignment
     * (cos DESC, cell ASC ties like the stable array_sort), 2-cell probe,
     * dedup, and the same rounded-cosine top-5 rank as q_ann_topk. */
-  private def annIvfOracle: String =
-    """WITH samp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 512),
+  private def annIvfOracle: String = annIvfOracleFor("embeddings")
+
+  /** The IVF statement parameterized over the centroid TRAINING relation
+    * — q_ann_ivf trains on the full table; q_vector_store trains on the
+    * store's FIRST increment (even vec_ids) and must return the same
+    * probe results as this recompute under those pinned centroids. */
+  private def annIvfOracleFor(trainSrc: String): String =
+    s"""WITH samp AS (SELECT vec_id, embedding FROM $trainSrc ORDER BY vec_id LIMIT 512),
       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding
       |          FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 16)),
       |sd AS (SELECT s.vec_id, sc.cell,
@@ -4275,6 +4297,8 @@ object SparkEntry {
     "q_semdedup" -> semDedupOracle,
     "q_classifier_score" -> classifierOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_vector_store" -> annIvfOracleFor(
+      "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)"),
     "q_fingerprint" -> fingerprintOracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_minhash_lsh" -> minhashLshOracle,

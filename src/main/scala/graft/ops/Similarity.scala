@@ -108,21 +108,44 @@ object Similarity {
     * table ever touches the driver. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nProbe: Int = 2, sampleSize: Int = 512): DataFrame = {
-    reg(corpus)
     val centroids = trainCentroids(corpus, dim, nCells, sampleSize)
+    ivfTopKWith(centroids, ivfAssign(corpus, centroids), queries, k, nProbe)
+  }
 
-    def cellScores(v: Column): Column = array_sort(
+  /** Per-centroid cosine scores sorted (cos DESC, cell ASC by stable
+    * sort) — the coarse-quantizer ranking shared by corpus assignment
+    * and query probing. */
+  private def cellScoresFor(centroids: Array[Array[Double]])(v: Column): Column =
+    array_sort(
       array(centroids.zipWithIndex.map { case (c, i) =>
         struct(cosine(v, typedLit(c.toSeq)).as("cos"), lit(i).as("cell"))
       }: _*),
       (l, r) => when(l.getField("cos") > r.getField("cos"), -1)
         .when(l.getField("cos") < r.getField("cos"), 1).otherwise(0))
 
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      .withColumn("cell", element_at(cellScores(col("cv")), 1).getField("cell"))
+  /** Assign every vector to its nearest centroid's cell:
+    * (vec_id, embedding, cell) — the IVF list-build step, shared by the
+    * recompute path and [[VectorStore.append]]. */
+  def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    reg(embeddings)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("cell",
+        element_at(cellScoresFor(centroids)(col("embedding")), 1).getField("cell"))
+  }
+
+  /** [[ivfTopK]] with a FIXED centroid table and a pre-assigned corpus
+    * (vec_id, embedding, cell) — the query path shared by the recompute
+    * path and [[VectorStore.topK]] (a persisted index must return the
+    * SAME neighbors as recomputing under its pinned centroids). */
+  def ivfTopKWith(centroids: Array[Array[Double]], corpusAssigned: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    reg(queries)
+    val c = corpusAssigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("cell"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("cell", explode(transform(
-        slice(cellScores(col("qv")), 1, nProbe), x => x.getField("cell"))))
+        slice(cellScoresFor(centroids)(col("qv")), 1, nProbe),
+        x => x.getField("cell"))))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
