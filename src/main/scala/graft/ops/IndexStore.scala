@@ -141,6 +141,30 @@ object IndexStore {
   def storedPostings(spark: SparkSession, root: String): DataFrame =
     readUnion(spark, root, "postings")
 
+  /** COMPACT the committed increments into one (the small-files problem:
+    * a year of daily crawls = hundreds of increment dirs, each a
+    * manifest-listing + parquet-footer cost on every query). Writes the
+    * union as a NEW increment, then flips the manifest to list ONLY it —
+    * readers see the old view or the new view, never a mix (the
+    * SnapshotStore compaction discipline); a crash before the flip
+    * leaves the old manifest intact. Old increment dirs are deleted
+    * AFTER the flip (best-effort — an unlisted dir is dead weight, not
+    * corruption). Returns the new increment id. */
+  def compact(spark: SparkSession, root: String): Long = {
+    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    require(incs.nonEmpty, s"IndexStore at $root has nothing to compact")
+    val inc = prevId + 1
+    val tmpDir = Paths.get(root, s"inc-$inc.tmp")
+    deleteRecursively(tmpDir)
+    deleteRecursively(Paths.get(root, s"inc-$inc"))
+    storedPostings(spark, root).write.parquet(tmpDir.resolve("postings").toString)
+    storedDocLens(spark, root).write.parquet(tmpDir.resolve("doclen").toString)
+    Files.move(tmpDir, Paths.get(root, s"inc-$inc"), StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(root, inc, Vector(inc))
+    incs.foreach(k => deleteRecursively(Paths.get(root, s"inc-$k")))
+    inc
+  }
+
   /** The committed per-doc lengths union (doc_id, dl) — every indexed
     * doc, dl = 0 for token-free ones. */
   def storedDocLens(spark: SparkSession, root: String): DataFrame =

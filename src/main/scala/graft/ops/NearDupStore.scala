@@ -139,6 +139,27 @@ object NearDupStore {
     incs.map(k => spark.read.parquet(s"$root/inc-$k/$sub")).reduce(_.unionByName(_))
   }
 
+  /** COMPACT the committed increments into one (the small-files problem
+    * — see [[IndexStore.compact]]): the keys/sigs unions rewrite as a
+    * NEW increment, the manifest flips to list only it (old view or new
+    * view, never a mix), old dirs are deleted after the flip. Dedup
+    * results are unchanged: the store's query surface is exactly the
+    * union the new increment now holds. */
+  def compact(spark: SparkSession, root: String): Long = {
+    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    require(incs.nonEmpty, s"NearDupStore at $root has nothing to compact")
+    val inc = prevId + 1
+    val tmpDir = Paths.get(root, s"inc-$inc.tmp")
+    deleteRecursively(tmpDir)
+    deleteRecursively(Paths.get(root, s"inc-$inc"))
+    seenSigs(spark, root).write.parquet(tmpDir.resolve("sigs").toString)
+    seenKeys(spark, root).write.parquet(tmpDir.resolve("keys").toString)
+    Files.move(tmpDir, Paths.get(root, s"inc-$inc"), StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(root, inc, Vector(inc))
+    incs.foreach(k => deleteRecursively(Paths.get(root, s"inc-$k")))
+    inc
+  }
+
   /** The committed seen-side band keys (id, band_key). */
   def seenKeys(spark: SparkSession, root: String): DataFrame =
     readUnion(spark, root, "keys")

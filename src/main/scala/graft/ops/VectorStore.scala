@@ -149,6 +149,25 @@ object VectorStore {
       .reduce(_.unionByName(_))
   }
 
+  /** COMPACT the committed increments into one (the small-files problem
+    * — see [[IndexStore.compact]]): the assigned-vector union rewrites
+    * as a NEW increment, the manifest flips to list only it, old dirs
+    * are deleted after the flip. Centroids are untouched (pinned), so
+    * probe results are unchanged by construction. */
+  def compact(spark: SparkSession, root: String): Long = {
+    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    require(incs.nonEmpty, s"VectorStore at $root has nothing to compact")
+    val inc = prevId + 1
+    val tmpDir = Paths.get(root, s"inc-$inc.tmp")
+    deleteRecursively(tmpDir)
+    deleteRecursively(Paths.get(root, s"inc-$inc"))
+    storedVectors(spark, root).write.parquet(tmpDir.resolve("vectors").toString)
+    Files.move(tmpDir, Paths.get(root, s"inc-$inc"), StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(root, inc, Vector(inc))
+    incs.foreach(k => deleteRecursively(Paths.get(root, s"inc-$k")))
+    inc
+  }
+
   /** ANN top-k over the STORED corpus — identical neighbors and rounded
     * cosines to [[Similarity.ivfTopKWith]] under the store's pinned
     * centroids over the union of its increments. */

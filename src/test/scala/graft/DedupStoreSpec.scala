@@ -66,6 +66,12 @@ class DedupStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).sorted
     assert(viaStore.toSeq == viaRecompute.toSeq)
     assert(viaStore.toSeq == Seq(9000L), viaStore.toSeq)
+    // compacting the two crawls into one increment changes nothing the
+    // query can observe
+    assert(NearDupStore.compact(spark, root) == 3L)
+    val afterCompact = NearDupStore.incrementalNearDup(root, batch, 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(afterCompact.toSeq == viaStore.toSeq)
   }
 
   test("crash states resume exactly-once: stale tmp, committed-but-unlisted increment") {

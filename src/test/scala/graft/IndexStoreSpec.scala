@@ -66,6 +66,28 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaStore == recompute && viaStore.size == 2)
   }
 
+  test("compact: one increment replaces many, search results unchanged, appends continue") {
+    val docs = corpus(0 until 60)
+    val root = Files.createTempDirectory("graft-idx-compact").toString
+    IndexStore.append(root, docs.filter(col("doc_id") < 20))
+    IndexStore.append(root, docs.filter(col("doc_id") >= 20 && col("doc_id") < 40))
+    IndexStore.append(root, docs.filter(col("doc_id") >= 40))
+    val before = IndexStore.rankedSearch(spark, root, Seq("data", "model"), 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(IndexStore.compact(spark, root) == 4L)
+    val after = IndexStore.rankedSearch(spark, root, Seq("data", "model"), 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before && after.nonEmpty)
+    // old dirs gone, exactly one increment on disk
+    val incDirs = Files.list(Paths.get(root)).iterator()
+    val incs = scala.jdk.CollectionConverters.IteratorHasAsScala(incDirs).asScala
+      .map(_.getFileName.toString).filter(_.matches("inc-\\d+")).toSeq
+    assert(incs == Seq("inc-4"), incs)
+    // life goes on: a post-compaction crawl appends as increment 5
+    assert(IndexStore.append(root, corpus(100 until 110)) == 5L)
+    assert(IndexStore.storedDocLens(spark, root).count() == 70L)
+  }
+
   test("crash states resume exactly-once: stale tmp, committed-but-unlisted increment") {
     val docs = corpus(0 until 30)
     val root = Files.createTempDirectory("graft-idx-crash").toString

@@ -66,6 +66,10 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaStore == recompute && viaStore.nonEmpty)
     // odd-id vectors (second increment) are reachable as neighbors
     assert(viaStore.exists(_._2 % 2 == 1), viaStore.toString)
+    // compaction rewrites the two increments as one; probes are unchanged
+    assert(VectorStore.compact(spark, root) == 3L)
+    assert(rows(VectorStore.topK(spark, root, queries, k = 3)) == viaStore)
+    assert(VectorStore.storedVectors(spark, root).count() == 64L)
   }
 
   test("crash states resume exactly-once; create-once and append-without-create fail fast") {
