@@ -696,6 +696,25 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Int8 scalar quantization codes (FAISS SQ8 shape): per-vector scale,
+    * exact BIGINT code norm and code sum — the 4×-smaller storage tier
+    * for the 100-TB embedding column. */
+  private def qQuantCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Quantize.int8(e)
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("qnorm"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("code_sum"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Brute-force top-k in int8 CODE space — exact BIGINT dot products,
+    * scale-free quantized cosine, deterministic rank. */
+  private def qQuantTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Quantize.quantizedTopK(e, e.filter(col("vec_id") < 20), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed approximate ANN (the scale path; recall<1 → rows-only). */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -1681,6 +1700,23 @@ object SparkEntry {
     graft.ops.IndexStore.rankedSearch(s, root, IndexStoreTerms, k = 40)
   }
 
+  /** Takedown THROUGH the persisted index: two appended crawls, a
+    * tombstone delete of every doc_id ≡ 2 (mod 7), then ranked search —
+    * which must return exactly a recompute over the SURVIVING corpus
+    * (the deleted docs leave the postings AND the corpus stats: N and
+    * avgdl shift, so every score moves — a pure result-row filter would
+    * hash-mismatch). The oracle is the same ranked-search statement over
+    * `documents` minus the tombstoned ids. */
+  private def qStoreDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft-idxdel").toString
+    graft.ops.IndexStore.append(root, docs.filter(col("doc_id") % 2 === 0))
+    graft.ops.IndexStore.append(root, docs.filter(col("doc_id") % 2 === 1))
+    graft.ops.IndexStore.delete(root,
+      docs.filter(col("doc_id") % 7 === 2).select(col("doc_id")))
+    graft.ops.IndexStore.rankedSearch(s, root, IndexStoreTerms, k = 40)
+  }
+
   /** Doc-tier extraction — the per-source training-tier table (the
     * RefinedWeb/FineWeb release shape): exact-dup and repetition culls,
     * then head/middle/tail by the exact-quarters rule-quality score,
@@ -1966,6 +2002,7 @@ object SparkEntry {
     "q_phrase_search"    -> qPhraseSearch _,
     "q_ranked_search"    -> qRankedSearch _,
     "q_index_store"      -> qIndexStore _,
+    "q_store_delete"     -> qStoreDelete _,
     "q_cooccur"          -> qCooccur _,
     "q_classifier_eval"  -> qClassifierEval _,
     "q_doc_tiers"        -> qDocTiers _,
@@ -1996,6 +2033,8 @@ object SparkEntry {
     "q_semdedup"      -> qSemDedup _,
     "q_classifier_score" -> qClassifierScore _,
     "q_ann_topk"      -> qAnnTopK _,
+    "q_quant_codes"   -> qQuantCodes _,
+    "q_quant_topk"    -> qQuantTopK _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_ivf"       -> qAnnIvf _,
     "q_vector_store"  -> qVectorStore _,
@@ -3381,11 +3420,16 @@ object SparkEntry {
   /** Shared positional term stream for the inverted-index oracles —
     * positions index the RAW \s+ split (empties dropped without closing
     * gaps), exactly [[graft.ops.Index.termStream]]. */
-  private def indexStreamCtes: String =
-    """ist AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+  private def indexStreamCtes: String = indexStreamCtesOn("documents")
+
+  /** The tokenized positional stream parameterized over the docs
+    * relation — `documents` everywhere except q_store_delete, whose
+    * corpus is documents minus the tombstoned ids. */
+  private def indexStreamCtesOn(docsRel: String): String =
+    s"""ist AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
       |    i -> {'pos': i, 'tok': ws[i]})) AS t
-      |  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS ws
-      |        FROM documents)),
+      |  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\\s+') AS ws
+      |        FROM $docsRel)),
       |is2 AS (SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, t.tok AS tok
       |  FROM ist WHERE length(t.tok) > 0)""".stripMargin
 
@@ -3419,18 +3463,19 @@ object SparkEntry {
     * q_index_store (the same scores must come back THROUGH the persisted
     * two-increment store: union-of-increments postings ≡ full-corpus
     * postings is exactly the store's correctness claim). */
-  private def rankedSearchOracleFor(terms: Seq[String], k: Int): String = {
+  private def rankedSearchOracleFor(terms: Seq[String], k: Int,
+      docsRel: String = "documents"): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN term = '$t' THEN c END) AS c$i"
     }.mkString(",\n       |    ")
     val chain = terms.indices
       .map(i => s"COALESCE(c$i, CAST(0 AS DOUBLE))").mkString(" + ")
-    s"""WITH ${margined(indexStreamCtes)},
+    s"""WITH ${margined(indexStreamCtesOn(docsRel))},
        |rdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM is2 GROUP BY 1),
        |rst AS (SELECT CAST(count(*) AS DOUBLE) AS n,
        |    CAST(sum(COALESCE(rdl.dl, 0)) AS DOUBLE) AS sumdl
-       |  FROM documents d LEFT JOIN rdl ON rdl.doc_id = d.doc_id),
+       |  FROM $docsRel d LEFT JOIN rdl ON rdl.doc_id = d.doc_id),
        |rp AS (SELECT tok AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
        |  FROM is2 WHERE tok IN ($inList) GROUP BY 1, 2),
        |rdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM rp GROUP BY 1),
@@ -4055,6 +4100,8 @@ object SparkEntry {
     "q_phrase_search" -> phraseSearchOracle,
     "q_ranked_search" -> rankedSearchOracle,
     "q_index_store" -> rankedSearchOracleFor(IndexStoreTerms, 40),
+    "q_store_delete" -> rankedSearchOracleFor(IndexStoreTerms, 40,
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2)"),
     "q_cooccur" -> cooccurOracle,
     "q_classifier_eval" -> classifierEvalOracle,
     "q_doc_tiers" -> docTiersOracle,
@@ -4399,6 +4446,47 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // q_quant_codes: the SAME scale/round-half-up derivation (abs→max→
+    // /127, floor(x/scale + 0.5)) — every op exact IEEE, so the codes and
+    // their BIGINT norms match bit-for-bit with no ordered-fold machinery
+    "q_quant_codes" ->
+      """WITH qe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
+        |sc AS (SELECT vec_id, xs,
+        |    list_max(list_transform(xs, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale FROM qe),
+        |qc AS (SELECT vec_id, scale,
+        |    list_transform(xs, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS qv
+        |  FROM sc)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm,
+        |  CAST(list_sum(qv) AS BIGINT) AS code_sum
+        |FROM qc ORDER BY vec_id""".stripMargin,
+    // q_quant_topk: scale-free quantized cosine — exact BIGINT dots, the
+    // only float ops are two sqrts, one multiply, one divide (same order
+    // both sides)
+    "q_quant_topk" ->
+      """WITH qe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
+        |sc AS (SELECT vec_id, xs,
+        |    list_max(list_transform(xs, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale FROM qe),
+        |qc AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(xs, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS qv
+        |  FROM sc),
+        |qn AS MATERIALIZED (SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n FROM qc),
+        |pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS dot,
+        |    c.n AS cn, q.n AS qn2
+        |  FROM qn c JOIN qn q ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+        |  WHERE c.n > 0 AND q.n > 0),
+        |rk AS (SELECT query_id, neighbor_id,
+        |    round(CAST(dot AS DOUBLE) / (sqrt(CAST(cn AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 4) AS qcos
+        |  FROM pr),
+        |fin AS (SELECT query_id, neighbor_id, qcos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM rk)
+        |SELECT query_id, neighbor_id, qcos, rank FROM fin WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q_langid" -> langIdOracle,
     "q_token_counts" ->
       """SELECT doc_id,

@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   *   params.tsv                 tokenizer / version
   *   inc-<K>/postings/ parquet  (term, doc_id, tf, first_pos, last_pos)
   *   inc-<K>/doclen/   parquet  (doc_id, dl) — ALL docs, dl = 0 for empty
-  *   manifest-<K>.tsv           committed increments so far
+  *   del-<K>/ids/      parquet  (doc_id) tombstones ([[delete]])
+  *   manifest-<K>.tsv           committed inc/del increments so far
   *
   * Contract: doc ids are unique ACROSS increments (each crawl dump
   * contributes new ids — the [[NearDupStore]] id contract), so the
@@ -74,7 +75,10 @@ object IndexStore {
             s"$Tokenizer — mixed tokenizations make df/tf/positions incomparable")
     }
 
-  private def lastManifest(root: String): Option[(Long, Vector[Long])] = {
+  /** Manifest state: counter id, committed data increments, committed
+    * tombstone (delete) increments. Pre-delete manifests have no `del`
+    * lines and parse with an empty tombstone list. */
+  private def lastManifest(root: String): Option[(Long, Vector[Long], Vector[Long])] = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return None
     val ms = Files.list(dir).iterator().asScala
@@ -84,16 +88,22 @@ object IndexStore {
       .stripPrefix("manifest-").stripSuffix(".tsv").toLong)
     val id = latest.getFileName.toString
       .stripPrefix("manifest-").stripSuffix(".tsv").toLong
-    val incs = Files.readAllLines(latest, StandardCharsets.UTF_8).asScala
+    val lines = Files.readAllLines(latest, StandardCharsets.UTF_8).asScala
+    val incs = lines
       .collect { case l if l.startsWith("inc\t") => l.stripPrefix("inc\t").toLong }
       .toVector
-    Some((id, incs))
+    val dels = lines
+      .collect { case l if l.startsWith("del\t") => l.stripPrefix("del\t").toLong }
+      .toVector
+    Some((id, incs, dels))
   }
 
-  private def commitManifest(root: String, id: Long, incs: Vector[Long]): Unit = {
+  private def commitManifest(root: String, id: Long, incs: Vector[Long],
+      dels: Vector[Long] = Vector.empty): Unit = {
     val dir = Paths.get(root)
     val tmp = dir.resolve(s"manifest-$id.tsv.tmp")
-    Files.write(tmp, incs.sorted.map(k => s"inc\t$k").mkString("", "\n", "\n")
+    Files.write(tmp, (incs.sorted.map(k => s"inc\t$k")
+        ++ dels.sorted.map(k => s"del\t$k")).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(s"manifest-$id.tsv"), StandardCopyOption.ATOMIC_MOVE)
   }
@@ -111,7 +121,8 @@ object IndexStore {
   def append(root: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     ensureParams(root)
-    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    val (prevId, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
     val inc = prevId + 1
     val incDir = Paths.get(root, s"inc-$inc")
     deleteRecursively(incDir) // uncommitted leftovers from a crashed attempt
@@ -127,9 +138,50 @@ object IndexStore {
       .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
       .write.parquet(tmpDir.resolve("doclen").toString)
     Files.move(tmpDir, incDir, StandardCopyOption.ATOMIC_MOVE)
-    commitManifest(root, inc, incs :+ inc)
+    commitManifest(root, inc, incs :+ inc, dels)
     inc
   }
+
+  /** Commit a TOMBSTONE increment: the given doc ids disappear from every
+    * store read (takedown / right-to-be-forgotten semantics). Physical
+    * removal is deferred to [[compact]]; until then reads anti-join the
+    * tombstone set — O(|deleted ids|) extra state, never a data rewrite.
+    * A tombstone is TERMINAL for an id: ids are unique across increments
+    * by contract, so a re-crawl of the same page commits under a fresh
+    * id and is unaffected. Idempotent on retry like [[append]]. Returns
+    * the tombstone increment id. */
+  def delete(root: String, ids: DataFrame, idCol: String = "doc_id"): Long = {
+    val (prevId, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
+    require(incs.nonEmpty, s"IndexStore at $root has no committed increments")
+    val del = prevId + 1
+    val delDir = Paths.get(root, s"del-$del")
+    deleteRecursively(delDir) // uncommitted leftovers from a crashed attempt
+    val tmpDir = Paths.get(root, s"del-$del.tmp")
+    deleteRecursively(tmpDir)
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.parquet(tmpDir.resolve("ids").toString)
+    Files.move(tmpDir, delDir, StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(root, del, incs, dels :+ del)
+    del
+  }
+
+  /** The committed tombstone ids (doc_id) — empty option when no delete
+    * has ever been committed, so the no-delete read path keeps its exact
+    * pre-delete plan shape. */
+  private def tombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val dels = lastManifest(root).map(_._3).getOrElse(Vector.empty)
+    if (dels.isEmpty) None
+    else Some(dels.map(k => spark.read.parquet(s"$root/del-$k/ids"))
+      .reduce(_.unionByName(_)))
+  }
+
+  private def minusTombstones(spark: SparkSession, root: String,
+      df: DataFrame): DataFrame =
+    tombstones(spark, root) match {
+      case None => df
+      case Some(ts) => df.join(ts, Seq("doc_id"), "left_anti")
+    }
 
   private def readUnion(spark: SparkSession, root: String, sub: String): DataFrame = {
     val incs = lastManifest(root).map(_._2).getOrElse(Vector.empty)
@@ -137,9 +189,11 @@ object IndexStore {
     incs.map(k => spark.read.parquet(s"$root/inc-$k/$sub")).reduce(_.unionByName(_))
   }
 
-  /** The committed postings union (term, doc_id, tf, first_pos, last_pos). */
+  /** The committed postings union (term, doc_id, tf, first_pos, last_pos),
+    * tombstoned docs excluded (an 8-byte-key anti-join, broadcast-sized
+    * in practice — the tombstone table is takedown-scale, not corpus-scale). */
   def storedPostings(spark: SparkSession, root: String): DataFrame =
-    readUnion(spark, root, "postings")
+    minusTombstones(spark, root, readUnion(spark, root, "postings"))
 
   /** COMPACT the committed increments into one (the small-files problem:
     * a year of daily crawls = hundreds of increment dirs, each a
@@ -151,24 +205,30 @@ object IndexStore {
     * AFTER the flip (best-effort — an unlisted dir is dead weight, not
     * corruption). Returns the new increment id. */
   def compact(spark: SparkSession, root: String): Long = {
-    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    val (prevId, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
     require(incs.nonEmpty, s"IndexStore at $root has nothing to compact")
     val inc = prevId + 1
     val tmpDir = Paths.get(root, s"inc-$inc.tmp")
     deleteRecursively(tmpDir)
     deleteRecursively(Paths.get(root, s"inc-$inc"))
+    // storedPostings/storedDocLens already exclude tombstoned docs, so
+    // compaction is also the PHYSICAL removal point for deletes (the
+    // takedown contract: tombstone now, scrub bytes at the next compact)
     storedPostings(spark, root).write.parquet(tmpDir.resolve("postings").toString)
     storedDocLens(spark, root).write.parquet(tmpDir.resolve("doclen").toString)
     Files.move(tmpDir, Paths.get(root, s"inc-$inc"), StandardCopyOption.ATOMIC_MOVE)
     commitManifest(root, inc, Vector(inc))
     incs.foreach(k => deleteRecursively(Paths.get(root, s"inc-$k")))
+    dels.foreach(k => deleteRecursively(Paths.get(root, s"del-$k")))
     inc
   }
 
   /** The committed per-doc lengths union (doc_id, dl) — every indexed
-    * doc, dl = 0 for token-free ones. */
+    * doc, dl = 0 for token-free ones; tombstoned docs excluded (they no
+    * longer count toward corpus N / avgdl). */
   def storedDocLens(spark: SparkSession, root: String): DataFrame =
-    readUnion(spark, root, "doclen")
+    minusTombstones(spark, root, readUnion(spark, root, "doclen"))
 
   /** The dictionary over the stored corpus: (term, df, cf) — valid
     * because ids never repeat across increments. */

@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   *   params.tsv                   numHashes / bands / shingleK
   *   inc-<K>/keys/  parquet       (id, band_key)
   *   inc-<K>/sigs/  parquet       (id, shs)
-  *   manifest-<K>.tsv             committed increments so far
+  *   del-<K>/ids/   parquet       (id) tombstones ([[delete]])
+  *   manifest-<K>.tsv             committed inc/del increments so far
   *
   * 100-TB shape: the store holds 16-byte keys + ids (× bands) and 8-byte
   * shingle-hash arrays — both a small multiple of corpus CARDINALITY,
@@ -73,7 +74,9 @@ object NearDupStore {
             "mixed signature parameters would silently break recall")
     }
 
-  private def lastManifest(root: String): Option[(Long, Vector[Long])] = {
+  /** Manifest state: counter id, committed data increments, committed
+    * tombstone (delete) increments — see [[IndexStore.lastManifest]]. */
+  private def lastManifest(root: String): Option[(Long, Vector[Long], Vector[Long])] = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return None
     val ms = Files.list(dir).iterator().asScala
@@ -83,16 +86,22 @@ object NearDupStore {
       .stripPrefix("manifest-").stripSuffix(".tsv").toLong)
     val id = latest.getFileName.toString
       .stripPrefix("manifest-").stripSuffix(".tsv").toLong
-    val incs = Files.readAllLines(latest, StandardCharsets.UTF_8).asScala
+    val lines = Files.readAllLines(latest, StandardCharsets.UTF_8).asScala
+    val incs = lines
       .collect { case l if l.startsWith("inc\t") => l.stripPrefix("inc\t").toLong }
       .toVector
-    Some((id, incs))
+    val dels = lines
+      .collect { case l if l.startsWith("del\t") => l.stripPrefix("del\t").toLong }
+      .toVector
+    Some((id, incs, dels))
   }
 
-  private def commitManifest(root: String, id: Long, incs: Vector[Long]): Unit = {
+  private def commitManifest(root: String, id: Long, incs: Vector[Long],
+      dels: Vector[Long] = Vector.empty): Unit = {
     val dir = Paths.get(root)
     val tmp = dir.resolve(s"manifest-$id.tsv.tmp")
-    Files.write(tmp, incs.sorted.map(k => s"inc\t$k").mkString("", "\n", "\n")
+    Files.write(tmp, (incs.sorted.map(k => s"inc\t$k")
+        ++ dels.sorted.map(k => s"del\t$k")).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(s"manifest-$id.tsv"), StandardCopyOption.ATOMIC_MOVE)
   }
@@ -112,7 +121,8 @@ object NearDupStore {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     ensureParams(root, Params(numHashes, bands, shingleK))
-    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    val (prevId, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
     val inc = prevId + 1
     val incDir = Paths.get(root, s"inc-$inc")
     deleteRecursively(incDir) // uncommitted leftovers from a crashed attempt
@@ -126,17 +136,47 @@ object NearDupStore {
     Dedup.bandKeyFrame(base, numHashes, bands)
       .write.parquet(tmpDir.resolve("keys").toString)
     Files.move(tmpDir, incDir, StandardCopyOption.ATOMIC_MOVE)
-    commitManifest(root, inc, incs :+ inc)
+    commitManifest(root, inc, incs :+ inc, dels)
     inc
+  }
+
+  /** Commit a TOMBSTONE increment: the given doc ids stop suppressing
+    * near-dups (takedown semantics — a removed doc must not keep culling
+    * new crawls that resemble it). Physical removal defers to
+    * [[compact]]; reads anti-join the tombstone set until then.
+    * Idempotent on retry like [[append]]. Returns the tombstone id. */
+  def delete(root: String, ids: DataFrame, idCol: String = "doc_id"): Long = {
+    val (prevId, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
+    require(incs.nonEmpty, s"NearDupStore at $root has no committed increments")
+    val del = prevId + 1
+    val delDir = Paths.get(root, s"del-$del")
+    deleteRecursively(delDir) // uncommitted leftovers from a crashed attempt
+    val tmpDir = Paths.get(root, s"del-$del.tmp")
+    deleteRecursively(tmpDir)
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.parquet(tmpDir.resolve("ids").toString)
+    Files.move(tmpDir, delDir, StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(root, del, incs, dels :+ del)
+    del
   }
 
   private def committedIncs(root: String): Vector[Long] =
     lastManifest(root).map(_._2).getOrElse(Vector.empty)
 
+  private def minusTombstones(spark: SparkSession, root: String,
+      df: DataFrame): DataFrame = {
+    val dels = lastManifest(root).map(_._3).getOrElse(Vector.empty)
+    if (dels.isEmpty) df
+    else df.join(dels.map(k => spark.read.parquet(s"$root/del-$k/ids"))
+      .reduce(_.unionByName(_)), Seq("id"), "left_anti")
+  }
+
   private def readUnion(spark: SparkSession, root: String, sub: String): DataFrame = {
     val incs = committedIncs(root)
     require(incs.nonEmpty, s"NearDupStore at $root has no committed increments")
-    incs.map(k => spark.read.parquet(s"$root/inc-$k/$sub")).reduce(_.unionByName(_))
+    minusTombstones(spark, root,
+      incs.map(k => spark.read.parquet(s"$root/inc-$k/$sub")).reduce(_.unionByName(_)))
   }
 
   /** COMPACT the committed increments into one (the small-files problem
@@ -146,17 +186,21 @@ object NearDupStore {
     * results are unchanged: the store's query surface is exactly the
     * union the new increment now holds. */
   def compact(spark: SparkSession, root: String): Long = {
-    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    val (prevId, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
     require(incs.nonEmpty, s"NearDupStore at $root has nothing to compact")
     val inc = prevId + 1
     val tmpDir = Paths.get(root, s"inc-$inc.tmp")
     deleteRecursively(tmpDir)
     deleteRecursively(Paths.get(root, s"inc-$inc"))
+    // seenSigs/seenKeys already exclude tombstoned ids — compaction is
+    // the physical removal point for deletes
     seenSigs(spark, root).write.parquet(tmpDir.resolve("sigs").toString)
     seenKeys(spark, root).write.parquet(tmpDir.resolve("keys").toString)
     Files.move(tmpDir, Paths.get(root, s"inc-$inc"), StandardCopyOption.ATOMIC_MOVE)
     commitManifest(root, inc, Vector(inc))
     incs.foreach(k => deleteRecursively(Paths.get(root, s"inc-$k")))
+    dels.foreach(k => deleteRecursively(Paths.get(root, s"del-$k")))
     inc
   }
 

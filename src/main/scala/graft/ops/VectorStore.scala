@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *   centroids/        parquet  (cell, centroid ARRAY<DOUBLE>) — written
   *                              once by [[create]], never rewritten
   *   inc-<K>/vectors/  parquet  (vec_id, embedding, cell)
-  *   manifest-<K>.tsv           committed increments so far
+  *   del-<K>/ids/      parquet  (vec_id) tombstones ([[delete]])
+  *   manifest-<K>.tsv           committed inc/del increments so far
   *
   * 100-TB shape: the centroid table is nCells×dim doubles (driver-safe
   * by construction — the [[Similarity.trainCentroids]] bound); increments
@@ -58,7 +59,9 @@ object VectorStore {
     Files.move(tmp, paramsPath(root), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def lastManifest(root: String): Option[(Long, Vector[Long])] = {
+  /** Manifest state: counter id, committed data increments, committed
+    * tombstone (delete) increments — see [[IndexStore.lastManifest]]. */
+  private def lastManifest(root: String): Option[(Long, Vector[Long], Vector[Long])] = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return None
     val ms = Files.list(dir).iterator().asScala
@@ -68,16 +71,22 @@ object VectorStore {
       .stripPrefix("manifest-").stripSuffix(".tsv").toLong)
     val id = latest.getFileName.toString
       .stripPrefix("manifest-").stripSuffix(".tsv").toLong
-    val incs = Files.readAllLines(latest, StandardCharsets.UTF_8).asScala
+    val lines = Files.readAllLines(latest, StandardCharsets.UTF_8).asScala
+    val incs = lines
       .collect { case l if l.startsWith("inc\t") => l.stripPrefix("inc\t").toLong }
       .toVector
-    Some((id, incs))
+    val dels = lines
+      .collect { case l if l.startsWith("del\t") => l.stripPrefix("del\t").toLong }
+      .toVector
+    Some((id, incs, dels))
   }
 
-  private def commitManifest(root: String, id: Long, incs: Vector[Long]): Unit = {
+  private def commitManifest(root: String, id: Long, incs: Vector[Long],
+      dels: Vector[Long] = Vector.empty): Unit = {
     val dir = Paths.get(root)
     val tmp = dir.resolve(s"manifest-$id.tsv.tmp")
-    Files.write(tmp, incs.sorted.map(k => s"inc\t$k").mkString("", "\n", "\n")
+    Files.write(tmp, (incs.sorted.map(k => s"inc\t$k")
+        ++ dels.sorted.map(k => s"del\t$k")).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(s"manifest-$id.tsv"), StandardCopyOption.ATOMIC_MOVE)
   }
@@ -128,7 +137,8 @@ object VectorStore {
     require(readParams(root).isDefined && Files.exists(Paths.get(root, "centroids")),
       s"VectorStore at $root has no centroids — call create first")
     val cents = centroids(embeddings.sparkSession, root)
-    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    val (prevId, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
     val inc = prevId + 1
     val incDir = Paths.get(root, s"inc-$inc")
     deleteRecursively(incDir) // uncommitted leftovers from a crashed attempt
@@ -137,16 +147,41 @@ object VectorStore {
     Similarity.ivfAssign(embeddings, cents)
       .write.parquet(tmpDir.resolve("vectors").toString)
     Files.move(tmpDir, incDir, StandardCopyOption.ATOMIC_MOVE)
-    commitManifest(root, inc, incs :+ inc)
+    commitManifest(root, inc, incs :+ inc, dels)
     inc
   }
 
-  /** The committed assigned-vector union (vec_id, embedding, cell). */
-  def storedVectors(spark: SparkSession, root: String): DataFrame = {
-    val incs = lastManifest(root).map(_._2).getOrElse(Vector.empty)
+  /** Commit a TOMBSTONE increment: the given vec ids stop appearing as
+    * neighbors (takedown semantics). Physical removal defers to
+    * [[compact]]; reads anti-join the tombstone set until then.
+    * Idempotent on retry like [[append]]. Returns the tombstone id. */
+  def delete(root: String, ids: DataFrame, idCol: String = "vec_id"): Long = {
+    val (prevId, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
     require(incs.nonEmpty, s"VectorStore at $root has no committed increments")
-    incs.map(k => spark.read.parquet(s"$root/inc-$k/vectors"))
+    val del = prevId + 1
+    val delDir = Paths.get(root, s"del-$del")
+    deleteRecursively(delDir) // uncommitted leftovers from a crashed attempt
+    val tmpDir = Paths.get(root, s"del-$del.tmp")
+    deleteRecursively(tmpDir)
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.parquet(tmpDir.resolve("ids").toString)
+    Files.move(tmpDir, delDir, StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(root, del, incs, dels :+ del)
+    del
+  }
+
+  /** The committed assigned-vector union (vec_id, embedding, cell),
+    * tombstoned vectors excluded. */
+  def storedVectors(spark: SparkSession, root: String): DataFrame = {
+    val (_, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
+    require(incs.nonEmpty, s"VectorStore at $root has no committed increments")
+    val union = incs.map(k => spark.read.parquet(s"$root/inc-$k/vectors"))
       .reduce(_.unionByName(_))
+    if (dels.isEmpty) union
+    else union.join(dels.map(k => spark.read.parquet(s"$root/del-$k/ids"))
+      .reduce(_.unionByName(_)), Seq("vec_id"), "left_anti")
   }
 
   /** COMPACT the committed increments into one (the small-files problem
@@ -155,16 +190,20 @@ object VectorStore {
     * are deleted after the flip. Centroids are untouched (pinned), so
     * probe results are unchanged by construction. */
   def compact(spark: SparkSession, root: String): Long = {
-    val (prevId, incs) = lastManifest(root).getOrElse((0L, Vector.empty[Long]))
+    val (prevId, incs, dels) =
+      lastManifest(root).getOrElse((0L, Vector.empty[Long], Vector.empty[Long]))
     require(incs.nonEmpty, s"VectorStore at $root has nothing to compact")
     val inc = prevId + 1
     val tmpDir = Paths.get(root, s"inc-$inc.tmp")
     deleteRecursively(tmpDir)
     deleteRecursively(Paths.get(root, s"inc-$inc"))
+    // storedVectors already excludes tombstoned ids — compaction is the
+    // physical removal point for deletes
     storedVectors(spark, root).write.parquet(tmpDir.resolve("vectors").toString)
     Files.move(tmpDir, Paths.get(root, s"inc-$inc"), StandardCopyOption.ATOMIC_MOVE)
     commitManifest(root, inc, Vector(inc))
     incs.foreach(k => deleteRecursively(Paths.get(root, s"inc-$k")))
+    dels.foreach(k => deleteRecursively(Paths.get(root, s"del-$k")))
     inc
   }
 

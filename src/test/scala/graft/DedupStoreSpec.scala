@@ -74,6 +74,36 @@ class DedupStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterCompact.toSeq == viaStore.toSeq)
   }
 
+  test("delete: a tombstoned seen doc stops suppressing its near-dups") {
+    import spark.implicits._
+    // seen doc 500 is the ONLY doc resembling the batch doc (the corpus
+    // fixture docs all share their tail shingles, so a corpus near-copy
+    // would near-dup many of them — the takedown signal must be isolated)
+    val unique = "quartz vermilion obelisk pangolin zephyr cascade " +
+      "mariner glacier thimble orchard lantern citadel"
+    val seen = corpus(0 until 60)
+      .unionByName(Seq((500L, unique)).toDF("doc_id", "text"))
+    val batch = Seq((7010L, unique + " drift")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-nds-del").toString
+    NearDupStore.append(root, seen)
+    assert(NearDupStore.incrementalNearDup(root, batch, 0.5).count() == 0L)
+    // takedown of doc 500: its signature must stop culling new crawls —
+    // parity with a recompute over the surviving seen corpus
+    assert(NearDupStore.delete(root, Seq(500L).toDF("doc_id")) == 2L)
+    val viaStore = NearDupStore.incrementalNearDup(root, batch, 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    val viaRecompute = Dedup.incrementalNearDup(
+        seen.filter(col("doc_id") =!= 500L), batch, 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaStore == viaRecompute && viaStore == Seq(7010L))
+    // compact scrubs the tombstoned signature bytes
+    assert(NearDupStore.compact(spark, root) == 3L)
+    assert(spark.read.parquet(s"$root/inc-3/sigs")
+      .filter(col("id") === 500L).count() == 0L)
+    assert(NearDupStore.incrementalNearDup(root, batch, 0.5)
+      .collect().map(_.getLong(0)).toSeq == Seq(7010L))
+  }
+
   test("crash states resume exactly-once: stale tmp, committed-but-unlisted increment") {
     val crawl = corpus(0 until 40)
     val root = Files.createTempDirectory("graft-nds-crash").toString

@@ -88,6 +88,42 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IndexStore.storedDocLens(spark, root).count() == 70L)
   }
 
+  test("delete: tombstoned docs vanish from search AND corpus stats; compact scrubs bytes") {
+    val docs = corpus(0 until 80)
+    val root = Files.createTempDirectory("graft-idx-del").toString
+    IndexStore.append(root, docs.filter(col("doc_id") < 40))
+    IndexStore.append(root, docs.filter(col("doc_id") >= 40))
+    val dead = docs.filter(col("doc_id") % 7 === 2).select("doc_id")
+    assert(IndexStore.delete(root, dead) == 3L)
+    // parity: search through the store == recompute over the SURVIVORS
+    // (scores shift for every doc — N and avgdl exclude the deleted)
+    val survivors = docs.filter(col("doc_id") % 7 =!= 2)
+    val viaStore = IndexStore.rankedSearch(spark, root, Seq("data", "model"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val recompute = Index.rankedSearch(survivors, Seq("data", "model"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaStore == recompute && viaStore.nonEmpty)
+    assert(IndexStore.storedDocLens(spark, root).count() == 68L)
+    // a crashed delete retries idempotently (del dir there, manifest not)
+    Files.delete(Paths.get(root, "manifest-3.tsv"))
+    assert(IndexStore.delete(root, dead) == 3L)
+    assert(IndexStore.storedDocLens(spark, root).count() == 68L)
+    // compact = the physical removal point: the new increment's parquet
+    // holds NO tombstoned rows and the del dirs are gone
+    assert(IndexStore.compact(spark, root) == 4L)
+    val raw = spark.read.parquet(s"$root/inc-4/doclen")
+    assert(raw.count() == 68L)
+    assert(raw.filter(col("doc_id") % 7 === 2).count() == 0L)
+    val delDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(Paths.get(root)).iterator()).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("del-")).toSeq
+    assert(delDirs.isEmpty, delDirs)
+    // post-compact search is unchanged
+    val after = IndexStore.rankedSearch(spark, root, Seq("data", "model"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == viaStore)
+  }
+
   test("crash states resume exactly-once: stale tmp, committed-but-unlisted increment") {
     val docs = corpus(0 until 30)
     val root = Files.createTempDirectory("graft-idx-crash").toString

@@ -199,6 +199,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("int8 quantization: codes match the scalar formula, bounds hold, quantized topk tracks float topk") {
+    import spark.implicits._
+    val dim = 16
+    val rows = for (i <- 0L until 100L) yield {
+      val cl = (i % 4).toInt
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d % 4 == cl) 1.0f else 0.0f
+        center + (Dedup.mix64(i * 31 + d).toFloat / Long.MaxValue) * 0.05f
+      }
+      (i, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    // codes equal an independent scalar evaluation of the same formula
+    val got = graft.ops.Quantize.int8(e).select($"vec_id", $"qvec", $"qnorm")
+      .as[(Long, Seq[Byte], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (i, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      val ref = v.map(x => math.floor(x.toDouble / scale + 0.5).toLong)
+      val (qv, qn) = got(i)
+      assert(qv.map(_.toLong).toSeq == ref.toSeq, s"vec $i")
+      assert(qn == ref.map(c => c * c).sum)
+      assert(qv.forall(c => c >= -127 && c <= 127))
+    }
+    // zero vectors: scale 0, all-zero codes, excluded from ranking
+    val withZero = e.unionByName(
+      Seq((999L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    val z = graft.ops.Quantize.int8(withZero).filter($"vec_id" === 999L).head()
+    assert(z.getDouble(1) == 0.0 && z.getLong(3) == 0L)
+    val qt = graft.ops.Quantize.quantizedTopK(withZero, withZero.filter($"vec_id" < 8), 5)
+    assert(qt.filter($"neighbor_id" === 999L).count() == 0L)
+    // quantized neighbors track the float brute-force neighbors
+    val bf = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 8), 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val qn = qt.filter($"query_id" =!= 999L)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(qn).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("cosine near-dup recall: multi-probe recovers planted perturbed pairs") {
     import spark.implicits._
     val dim = 16

@@ -90,6 +90,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
   }
 
+  test("int8 quantization is a narrow lambda-functions-only map: zero Exchange, no ScalaUDF") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Quantize.int8(e), "simple")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("ann cosine is pure Catalyst (no ScalaUDF in the plan)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteForceTopK(e, e.limit(2), 3), "simple")

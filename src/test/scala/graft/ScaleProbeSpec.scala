@@ -413,4 +413,26 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     timed("Index.phraseSearch 2-term, 2M docs")(
       graft.ops.Index.phraseSearch(docs, Seq("w1", "w2")).count())
   }
+
+  ignore("round-8 session-5: int8 quantization and quantized search at 2M vectors (opt-in probe)") {
+    graft.functions.functions.register(spark)
+    val parts = Runtime.getRuntime.availableProcessors() * 4
+    val embs = spark.range(0L, 2000000L, 1L, parts)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(graft.functions.functions.graft_mix64(
+            col("id") * 64 + d.cast("long")), lit(2001L)) - 1000L)
+            .cast("double") / lit(1024.0)).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    // pure narrow map: 2M × 64-d floats → int8 codes + norms
+    timed("Quantize.int8 2M × 64d") {
+      graft.ops.Quantize.int8(embs).agg(sum(col("qnorm"))).head()
+      2000000L
+    }
+    // brute-force quantized scan: 8 queries × 2M codes through the
+    // BIGINT dot fold (the verify tier a bucketed generator would prune)
+    timed("Quantize.quantizedTopK 8 queries × 2M codes")(
+      graft.ops.Quantize.quantizedTopK(embs,
+        embs.filter(col("vec_id") < 8), k = 5).count())
+  }
 }

@@ -72,6 +72,29 @@ class VectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorStore.storedVectors(spark, root).count() == 64L)
   }
 
+  test("delete: tombstoned vectors leave the neighbor set; compact scrubs them") {
+    import spark.implicits._
+    val e = vectors(0 until 64)
+    val root = Files.createTempDirectory("graft-vs-del").toString
+    VectorStore.create(root, e, Dim, nCells = 4, sampleSize = 32)
+    val queries = e.filter(col("vec_id") < 6)
+    val dead = (0 until 64 by 8).map(_.toLong).toDF("vec_id")
+    assert(VectorStore.delete(root, dead) == 2L)
+    // parity: probes over the store == recompute over the survivors,
+    // under the SAME pinned centroids
+    val viaStore = rows(VectorStore.topK(spark, root, queries, k = 3))
+    val cents = Similarity.trainCentroids(e, Dim, 4, 32)
+    val recompute = rows(Similarity.ivfTopKWith(cents,
+      Similarity.ivfAssign(e.filter(col("vec_id") % 8 =!= 0), cents), queries, k = 3))
+    assert(viaStore == recompute && viaStore.nonEmpty)
+    assert(!viaStore.exists(_._2 % 8 == 0), viaStore.toString)
+    // compact physically drops the tombstoned vectors
+    assert(VectorStore.compact(spark, root) == 3L)
+    assert(spark.read.parquet(s"$root/inc-3/vectors")
+      .filter(col("vec_id") % 8 === 0).count() == 0L)
+    assert(rows(VectorStore.topK(spark, root, queries, k = 3)) == viaStore)
+  }
+
   test("crash states resume exactly-once; create-once and append-without-create fail fast") {
     val e = vectors(0 until 32)
     val root = Files.createTempDirectory("graft-vs-crash").toString
