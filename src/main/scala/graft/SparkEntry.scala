@@ -1433,6 +1433,28 @@ object SparkEntry {
     graft.ops.Dedup.cutDuplicateLines(planted, minCount = 2)
   }
 
+  /** Host-scoped boilerplate template cut (trafilatura/jusText stage):
+    * a per-source header planted in EVERY doc (two case/pad variants →
+    * one normalized key) is cut; a ~25% per-source line, the unique body
+    * line and BLANK lines are kept; a 2-doc synthetic host exercises the
+    * minDocs exemption (its 100% footer survives). */
+  private def qHostBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"), concat(
+      when(col("doc_id") % 2 === 0, concat(lit("(c) 2026 "), col("source"), lit(" media")))
+        .otherwise(concat(lit("  (C) 2026 "), col("source"), lit(" MEDIA "))),
+      lit("\n"), col("doc_id").cast("string"), lit(" "),
+      coalesce(col("text"), lit("")), lit("\n\n"),
+      when(col("n_chars") % 4 === 0, concat(lit("subscribe to "), col("source")))
+        .otherwise(concat(lit("tail "), col("doc_id").cast("string")))).as("text"))
+    val tiny = Seq(
+      (-1L, "tiny", "shared footer line\nbody a"),
+      (-2L, "tiny", "shared footer line\nbody b"))
+      .toDF("doc_id", "source", "text")
+    graft.ops.Boilerplate.cutHostBoilerplate(base.unionByName(tiny),
+      hostCol = "source", minDocs = 3, num = 1, den = 2)
+  }
+
   /** Corpus bigram-LM fluency score — the CCNet/Gopher-style perplexity
     * quality signal, in the exactly-reproducible log-free form. */
   private def qLmFluency(s: SparkSession, dir: String): DataFrame =
@@ -1972,6 +1994,7 @@ object SparkEntry {
     "q_host_pagerank"    -> qHostPagerank _,
     "q_url_blocklist"    -> qUrlBlocklist _,
     "q_line_dedup"       -> qLineDedup _,
+    "q_host_boilerplate" -> qHostBoilerplate _,
     "q_chunks"           -> qChunks _,
     "q_ctx_windows"      -> qCtxWindows _,
     "q_cdc_chunks"       -> qCdcChunks _,
@@ -3065,6 +3088,50 @@ object SparkEntry {
        |  CAST(COALESCE(tot.n_lines, 0) - COALESCE(pd.n_kept, 0) AS BIGINT) AS n_cut_lines
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN tot USING (doc_id)
+       |LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** q_host_boilerplate oracle: identical planting (incl. the 2-doc tiny
+    * host), per-(source, key) DISTINCT-doc evidence vs host doc totals
+    * (integer cross-multiplied ≥ num/den test, minDocs exemption),
+    * position-ordered reassembly with blank lines KEPT. */
+  private def hostBoilerplateOracle: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 2 = 0 THEN '(c) 2026 ' || source || ' media'
+       |         ELSE '  (C) 2026 ' || source || ' MEDIA ' END
+       |    || chr(10) || CAST(doc_id AS VARCHAR) || ' ' || COALESCE(text, '')
+       |    || chr(10) || chr(10)
+       |    || CASE WHEN n_chars % 4 = 0 THEN 'subscribe to ' || source
+       |            ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    (CAST(-1 AS BIGINT), 'tiny', 'shared footer line' || chr(10) || 'body a'),
+       |    (CAST(-2 AS BIGINT), 'tiny', 'shared footer line' || chr(10) || 'body b'))
+       |    t(doc_id, source, text)),
+       |l0 AS (SELECT doc_id, source,
+       |    unnest(list_transform(range(1, len(ls) + 1), i -> {'pos': i, 'line': ls[i]})) AS t
+       |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted)),
+       |lines AS (SELECT doc_id, source, t.pos AS pos, t.line AS line,
+       |    lower(trim(t.line)) AS key FROM l0),
+       |hd AS (SELECT source, count(*) AS n_docs FROM planted GROUP BY 1),
+       |ev AS (SELECT DISTINCT doc_id, source, key FROM lines WHERE key <> ''),
+       |boiler AS (SELECT ev.source, ev.key FROM ev JOIN hd USING (source)
+       |           GROUP BY ev.source, ev.key, hd.n_docs
+       |           HAVING hd.n_docs >= 3 AND count(*) * 2 >= 1 * hd.n_docs),
+       |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+       |         WHERE l.key = '' OR NOT EXISTS (SELECT 1 FROM boiler b
+       |           WHERE b.source = l.source AND b.key = l.key)),
+       |pd AS (SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+       |SELECT p.doc_id,
+       |  COALESCE(pd.clean_text, '') AS clean_text,
+       |  CAST(tot.n_lines AS BIGINT) AS n_lines,
+       |  CAST(tot.n_lines - COALESCE(pd.n_kept, 0) AS BIGINT) AS n_cut_lines
+       |FROM (SELECT doc_id FROM planted) p
+       |JOIN tot USING (doc_id)
        |LEFT JOIN pd USING (doc_id)""".stripMargin
 
   /** q_pack_stats oracle: the SHARED pack fold, then per-bin aggregation
@@ -4183,6 +4250,7 @@ object SparkEntry {
          |  min(pos) AS pos_min, max(pos) AS pos_max
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_line_dedup" -> lineDedupOracle,
+    "q_host_boilerplate" -> hostBoilerplateOracle,
     "q_anchor_text" ->
       """WITH a AS (SELECT
         |    'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS dst_host,

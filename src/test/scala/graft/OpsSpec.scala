@@ -675,6 +675,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(covered == (0L until 25L).toSet)
   }
 
+  test("host boilerplate: per-doc evidence, threshold boundary, minDocs exemption, null host/text, blanks kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A", "NAV Home\nbody one\nhalf line"),
+      (2L, "A", "  nav home  \nbody two\nhalf line\npromo"),
+      // 'rep' twice INSIDE one doc is repetition, not template evidence
+      (3L, "A", "NAV HOME\nrep\nrep\nbody three"),
+      (4L, "A", null.asInstanceOf[String]),
+      // host B has 2 docs < minDocs=3: its 100% footer is exempt
+      (5L, "B", "footer x\nbb one"),
+      (6L, "B", "footer x\nbb two"),
+      // null host: rows must still group (sentinel key) and cut
+      (7L, null.asInstanceOf[String], "nullfoot\nx1"),
+      (8L, null.asInstanceOf[String], "nullfoot\nx2"),
+      (9L, null.asInstanceOf[String], "nullfoot\nx3"))
+      .toDF("doc_id", "source", "text")
+    val r = graft.ops.Boilerplate.cutHostBoilerplate(d, minDocs = 3, num = 1, den = 2)
+      .select($"doc_id", $"clean_text", $"n_lines", $"n_cut_lines")
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    // 'nav home' in 3/4 docs (case/pad variants = one key) and 'half line'
+    // in exactly 2/4 (the >= boundary) are template; 'promo' (1/4) is not
+    assert(r(1L) == ((1L, "body one", 3L, 2L)), r(1L))
+    assert(r(2L) == ((2L, "body two\npromo", 4L, 2L)), r(2L))
+    assert(r(3L) == ((3L, "rep\nrep\nbody three", 4L, 1L)), r(3L))
+    // null text = one blank line; blanks are KEPT by this op
+    assert(r(4L) == ((4L, "", 1L, 0L)), r(4L))
+    assert(r(5L) == ((5L, "footer x\nbb one", 2L, 0L)), r(5L))
+    assert(r(6L) == ((6L, "footer x\nbb two", 2L, 0L)), r(6L))
+    assert(r(7L) == ((7L, "x1", 2L, 1L)), r(7L))
+    assert(r(8L) == ((8L, "x2", 2L, 1L)), r(8L))
+    assert(r(9L) == ((9L, "x3", 2L, 1L)), r(9L))
+  }
+
   test("line dedup: normalized-key cut, case/trim variants match, blanks dropped, order kept") {
     import spark.implicits._
     val d = docsDF(Seq(
