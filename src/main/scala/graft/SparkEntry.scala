@@ -715,6 +715,32 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization codes + reconstruction fidelity under the
+    * PINNED seed codebooks (the VectorStore pinned-centroid parity
+    * discipline: Lloyd training is ScalaTest-gated, the oracle replays
+    * the same argmin/decode bit-for-bit). 8 subspaces × 16 codes over
+    * dim 64: 8 bytes of code per vector vs 256 bytes of floats. */
+  private def qPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val flat = graft.ops.Quantize.pqSeedCodebooks(e, dim = 64, m = 8, k = 16)
+    graft.ops.Quantize.pqEncode(e, flat, dsub = 8, k = 16)
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"),
+        round(graft.ops.Similarity.cosine(
+          graft.ops.Quantize.pqDecode(col("codes"), flat, 8, 16),
+          col("embedding")), 4).as("recon_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Asymmetric PQ top-k (ADC, cosine form): full-precision queries
+    * scored against the m-byte-coded corpus via its reconstruction. */
+  private def qPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Quantize.pqTopK(e, e.filter(col("vec_id") < 20), k = 5,
+        dim = 64, m = 8, kcb = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed approximate ANN (the scale path; recall<1 → rows-only). */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -809,6 +835,28 @@ object SparkEntry {
   private def qKmvOverlap(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.kmvOverlap(t(s, dir, "documents"), "source", k = 64)
       .orderBy(col("g_a"), col("g_b"))
+
+  /** Count-min sketch point estimates vs exact truth for every distinct
+    * (source, token): the heavy-hitter frequency sketch in table form
+    * (partial hash agg IS the mergeable sketch — see
+    * [[graft.ops.Sketches.countMinSketch]]). width=16 vs a ~40-token
+    * vocabulary forces real bucket collisions, so est > true_cnt rows
+    * exist and the depth-4 min provably bounds them. */
+  private def qCmsCounts(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sketch = graft.ops.Sketches.countMinSketch(docs, "source", depth = 4, width = 16)
+      .transform(scratchCkpt)
+    val toks = docs
+      .select(col("source"), explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val truth = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .transform(scratchCkpt)
+    graft.ops.Sketches.countMinEstimate(sketch,
+        truth.select(col("source"), col("token")), "source", depth = 4, width = 16)
+      .join(truth, Seq("source", "token"))
+      .select(col("source"), col("token"), col("est"), col("true_cnt"))
+  }
 
   /** Gap-based sessionization over the events stream (30-min timeout). */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -2058,6 +2106,8 @@ object SparkEntry {
     "q_ann_topk"      -> qAnnTopK _,
     "q_quant_codes"   -> qQuantCodes _,
     "q_quant_topk"    -> qQuantTopK _,
+    "q_pq_codes"      -> qPqCodes _,
+    "q_pq_topk"       -> qPqTopK _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_ivf"       -> qAnnIvf _,
     "q_vector_store"  -> qVectorStore _,
@@ -2090,6 +2140,7 @@ object SparkEntry {
     "q_percentiles"      -> qPercentiles _,
     "q_kmv_distinct"     -> qKmvDistinct _,
     "q_kmv_overlap"      -> qKmvOverlap _,
+    "q_cms_counts"       -> qCmsCounts _,
   )
 
   /** The 8 hyperplanes of the LSH bucket signature as DuckDB VALUES rows —
@@ -3144,6 +3195,103 @@ object SparkEntry {
        |  round(CAST(least(sum(ntok), 200) AS DOUBLE) / 200, 4) AS fill_frac
        |FROM rec GROUP BY source, shard, bin
        |ORDER BY source, shard, bin""".stripMargin
+
+  /** q_cms_counts oracle: the identical CMS construction — shared fnv1a
+    * word hash, per-row mix64(h XOR cmsSeed(i)) from the SAME seed
+    * constants, low-4-bit buckets (a power-of-two mask agrees between the
+    * UBIGINT and signed-long domains), exact cell counts, min-over-rows
+    * estimate, joined to exact truth. */
+  private def cmsOracle: String = {
+    val seeds = (0 until 4).map(i =>
+      s"($i, CAST(${java.lang.Long.toUnsignedString(graft.ops.Sketches.cmsSeed(i))} AS UBIGINT))")
+      .mkString(", ")
+    val fnvTok = s"list_transform([token], w -> $fnvWordSql)[1]"
+    s"""WITH toks AS (
+       |  SELECT source, unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+       |    x -> length(x) > 0)) AS token
+       |  FROM documents),
+       |seeds(i, s) AS (VALUES $seeds),
+       |th AS (SELECT source, token, $fnvTok AS h FROM toks),
+       |ib AS (SELECT source, i,
+       |    CAST((${mix64Sql("xor(h, s)")}) & CAST(15 AS UBIGINT) AS BIGINT) AS bucket
+       |  FROM th CROSS JOIN seeds),
+       |sk AS (SELECT source, i, bucket, count(*) AS cnt FROM ib GROUP BY 1, 2, 3),
+       |ph AS (SELECT DISTINCT source, token, h FROM th),
+       |pb AS (SELECT source, token, i,
+       |    CAST((${mix64Sql("xor(h, s)")}) & CAST(15 AS UBIGINT) AS BIGINT) AS bucket
+       |  FROM ph CROSS JOIN seeds),
+       |est AS (SELECT pb.source, pb.token, min(COALESCE(sk.cnt, 0)) AS est
+       |  FROM pb LEFT JOIN sk ON sk.source = pb.source AND sk.i = pb.i
+       |    AND sk.bucket = pb.bucket
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT source, token, CAST(count(*) AS BIGINT) AS true_cnt
+       |  FROM toks GROUP BY 1, 2)
+       |SELECT e.source, e.token, CAST(e.est AS BIGINT) AS est, t.true_cnt
+       |FROM est e JOIN truth t ON t.source = e.source AND t.token = e.token""".stripMargin
+  }
+
+  /** Shared PQ CTE chain: seed codebooks = sub-vectors of the first 16
+    * vectors by vec_id (the pinned-codebook parity contract), L2 argmin
+    * encode with 0-seeded left folds in dimension order (bit-identical to
+    * ExprEval.pqEncode — same addends, same order) and first-wins ties
+    * (ORDER BY d2, j), reconstruction = coded sub-centroids concatenated
+    * in subspace order. Exposes `ev` (vec_id, xs), `enc` (vec_id, s, j)
+    * and `rec` (vec_id, rv). */
+  private def pqBaseCtes: String =
+    s"""sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+       |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS xs
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |cb AS (SELECT s.s AS s, sd.j AS j,
+       |    list_transform(range(1, 9), d -> sd.xs[CAST(s.s * 8 + d AS INT)]) AS cv
+       |  FROM sd CROSS JOIN generate_series(0, 7) s(s)),
+       |ev AS (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS xs
+       |  FROM embeddings),
+       |dist AS (SELECT ev.vec_id, cb.s, cb.j,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 9),
+       |        d -> (ev.xs[CAST(cb.s * 8 + d AS INT)] - cb.cv[d])
+       |           * (ev.xs[CAST(cb.s * 8 + d AS INT)] - cb.cv[d]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM ev CROSS JOIN cb),
+       |enc AS (SELECT vec_id, s, j FROM (
+       |    SELECT vec_id, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |rec AS (SELECT enc.vec_id, flatten(list(cb.cv ORDER BY enc.s)) AS rv
+       |  FROM enc JOIN cb ON cb.s = enc.s AND cb.j = enc.j
+       |  GROUP BY enc.vec_id)""".stripMargin
+
+  /** q_pq_codes oracle: codes in subspace order + the rounded cosine
+    * between reconstruction and original. */
+  private def pqCodesOracle: String =
+    s"""WITH ${margined(pqBaseCtes)},
+       |codes AS (SELECT vec_id,
+       |    list_transform(list(j ORDER BY s), x -> CAST(x AS INT)) AS codes
+       |  FROM enc GROUP BY vec_id),
+       |fid AS (SELECT r.vec_id,
+       |    round(sum(r.rv[i] * e.xs[i])
+       |      / (sqrt(sum(r.rv[i] * r.rv[i])) * sqrt(sum(e.xs[i] * e.xs[i]))), 4) AS recon_cos
+       |  FROM rec r JOIN ev e USING (vec_id), generate_series(1, 64) t(i)
+       |  GROUP BY r.vec_id)
+       |SELECT c.vec_id, c.codes, f.recon_cos
+       |FROM codes c JOIN fid f USING (vec_id) ORDER BY c.vec_id""".stripMargin
+
+  /** q_pq_topk oracle: asymmetric rounded cosine (reconstruction vs
+    * full-precision query), deterministic (cos DESC, id) rank, top 5. */
+  private def pqTopkOracle: String =
+    s"""WITH ${margined(pqBaseCtes)},
+       |q AS (SELECT vec_id AS query_id, xs AS qxs FROM ev WHERE vec_id < 20),
+       |sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+       |    round(sum(r.rv[i] * q.qxs[i])
+       |      / (sqrt(sum(r.rv[i] * r.rv[i])) * sqrt(sum(q.qxs[i] * q.qxs[i]))), 4) AS cos
+       |  FROM q JOIN rec r ON r.vec_id <> q.query_id, generate_series(1, 64) t(i)
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rank
+       |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** q_sketch_quantiles oracle: same mix64∘fnv1a row hash, k smallest per
     * group (hash-tie → min value, mirroring BottomKSample's merge rule),
@@ -4435,6 +4583,7 @@ object SparkEntry {
          |    2) AS distinct_est
          |FROM nd LEFT JOIN kth ON nd.source = kth.source
          |ORDER BY nd.source""".stripMargin,
+    "q_cms_counts" -> cmsOracle,
     "q_kmv_overlap" ->
       s"""WITH toks AS (
          |  SELECT DISTINCT source, $fnvWordSql AS h
@@ -4532,6 +4681,8 @@ object SparkEntry {
     // q_quant_topk: scale-free quantized cosine — exact BIGINT dots, the
     // only float ops are two sqrts, one multiply, one divide (same order
     // both sides)
+    "q_pq_codes" -> pqCodesOracle,
+    "q_pq_topk" -> pqTopkOracle,
     "q_quant_topk" ->
       """WITH qe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
         |sc AS (SELECT vec_id, xs,

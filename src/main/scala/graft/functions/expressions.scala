@@ -117,6 +117,43 @@ object ExprEval {
     z
   }
 
+  /** Product-quantization encode (Jégou et al., PAMI 2011): for each of
+    * the m = cb.length/(k·dsub) subspaces, the code is the L2-argmin over
+    * the k sub-centroids, ties to the LOWEST code (strict < keeps the
+    * first winner). One fused pass — m·k·dsub multiply-adds per row with
+    * no per-element boxing; dim folds in index order so an independent
+    * engine summing the same addends in the same order is bit-identical. */
+  def pqEncode(v: ArrayData, cb: Array[Double], dsub: Int, k: Int,
+      isFloat: Boolean): ArrayData = {
+    val m = cb.length / (k * dsub)
+    require(v.numElements() == m * dsub,
+      s"pq_encode: vector dim ${v.numElements()} != m*dsub = ${m * dsub}")
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < k) {
+        val off = (s * k + j) * dsub
+        val base = s * dsub
+        var d2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val x = if (isFloat) v.getFloat(base + d).toDouble else v.getDouble(base + d)
+          val diff = x - cb(off + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    ArrayData.toArrayData(codes)
+  }
+
   def hyperplaneSig(v: ArrayData, dim: Int, bits: Int, isFloat: Boolean): Long = {
     val ps = planes(dim, bits)
     val n = math.min(v.numElements(), dim)
@@ -235,6 +272,61 @@ case class HyperplaneSig(first: Expression, second: Expression, third: Expressio
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): HyperplaneSig =
     copy(first = f, second = s, third = t)
+}
+
+/** graft_pq_encode(vec, codebook, dsub, k): product-quantization codes —
+  * the L2-argmin sub-centroid per subspace, fused into one codegen'd call
+  * (the CosineSim discipline: a HOF zip_with/aggregate formulation has no
+  * doGenCode and would run interpreted in the encode hot path). The flat
+  * codebook literal (layout [(s·k + j)·dsub + d]) parses once per plan
+  * into a double[] shipped via `addReferenceObj` (the TermCounts
+  * pattern), not re-evaluated per row. */
+case class PqEncode(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!GraftExprs.isVec(first.dataType))
+      return TypeCheckResult.TypeCheckFailure(
+        s"expected array<float|double> vector, got ${first.dataType}")
+    val cbOk = second.dataType == ArrayType(DoubleType, containsNull = false) ||
+      second.dataType == ArrayType(DoubleType, containsNull = true)
+    if (!cbOk || !second.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        s"codebook must be a foldable array<double>, got ${second.dataType} " +
+          s"(foldable=${second.foldable})")
+    if (third.dataType != IntegerType || !third.foldable ||
+      fourth.dataType != IntegerType || !fourth.foldable)
+      return TypeCheckResult.TypeCheckFailure("dsub and k must be int literals")
+    val cbv = second.eval(null)
+    val d = third.eval(null)
+    val kk = fourth.eval(null)
+    if (cbv == null || d == null || kk == null)
+      return TypeCheckResult.TypeCheckFailure("codebook/dsub/k must be non-null")
+    val (dsubV, kV) = (d.asInstanceOf[Int], kk.asInstanceOf[Int])
+    val len = cbv.asInstanceOf[ArrayData].numElements()
+    if (dsubV < 1 || kV < 1 || len < 1 || len % (kV * dsubV) != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"codebook length $len must be a positive multiple of k*dsub = ${kV * dsubV}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  @transient private lazy val cb: Array[Double] =
+    second.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val dsubV: Int = third.eval(null).asInstanceOf[Int]
+  @transient private lazy val kV: Int = fourth.eval(null).asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  override protected def nullSafeEval(v: Any, _cb: Any, _d: Any, _k: Any): Any =
+    ExprEval.pqEncode(v.asInstanceOf[ArrayData], cb, dsubV, kV,
+      GraftExprs.isFloatVec(first.dataType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+    defineCodeGen(ctx, ev, (v, _, _, _) =>
+      s"graft.functions.ExprEval.pqEncode($v, $cbRef, $dsubV, $kV, " +
+        s"${GraftExprs.isFloatVec(first.dataType)})")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): PqEncode =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** graft_zvalue(x, y, bits): Morton/Z-order bit interleave — the
@@ -853,6 +945,8 @@ object functions {
     import org.apache.spark.sql.functions.{concat, lit}
     graft_mix64(graft_fnv1a64(concat(lit(salt), lit(":"), id.cast("string"))))
   }
+  def graft_pq_encode(v: Column, codebook: Column, dsub: Column, k: Column): Column =
+    call_function("graft_pq_encode", v, codebook, dsub, k)
   def graft_bloom_agg(h: Column, nItems: Column, nBits: Column): Column =
     call_function("graft_bloom_agg", h, nItems, nBits)
   def graft_might_contain(bloom: Column, h: Column): Column =
@@ -872,6 +966,8 @@ object functions {
     reg.createOrReplaceTempFunction("graft_zvalue",
       es => ZValue(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_mix64", es => Mix64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      es => PqEncode(es.head, es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_term_counts",
       es => TermCounts(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_mixture_keep",

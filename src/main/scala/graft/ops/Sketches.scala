@@ -122,6 +122,71 @@ object Sketches {
         col("certified"))
   }
 
+  /** Count-min row seed: the i-th hash is mix64(fnv1a(tok) XOR cmsSeed(i))
+    * — ONE constant derivation shared with the DuckDB oracle. */
+  def cmsSeed(i: Int): Long = Dedup.mix64(0x5EEDC0DEL + i)
+
+  /** Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
+    * summary: the count-min sketch and its applications", J. Algorithms
+    * 2005) in TABLE form: one row per non-empty (group, row i, bucket)
+    * cell, cnt = Σ over tokens hashing there. depth×width bounds the
+    * per-group state (est ≥ true always; err ≤ N/width w.p. 1−2^−depth).
+    *
+    * Deliberately NOT a TypedImperativeAggregate (the KMV/SpaceSaving
+    * route): a CMS cell is a plain count keyed by (i, bucket), so Spark's
+    * partial hash aggregation IS the mergeable sketch — map-side partials
+    * are per-task sketches, the shuffle merges them cellwise, and at most
+    * depth·width rows per group ever cross the wire. A custom aggregate
+    * would re-implement exactly that merge with worse codegen. The table
+    * form also persists/unions naturally (store per-crawl increments,
+    * GROUP BY again to merge — the [[graft.ops.NearDupStore]] pattern).
+    *
+    * `width` must be a power of two: bucket = hash & (width−1) picks the
+    * LOW bits, which agree between Spark's signed long and the oracle's
+    * UBIGINT domain (a modulo would not). */
+  def countMinSketch(docs: DataFrame, groupCol: String, depth: Int = 4,
+      width: Int = 16, textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two >= 2, got $width")
+    graft.functions.functions.register(docs.sparkSession)
+    val h = docs
+      .select(col(groupCol), explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(groupCol), graft.functions.functions.graft_fnv1a64(col("tok")).as("h"))
+    h.select(col(groupCol), explode(array((0 until depth).map(i =>
+        struct(lit(i.toLong).as("i"),
+          graft.functions.functions.graft_mix64(col("h").bitwiseXOR(lit(cmsSeed(i))))
+            .bitwiseAND(lit((width - 1).toLong)).as("bucket"))): _*)).as("ib"))
+      .groupBy(col(groupCol), col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]] table: est(token) =
+    * min over rows i of cell(i, h_i(token)), absent cells = 0. Probes
+    * join the sketch on its (group, i, bucket) key — the sketch is never
+    * collected or broadcast, so a probe set of any size streams through
+    * one hash join. Output: (groupCol, tokenCol, est). */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame, groupCol: String,
+      depth: Int = 4, width: Int = 16, tokenCol: String = "token"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two >= 2, got $width")
+    graft.functions.functions.register(probes.sparkSession)
+    probes
+      .select(col(groupCol), col(tokenCol),
+        graft.functions.functions.graft_fnv1a64(col(tokenCol)).as("h"))
+      .select(col(groupCol), col(tokenCol), explode(array((0 until depth).map(i =>
+        struct(lit(i.toLong).as("i"),
+          graft.functions.functions.graft_mix64(col("h").bitwiseXOR(lit(cmsSeed(i))))
+            .bitwiseAND(lit((width - 1).toLong)).as("bucket"))): _*)).as("ib"))
+      .select(col(groupCol), col(tokenCol),
+        col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+      .join(sketch, Seq(groupCol, "i", "bucket"), "left")
+      .groupBy(col(groupCol), col(tokenCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Pairwise set-operation estimates between group sketches — the KMV
     * union/Jaccard construction (Beyer et al., SIGMOD 2007): the union
     * sketch is the bottom-k of the merged sketches, ρ = the fraction of

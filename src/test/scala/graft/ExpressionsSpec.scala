@@ -215,6 +215,57 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("bigint"))
   }
 
+  test("graft_pq_encode: argmin codes, tie to low code, codegen, analysis errors on bad codebook") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    register(spark)
+    // dsub=2, k=2, m=2; codebook [(s*k+j)*dsub+d]
+    val cb = Seq(1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0)
+    val df = Seq(
+      Tuple1(Seq(0.9f, 0.1f, 0.2f, 0.8f)),  // codes (0, 0)
+      Tuple1(Seq(0.1f, 0.9f, 0.8f, 0.2f)),  // codes (1, 1)
+      Tuple1(Seq(0.5f, 0.5f, 0.5f, 0.5f)))  // exact ties → (0, 0)
+      .toDF("v")
+    val got = df.select(graft_pq_encode($"v", typedLit(cb), lit(2), lit(2)))
+      .as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq(0, 0), Seq(1, 1), Seq(0, 0)), got)
+    // SQL path
+    df.createOrReplaceTempView("pqv")
+    assert(spark.sql(
+      "SELECT graft_pq_encode(v, array(1.0D, 0.0D, 0.0D, 1.0D, 0.0D, 1.0D, 1.0D, 0.0D), 2, 2) FROM pqv")
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq == got)
+    // codegen participation (static evaluator, never ScalaUDF) — a
+    // LocalTableScan never codegens, so probe over range()
+    val cg = spark.range(4)
+      .select(org.apache.spark.sql.functions.array(
+        (0 until 4).map(i => ($"id" + i).cast("float")): _*).as("v"))
+      .select(graft_pq_encode($"v", typedLit(cb), lit(2), lit(2)))
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("graft.functions.ExprEval.pqEncode"), cg.take(1500))
+    assert(!cg.toLowerCase.contains("scalaudf"))
+    // null vector → null
+    assert(Seq(Tuple1(Option.empty[Seq[Float]])).toDF("v")
+      .select(graft_pq_encode($"v", typedLit(cb), lit(2), lit(2))).head().isNullAt(0))
+    // codebook length not a multiple of k*dsub → analysis failure
+    val e1 = intercept[Exception] {
+      df.select(graft_pq_encode($"v", typedLit(Seq(1.0, 2.0, 3.0)), lit(2), lit(2))).collect()
+    }
+    assert(e1.getMessage.contains("multiple"), e1.getMessage)
+    // non-foldable codebook → analysis failure
+    val e2 = intercept[Exception] {
+      df.select(graft_pq_encode($"v",
+        org.apache.spark.sql.functions.transform($"v", x => x.cast("double")),
+        lit(2), lit(2))).collect()
+    }
+    assert(e2.getMessage.contains("foldable"), e2.getMessage)
+    // wrong row dimension fails loudly at eval, not silently truncating
+    val e3 = intercept[Exception] {
+      Seq(Tuple1(Seq(1f, 2f))).toDF("v")
+        .select(graft_pq_encode($"v", typedLit(cb), lit(2), lit(2))).collect()
+    }
+    assert(e3.getMessage.contains("dim") || e3.getCause != null, e3.getMessage)
+  }
+
   test("graft_hyperplane_sig matches the per-plane sign buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

@@ -675,6 +675,89 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(covered == (0L until 25L).toSet)
   }
 
+  test("product quantization: native encode = brute argmin (ties to low code), decode, one Lloyd step, ADC echo rank") {
+    import spark.implicits._
+    import graft.ops.Quantize
+    // dyadic floats only: every sum/mean below is exact or at least
+    // bit-reproducible in the declared fold order
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)), (1L, Array(0f, 1f, 1f, 0f)),
+      (2L, Array(0.75f, 0.25f, 0f, 1f)), (3L, Array(0f, 1f, 0.75f, 0.25f)),
+      (4L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val flat = Quantize.pqSeedCodebooks(df, dim = 4, m = 2, k = 2)
+    // layout [(s*k + j)*dsub + d]: seeds are sub-vectors of v0 and v1
+    assert(flat.toSeq == Seq(1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0))
+    def ref(v: Array[Float]): Seq[Int] = (0 until 2).map { s =>
+      (0 until 2).minBy { j =>
+        (0 until 2).map { d =>
+          val diff = v(s * 2 + d).toDouble - flat((s * 2 + j) * 2 + d)
+          diff * diff
+        }.sum
+      }
+    }
+    val enc = Quantize.pqEncode(df, flat, dsub = 2, k = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    vecs.foreach { case (id, v) => assert(enc(id) == ref(v), s"encode diverges for $id") }
+    // exact argmin tie (0.5, 0.5) → the LOWEST code wins
+    assert(enc(4L) == Seq(0, 0))
+    val rec = Quantize.pqEncode(df, flat, 2, 2)
+      .select($"vec_id", Quantize.pqDecode($"codes", flat, 2, 2).as("rv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(rec(2L) == Seq(1.0, 0.0, 0.0, 1.0))
+    assert(rec(3L) == Seq(0.0, 1.0, 1.0, 0.0))
+    // one Lloyd iteration = per-(subspace, code) member means in id order
+    val trained = Quantize.pqTrainCodebooks(df, dim = 4, m = 2, k = 2, iters = 1)
+    val exp = flat.clone()
+    for (s <- 0 until 2; j <- 0 until 2) {
+      val ms = vecs.filter(v => ref(v._2)(s) == j).sortBy(_._1)
+      if (ms.nonEmpty) for (d <- 0 until 2) {
+        var sum = 0.0
+        ms.foreach(mm => sum += mm._2(s * 2 + d).toDouble)
+        exp((s * 2 + j) * 2 + d) = sum / ms.size
+      }
+    }
+    assert(trained.toSeq == exp.toSeq)
+    // ADC: every corpus vector whose codes reconstruct to v0's
+    // reconstruction scores cos 1.0 against query v0 — ids 2, 4, 9
+    val with9 = (vecs :+ (9L, Array(0.96875f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val top = Quantize.pqTopK(with9, with9.filter($"vec_id" === 0), k = 3,
+        dim = 4, m = 2, kcb = 2)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(top.map(_._2).toSeq == Seq(2L, 4L, 9L), top.toSeq)
+    assert(top.forall(_._3 == 1.0), top.toSeq)
+  }
+
+  test("count-min sketch: cells match a first-principles reference, min-over-rows estimate, overcount bounded") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    val depth = 4; val width = 8
+    val docs = Seq((1L, "A", "a b a c"), (2L, "A", "b b d"), (3L, "B", "a a a"))
+      .toDF("doc_id", "source", "text")
+    // reference CMS from the same published construction, plain Scala
+    val toks = Map("A" -> Seq("a", "b", "a", "c", "b", "b", "d"), "B" -> Seq("a", "a", "a"))
+    def bucket(tok: String, i: Int): Long =
+      Dedup.mix64(Dedup.fnv1a(tok) ^ Sketches.cmsSeed(i)) & (width - 1).toLong
+    val cells = toks.toSeq
+      .flatMap { case (g, ts) => ts.flatMap(t => (0 until depth).map(i => (g, i.toLong, bucket(t, i)))) }
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val sketch = Sketches.countMinSketch(docs, "source", depth, width)
+    val got = sketch.as[(String, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2, r._3), r._4)).toMap
+    assert(got == cells, s"cells diverge: $got vs $cells")
+    def ref(g: String, t: String): Long =
+      (0 until depth).map(i => cells.getOrElse((g, i.toLong, bucket(t, i)), 0L)).min
+    val probes = Seq(("A", "a"), ("A", "d"), ("B", "a"), ("B", "zzz")).toDF("source", "token")
+    val est = Sketches.countMinEstimate(sketch, probes, "source", depth, width)
+      .as[(String, String, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    // est == reference min, and never undercounts the true frequency
+    assert(est(("A", "a")) == ref("A", "a") && est(("A", "a")) >= 2L, est)
+    assert(est(("A", "d")) == ref("A", "d") && est(("A", "d")) >= 1L, est)
+    assert(est(("B", "a")) == ref("B", "a") && est(("B", "a")) >= 3L, est)
+    // absent token: estimate is exactly the colliding mass (possibly 0)
+    assert(est(("B", "zzz")) == ref("B", "zzz"), est)
+  }
+
   test("host boilerplate: per-doc evidence, threshold boundary, minDocs exemption, null host/text, blanks kept") {
     import spark.implicits._
     val d = Seq(

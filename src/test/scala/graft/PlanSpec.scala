@@ -97,6 +97,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("pq encode is a narrow native pass: zero Exchange, no ScalaUDF, codebook as a plan literal") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val flat = graft.ops.Quantize.pqSeedCodebooks(e, 64, 8, 16)
+    val p = plan(graft.ops.Quantize.pqEncode(e, flat, 8, 16), "simple")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("graft_pq_encode"), p)
+  }
+
+  test("count-min sketch partial-aggregates map-side (the sketch IS the partial agg) — no window, no join") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Sketches.countMinSketch(d, "source"), "simple")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair around one exchange; nothing else shuffles
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("ann cosine is pure Catalyst (no ScalaUDF in the plan)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteForceTopK(e, e.limit(2), 3), "simple")

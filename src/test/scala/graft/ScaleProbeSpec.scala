@@ -435,4 +435,40 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Quantize.quantizedTopK(embs,
         embs.filter(col("vec_id") < 8), k = 5).count())
   }
+
+  ignore("round-8 session-6: PQ encode/train/ADC and count-min sketch at 2M (opt-in probe)") {
+    graft.functions.functions.register(spark)
+    val parts = Runtime.getRuntime.availableProcessors() * 4
+    val embs = spark.range(0L, 2000000L, 1L, parts)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(graft.functions.functions.graft_mix64(
+            col("id") * 64 + d.cast("long")), lit(2001L)) - 1000L)
+            .cast("double") / lit(1024.0)).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    val flat = graft.ops.Quantize.pqSeedCodebooks(embs, 64, 8, 16)
+    // narrow native argmin pass: 2M × (8 subspaces × 16 codes × 8 dims)
+    timed("Quantize.pqEncode 2M × 64d (m=8, k=16)") {
+      graft.ops.Quantize.pqEncode(embs, flat, 8, 16)
+        .agg(sum(element_at(col("codes"), 1))).head()
+      2000000L
+    }
+    // one Lloyd iteration: encode + (s, c, d, bucket) fold + 1024-double collect
+    timed("Quantize.pqTrainCodebooks 2M, one iteration") {
+      graft.ops.Quantize.pqTrainCodebooks(embs, 64, 8, 16, iters = 1)
+      2000000L
+    }
+    // asymmetric ADC scan: 8 queries × 2M reconstructions through the
+    // native cosine (the verify tier a cell-pruned generator would bound)
+    timed("Quantize.pqTopK 8 queries × 2M codes")(
+      graft.ops.Quantize.pqTopK(embs, embs.filter(col("vec_id") < 8),
+        k = 5, dim = 64, m = 8, kcb = 16).count())
+    // count-min over 2M docs / 80M tokens: one explode + one (g, i, b) agg
+    val docs = corpus(2000000L).localCheckpoint(true)
+    timed("Sketches.countMinSketch 2M docs, d=4 w=1024, 1000 sources") {
+      graft.ops.Sketches.countMinSketch(docs, "source", depth = 4, width = 1024)
+        .agg(sum(col("cnt"))).head()
+      2000000L
+    }
+  }
 }
