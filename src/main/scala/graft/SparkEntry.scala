@@ -2016,6 +2016,35 @@ object SparkEntry {
       .orderBy(col("stage_idx"))
   }
 
+  /** Backward as-of join (pandas merge_asof shape): each purchase picks
+    * the user's latest click at-or-before it within 6 h — the
+    * tolerance-banded equi-join of [[graft.ops.TemporalJoin.asofJoin]],
+    * no per-key window, no inequality-only join. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.TemporalJoin.asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+      toleranceMicros = 6L * 3600L * 1000000L, rightPayload = Seq("value"))
+  }
+
+  /** Interval × point join: purchases falling inside each signup's 24 h
+    * attribution window for the same user, produced exactly once via
+    * bin-bucketed replication ([[graft.ops.TemporalJoin.intervalJoin]]). */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val day = 86400000000L
+    val iv = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        unix_micros(col("ts").cast("timestamp")).as("start_us"),
+        (unix_micros(col("ts").cast("timestamp")) + day).as("end_us"))
+    val pt = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    graft.ops.TemporalJoin.intervalJoin(iv, pt, binMicros = day, keyCols = Seq("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_funnel"  -> qCurationFunnel _,
     "q_url_canonical"    -> qUrlCanonical _,
@@ -2141,6 +2170,8 @@ object SparkEntry {
     "q_kmv_distinct"     -> qKmvDistinct _,
     "q_kmv_overlap"      -> qKmvOverlap _,
     "q_cms_counts"       -> qCmsCounts _,
+    "q_asof_join"        -> qAsofJoin _,
+    "q_interval_join"    -> qIntervalJoin _,
   )
 
   /** The 8 hyperplanes of the LSH bucket signature as DuckDB VALUES rows —
@@ -4584,6 +4615,48 @@ object SparkEntry {
          |FROM nd LEFT JOIN kth ON nd.source = kth.source
          |ORDER BY nd.source""".stripMargin,
     "q_cms_counts" -> cmsOracle,
+    // as-of join: latest click at-or-before each purchase within 6 h for
+    // the same user. The oracle states the SPEC (inequality join + top-1
+    // by (ts, id) DESC); the Spark side reaches the same rows through
+    // the tolerance-banded equi-join. Left join keeps matchless
+    // purchases with NULL right columns, exactly as TemporalJoin does.
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, CAST(event_id AS BIGINT) AS left_id,
+        |         epoch_us(ts) AS left_ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, CAST(event_id AS BIGINT) AS right_id,
+        |         epoch_us(ts) AS right_ts_us, value
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT l.left_id, r.right_id, r.right_ts_us, r.value,
+        |         row_number() OVER (PARTITION BY l.left_id
+        |           ORDER BY r.right_ts_us DESC, r.right_id DESC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |   AND r.right_ts_us <= l.left_ts_us
+        |   AND l.left_ts_us - r.right_ts_us <= 21600000000)
+        |SELECT l.user_id, l.left_id, l.left_ts_us,
+        |       c.right_id, c.right_ts_us,
+        |       l.left_ts_us - c.right_ts_us AS lag_us, c.value
+        |FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (left_id)""".stripMargin,
+    // interval × point: purchases inside each signup's 24 h window, same
+    // user — plain BETWEEN join in the oracle, bin-replicated equi-join
+    // in Spark; exactly-once so the row sets must agree with no dedup.
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(event_id AS BIGINT) AS signup_id,
+        |         epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + 86400000000 AS end_us
+        |  FROM events WHERE event_type = 'signup'),
+        |pt AS (
+        |  SELECT user_id, CAST(event_id AS BIGINT) AS purchase_id,
+        |         epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT iv.user_id, iv.signup_id, iv.start_us, iv.end_us,
+        |       pt.purchase_id, pt.ts_us
+        |FROM iv JOIN pt ON iv.user_id = pt.user_id
+        | AND pt.ts_us BETWEEN iv.start_us AND iv.end_us""".stripMargin,
     "q_kmv_overlap" ->
       s"""WITH toks AS (
          |  SELECT DISTINCT source, $fnvWordSql AS h
