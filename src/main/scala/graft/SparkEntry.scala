@@ -829,6 +829,19 @@ object SparkEntry {
     graft.ops.Sketches.kmvDistinctTokens(t(s, dir, "documents"), "source", k = 64)
       .orderBy(col("source"))
 
+  /** HyperLogLog distinct-token estimate per source from the relational
+    * register table ([[graft.ops.Sketches.hllRegisters]]) — the
+    * integer-exact fold, so the oracle reproduces the estimate
+    * bit-for-bit from the shared hash. */
+  private def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    // distinct 3-gram shingles per source (~1.3k truth at test SFs):
+    // inside the raw estimator's validity range for m = 256, unlike
+    // word-level counts on the synthetic vocab (linear-counting range)
+    val reg = graft.ops.Sketches.hllRegisters(t(s, dir, "documents"), "source",
+      p = 8, shingle = 3)
+    graft.ops.Sketches.hllEstimate(reg, "source", p = 8).orderBy(col("source"))
+  }
+
   /** KMV sketch SET OPERATIONS: pairwise union-size + Jaccard estimates
     * between source sketches — corpus-overlap estimation from O(k) state
     * per group, no second data pass. */
@@ -2170,6 +2183,7 @@ object SparkEntry {
     "q_kmv_distinct"     -> qKmvDistinct _,
     "q_kmv_overlap"      -> qKmvOverlap _,
     "q_cms_counts"       -> qCmsCounts _,
+    "q_hll_distinct"     -> qHllDistinct _,
     "q_asof_join"        -> qAsofJoin _,
     "q_interval_join"    -> qIntervalJoin _,
   )
@@ -3232,6 +3246,42 @@ object SparkEntry {
     * constants, low-4-bit buckets (a power-of-two mask agrees between the
     * UBIGINT and signed-long domains), exact cell counts, min-over-rows
     * estimate, joined to exact truth. */
+  /** q_hll_distinct oracle: same mix64∘fnv1a token hash, bucket = low 8
+    * bits (power-of-two mask agrees between UBIGINT and signed-long
+    * domains), ρ = 57 − bitlen of the logically-shifted remainder (bin()
+    * is minimal-width on the non-negative v in both engines), exact
+    * BIGINT harmonic fold at scale 2^48, and the identical α_m·m²
+    * shortest-roundtrip literal — see Sketches.hllEstimate. */
+  private def hllOracle: String = {
+    val p = 8
+    val m = 1L << p
+    s"""WITH toks AS (
+       |  SELECT source, ${mix64Sql(fnvWordSql)} AS h
+       |  FROM (SELECT source,
+       |          unnest(list_transform(generate_series(1, len(ws) - 2),
+       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS w
+       |        FROM (SELECT source,
+       |                list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+       |              FROM documents))),
+       |reg AS (
+       |  SELECT source, CAST(h & CAST(${m - 1} AS UBIGINT) AS BIGINT) AS bucket,
+       |         max(CAST(${65 - p} - CASE WHEN (h >> $p) = 0 THEN 0
+       |               ELSE length(bin(h >> $p)) END AS BIGINT)) AS rho
+       |  FROM toks GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT source, count(*) AS n_buckets,
+       |    CAST(sum(CASE WHEN rho <= 48
+       |          THEN (CAST(1 AS BIGINT) << CAST(48 - rho AS INTEGER))
+       |          ELSE 0 END) AS BIGINT) AS present_sum
+       |  FROM reg GROUP BY 1)
+       |SELECT source, n_buckets,
+       |  present_sum + ($m - n_buckets) * 281474976710656 AS sum_scaled,
+       |  round(${graft.ops.Sketches.hllAlphaM2(p)} * ${graft.ops.Sketches.HllScale} /
+       |        CAST(present_sum + ($m - n_buckets) * 281474976710656 AS DOUBLE), 2)
+       |    AS distinct_est
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   private def cmsOracle: String = {
     val seeds = (0 until 4).map(i =>
       s"($i, CAST(${java.lang.Long.toUnsignedString(graft.ops.Sketches.cmsSeed(i))} AS UBIGINT))")
@@ -4615,6 +4665,7 @@ object SparkEntry {
          |FROM nd LEFT JOIN kth ON nd.source = kth.source
          |ORDER BY nd.source""".stripMargin,
     "q_cms_counts" -> cmsOracle,
+    "q_hll_distinct" -> hllOracle,
     // as-of join: latest click at-or-before each purchase within 6 h for
     // the same user. The oracle states the SPEC (inequality join + top-1
     // by (ts, id) DESC); the Spark side reaches the same rows through

@@ -224,4 +224,96 @@ object Sketches {
       est.as("union_est"),
       round(col("n_both").cast("double") / nKept, 4).as("jaccard_est"))
   }
+
+  /** HyperLogLog scaling constant α_m·m² for 2^p registers (Flajolet,
+    * Fuss, Gandouet, Meunier, AofA 2007 §4; the m ≥ 128 branch). One
+    * Scala-side double so the Spark query and the DuckDB oracle embed
+    * the IDENTICAL shortest-roundtrip literal. */
+  def hllAlphaM2(p: Int): Double = {
+    val m = (1 << p).toDouble
+    0.7213 / (1.0 + 1.079 / m) * m * m
+  }
+
+  /** 2^48 — the dyadic scale that keeps the HLL harmonic-sum fold in
+    * exact BIGINT arithmetic (see [[hllEstimate]]). */
+  val HllScale: Double = 281474976710656.0
+
+  /** HyperLogLog register TABLE — the relational form of the sketch
+    * (Flajolet et al. 2007): one row per (group, bucket) holding the max
+    * rank ρ = leading-zero count + 1 of the hash bits above the p bucket
+    * bits. The table IS the sketch: O(2^p) rows per group regardless of
+    * data size, built in one two-phase hash aggregation (partial max
+    * map-side — the mergeability of HLL is Catalyst's partial-agg for
+    * free), re-mergeable across shards or crawl increments by re-maxing
+    * ([[hllMerge]]) with no rescan, and foldable to a distinct estimate
+    * ([[hllEstimate]]) that never leaves integer arithmetic until one
+    * final literal multiply/divide — so, unlike a floating-point HLL
+    * blob, exactly reproducible by an independent engine from the shared
+    * mix64∘fnv1a hash. Output: (groupCol, bucket, rho). */
+  def hllRegisters(docs: DataFrame, groupCol: String, p: Int = 8,
+      textCol: String = "text", shingle: Int = 1): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    graft.functions.functions.register(docs.sparkSession)
+    val m = 1L << p
+    // items: words, or n-gram shingles of words (token-level distinct
+    // counts on web corpora sit in HLL's linear-counting range where the
+    // raw estimator overshoots — shingles put real cardinality behind it)
+    val ws = filter(split(col(textCol), " "), x => length(x) > 0)
+    val items =
+      if (shingle == 1)
+        docs.select(col(groupCol), explode(ws).as("tok"))
+      else docs
+        .select(col(groupCol), ws.as("ws"))
+        .filter(size(col("ws")) >= shingle)
+        .select(col(groupCol), explode(
+          transform(sequence(lit(1), size(col("ws")) - (shingle - 1)), i =>
+            concat_ws(" ", (0 until shingle).map(j =>
+              element_at(col("ws"), i + lit(j))): _*))).as("tok"))
+    items
+      .select(col(groupCol), graft.functions.functions.graft_mix64(
+        graft.functions.functions.graft_fnv1a64(col("tok"))).as("h"))
+      // bucket = low p bits (identical in signed and unsigned domains);
+      // v = the remaining 64-p bits via logical shift; ρ = (65-p) − bitlen(v),
+      // with bin() minimal-width on the non-negative v in both engines
+      .withColumn("bucket", expr(s"h & ${m - 1}"))
+      .withColumn("v", expr(s"shiftrightunsigned(h, $p)"))
+      .withColumn("rho", (lit(65 - p) -
+        when(col("v") === 0L, 0).otherwise(length(bin(col("v"))))).cast("long"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge register tables from independent shards/increments: the HLL
+    * union is an elementwise register max — one narrow re-aggregation
+    * over sketch-sized inputs, no data rescan. */
+  def hllMerge(groupCol: String, sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Fold a register table to the raw HLL distinct estimate
+    * E = α_m·m² / Σ 2^(−M_j) — kept bit-exact across engines by scaling
+    * the harmonic sum to BIGINT: Σ 2^(48−ρ) over present registers plus
+    * 2^48 per absent register (ρ=0), every term a dyadic integer, so the
+    * only float ops are one multiply and one divide on shared literals.
+    * No small/large-range corrections (the raw estimator is the spec —
+    * callers wanting the ±1.04/√m band at low cardinality should use
+    * [[kmvDistinctTokens]], exact below k).
+    * Output: (groupCol, n_buckets, sum_scaled, distinct_est). */
+  def hllEstimate(registers: DataFrame, groupCol: String, p: Int = 8): DataFrame = {
+    val m = 1L << p
+    registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("rho") <= 48,
+          expr("shiftleft(cast(1 as bigint), cast(48 - rho as int))"))
+          .otherwise(0L)).as("present_sum"))
+      .select(col(groupCol), col("n_buckets"),
+        (col("present_sum") + (lit(m) - col("n_buckets")) * lit(281474976710656L))
+          .as("sum_scaled"))
+      .withColumn("distinct_est",
+        round(lit(hllAlphaM2(p)) * lit(HllScale) / col("sum_scaled").cast("double"), 2))
+  }
 }
