@@ -829,6 +829,14 @@ object SparkEntry {
     graft.ops.Sketches.kmvDistinctTokens(t(s, dir, "documents"), "source", k = 64)
       .orderBy(col("source"))
 
+  /** Feature hashing (Weinberger 2009): fixed-width signed-TF vectors —
+    * vocabulary-free featurization for classifier training at corpus
+    * scale ([[graft.ops.Features.hashFeatures]]). Integer weights from
+    * the shared hash, so the oracle matches exactly. */
+  private def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Features.hashFeatures(t(s, dir, "documents"), dims = 1024)
+      .orderBy(col("doc_id"), col("dim"))
+
   /** HyperLogLog distinct-token estimate per source from the relational
     * register table ([[graft.ops.Sketches.hllRegisters]]) — the
     * integer-exact fold, so the oracle reproduces the estimate
@@ -2184,6 +2192,7 @@ object SparkEntry {
     "q_kmv_overlap"      -> qKmvOverlap _,
     "q_cms_counts"       -> qCmsCounts _,
     "q_hll_distinct"     -> qHllDistinct _,
+    "q_feature_hash"     -> qFeatureHash _,
     "q_asof_join"        -> qAsofJoin _,
     "q_interval_join"    -> qIntervalJoin _,
   )
@@ -4666,6 +4675,18 @@ object SparkEntry {
          |ORDER BY nd.source""".stripMargin,
     "q_cms_counts" -> cmsOracle,
     "q_hll_distinct" -> hllOracle,
+    // feature hashing: same mix64∘fnv1a hash; dim = low 10 bits (mask
+    // agrees across signed/unsigned domains), sign = bit 62, weight =
+    // exact signed term frequency
+    "q_feature_hash" -> s"""WITH toks AS (
+       |  SELECT doc_id, ${mix64Sql(fnvWordSql)} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+       |        FROM documents))
+       |SELECT doc_id, CAST(h & CAST(1023 AS UBIGINT) AS BIGINT) AS dim,
+       |  CAST(sum(CASE WHEN ((h >> 62) & CAST(1 AS UBIGINT)) = 1
+       |        THEN 1 ELSE -1 END) AS BIGINT) AS weight
+       |FROM toks GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
     // as-of join: latest click at-or-before each purchase within 6 h for
     // the same user. The oracle states the SPEC (inequality join + top-1
     // by (ts, id) DESC); the Spark side reaches the same rows through
