@@ -471,4 +471,48 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
       2000000L
     }
   }
+
+  ignore("round-8 session-7: mega-key temporal joins, HLL, feature hashing at 2M (opt-in probe)") {
+    graft.functions.functions.register(spark)
+    // 2M events, ONE user owning 50% of all rows (the mega-domain shape
+    // the bin subdivision exists for) — a per-key-window as-of would put
+    // 1M rows in one task; the (key, time-bin) shuffle key spreads them
+    // over ~1400 bins of the 30-day span
+    val ev = spark.range(0L, 2000000L, 1L,
+        Runtime.getRuntime.availableProcessors() * 4)
+      .select(col("id").as("event_id"),
+        when(pmod(col("id"), lit(2L)) === 0L, 0L)
+          .otherwise(pmod(graft.functions.functions.graft_mix64(col("id")), lit(100000L)))
+          .as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(graft.functions.functions.graft_mix64(col("id") + 7L),
+            lit(2592000000000L))).as("ts"),
+        pmod(col("id"), lit(2L)).as("side"))
+      .localCheckpoint(true)
+    val left = ev.filter(col("side") === 0L).drop("side")
+    val right = ev.filter(col("side") === 1L).drop("side")
+    timed("TemporalJoin.asofJoin 1M×1M, mega-user @50%, tol=30min")(
+      graft.ops.TemporalJoin.asofJoin(left, right, "user_id", "ts", "event_id",
+        toleranceMicros = 1800000000L).count())
+    val iv = left.select(col("user_id"), col("event_id").as("iv_id"),
+      unix_micros(col("ts")).as("start_us"),
+      (unix_micros(col("ts")) + 3600000000L).as("end_us"))
+    val pt = right.select(col("user_id"), col("event_id").as("pt_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    timed("TemporalJoin.intervalJoin 1M iv × 1M pt, mega-user, 1h/1h bins")(
+      graft.ops.TemporalJoin.intervalJoin(iv, pt, binMicros = 3600000000L,
+        keyCols = Seq("user_id")).count())
+    // HLL + hashing trick over 2M docs / 80M tokens — both one narrow
+    // pass + one partial-agg groupBy
+    val docs = corpus(2000000L).localCheckpoint(true)
+    timed("Sketches.hllRegisters+estimate 2M docs, 1000 sources") {
+      graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllRegisters(docs, "source"), "source")
+        .agg(sum(col("n_buckets"))).head()
+      2000000L
+    }
+    timed("Features.hashFeatures 2M docs, D=1024")(
+      graft.ops.Features.hashFeatures(docs, dims = 1024)
+        .agg(count(lit(1)), sum(col("weight"))).head().getLong(0))
+  }
 }
