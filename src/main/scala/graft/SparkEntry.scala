@@ -829,6 +829,27 @@ object SparkEntry {
     graft.ops.Sketches.kmvDistinctTokens(t(s, dir, "documents"), "source", k = 64)
       .orderBy(col("source"))
 
+  /** The hashing-trick model TRAINED in-engine: q_feature_hash's
+    * fixed-width signed-TF vectors (normalized by token count) through
+    * the SAME full-batch GD fold as q_train_linear
+    * ([[graft.ops.Train.linearFitOn]]) — a 1024-weight model with no
+    * vocabulary anywhere, the Weinberger 2009 deployment end-to-end.
+    * Output: (dim, w) with one NULL-dim bias row. */
+  private def qHashTrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = trainLabeled(s, dir)
+    val feat = graft.ops.Features.hashFeatures(docs, dims = 1024)
+    val nt = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), w => length(w) > 0))
+        .cast("long").as("nt"))
+    val x = feat.join(nt, Seq("doc_id"))
+      .select(col("doc_id").as("did"), col("dim").as("tok"),
+        (col("weight").cast("double") / col("nt").cast("double")).as("x"))
+    val labels = docs.select(col("doc_id").as("did"), col("y"))
+    graft.ops.Train.linearFitOn(x, labels, iters = 2, lr = 0.5)
+      .select(col("tok").as("dim"), round(col("w"), 6).as("w"))
+      .orderBy(col("dim"))
+  }
+
   /** Feature hashing (Weinberger 2009): fixed-width signed-TF vectors —
     * vocabulary-free featurization for classifier training at corpus
     * scale ([[graft.ops.Features.hashFeatures]]). Integer weights from
@@ -2193,6 +2214,7 @@ object SparkEntry {
     "q_cms_counts"       -> qCmsCounts _,
     "q_hll_distinct"     -> qHllDistinct _,
     "q_feature_hash"     -> qFeatureHash _,
+    "q_hash_train"       -> qHashTrain _,
     "q_asof_join"        -> qAsofJoin _,
     "q_interval_join"    -> qIntervalJoin _,
   )
@@ -3678,7 +3700,21 @@ object SparkEntry {
     * ordered gradient folds, per-doc token-ordered prediction folds, and
     * the one fixed update expression w − 0.5·(g/n). Ends at lw2 (tok, w)
     * and lb2 (b). */
-  private def trainFoldCtes(labelCond: String = "quality_score >= 0.5"): String = {
+  private def trainFoldCtes(labelCond: String = "quality_score >= 0.5"): String =
+    trainGdCtes(labelCond,
+      s"""lw AS (SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+         |    x -> length(x) > 0) AS ws FROM documents),
+         |lc AS (SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM lw) GROUP BY 1, 2),
+         |lnd AS (SELECT doc_id, sum(c) AS nt FROM lc GROUP BY 1),
+         |lx AS (SELECT lc.doc_id, lc.tok, CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS x
+         |  FROM lc JOIN lnd USING (doc_id)),
+         |lv AS (SELECT DISTINCT tok FROM lc)""".stripMargin)
+
+  /** The GD unroll parameterized over the FEATURE CTEs (must define
+    * `lx(doc_id, tok, x)` and `lv(tok)` — tok of any orderable type):
+    * one definition serves the bag-of-words and hashing-trick models. */
+  private def trainGdCtes(labelCond: String, featCtes: String): String = {
     def fold(v: String, k: String): String =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list($v ORDER BY $k)), (a, b) -> a + b)"
     def gradLevel(i: Int, errCte: String): String =
@@ -3694,14 +3730,7 @@ object SparkEntry {
        |),
        |lab AS (SELECT doc_id, CASE WHEN $labelCond
        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y FROM lab0),
-       |lw AS (SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
-       |    x -> length(x) > 0) AS ws FROM documents),
-       |lc AS (SELECT doc_id, tok, count(*) AS c
-       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM lw) GROUP BY 1, 2),
-       |lnd AS (SELECT doc_id, sum(c) AS nt FROM lc GROUP BY 1),
-       |lx AS (SELECT lc.doc_id, lc.tok, CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS x
-       |  FROM lc JOIN lnd USING (doc_id)),
-       |lv AS (SELECT DISTINCT tok FROM lc),
+       |${margined(featCtes)},
        |ln AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
        |le1 AS (SELECT doc_id, CAST(0 AS DOUBLE) - y AS e FROM lab),
        |${margined(gradLevel(1, "le1"))},
@@ -4038,6 +4067,30 @@ object SparkEntry {
        |SELECT tok, round(w, 6) AS w FROM lw2
        |UNION ALL
        |SELECT CAST(NULL AS VARCHAR) AS tok, round(b, 6) AS w FROM lb2""".stripMargin
+
+  /** Feature CTEs for the hashing-trick GD: q_feature_hash's dims and
+    * signed weights (same bits), normalized by the doc's ' '-split token
+    * count — lx keys are BIGINT dims, the same fold contract. */
+  private def hashFeatCtes: String =
+    s"""lw AS (SELECT doc_id, list_filter(string_split(text, ' '),
+       |    x -> length(x) > 0) AS ws FROM documents),
+       |lh AS (SELECT doc_id, ${mix64Sql(fnvWordSql)} AS h
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM lw)),
+       |lfe AS (SELECT doc_id, CAST(h & CAST(1023 AS UBIGINT) AS BIGINT) AS tok,
+       |    CAST(sum(CASE WHEN ((h >> 62) & CAST(1 AS UBIGINT)) = 1
+       |      THEN 1 ELSE -1 END) AS BIGINT) AS wt
+       |  FROM lh GROUP BY 1, 2),
+       |lnt AS (SELECT doc_id, len(ws) AS nt FROM lw),
+       |lx AS (SELECT lfe.doc_id, lfe.tok, CAST(wt AS DOUBLE) / CAST(nt AS DOUBLE) AS x
+       |  FROM lfe JOIN lnt USING (doc_id)),
+       |lv AS (SELECT DISTINCT tok FROM lfe)""".stripMargin
+
+  /** q_hash_train oracle: the SAME GD unroll over hashed-dim features. */
+  private def hashTrainOracle: String =
+    s"""WITH ${margined(trainGdCtes("quality_score >= 0.5", hashFeatCtes))}
+       |SELECT tok AS dim, round(w, 6) AS w FROM lw2
+       |UNION ALL
+       |SELECT CAST(NULL AS BIGINT) AS dim, round(b, 6) AS w FROM lb2""".stripMargin
 
   /** Shared train→deploy chain: [[trainFoldCtes]] + the classifierOracle
     * fold shape (position-ordered weight mean) evaluated under the
@@ -4675,6 +4728,7 @@ object SparkEntry {
          |ORDER BY nd.source""".stripMargin,
     "q_cms_counts" -> cmsOracle,
     "q_hll_distinct" -> hllOracle,
+    "q_hash_train" -> hashTrainOracle,
     // feature hashing: same mix64∘fnv1a hash; dim = low 10 bits (mask
     // agrees across signed/unsigned domains), sign = bit 62, weight =
     // exact signed term frequency

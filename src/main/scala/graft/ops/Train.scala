@@ -70,21 +70,40 @@ object Train {
         .select(col("did"), col("tok"),
           (col("c").cast("double") / col("nt").cast("double")).as("x")))
     val labels = base.select(col("did"), col("y"))
-    val nF = base.agg(count(lit(1)).as("__n")) // one-row scalar: doc count
-    val nD = col("__n").cast("double")
+    linearFitOn(x, labels, iters, lr, gradBuckets)
+  }
+
+  /** Train on a PREPARED feature frame — the entry the hashing-trick
+    * deployment uses ([[Features.hashFeatures]] → normalize → fit), and
+    * the seam any other featurizer plugs into. `x` must carry
+    * (did: long, tok, x: double) where `tok` is the feature key of ANY
+    * orderable type (string tokens, hashed BIGINT dims — the fold
+    * ordering contract only needs a total order shared with the
+    * verifying engine); `labels` is (did, y) over ALL docs (docs absent
+    * from `x` regress against the bias alone). Returns (tok, w) rows
+    * plus one bias row with tok = NULL, typed like `x`'s tok. */
+  def linearFitOn(x0: DataFrame, labels0: DataFrame, iters: Int, lr: Double,
+      gradBuckets: Int = 16): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(gradBuckets >= 1, s"gradBuckets must be >= 1, got $gradBuckets")
+    val x = CheckpointScratch.ckpt(x0.select(col("did"), col("tok"), col("x")))
+    val labels = CheckpointScratch.ckpt(
+      labels0.select(col("did"), col("y").cast("double").as("y")))
+    val nF = labels.agg(count(lit(1)).as("__n")) // one-row scalar: doc count
+    val tokType = x.schema("tok").dataType
 
     var w = CheckpointScratch.ckpt(
       x.select(col("tok")).distinct().select(col("tok"), lit(0.0).as("w")))
     // one-row scalar frame holding the bias (agg ⇒ exactly one row even
     // on an empty corpus)
-    var bF = base.agg(count(lit(1)).as("__z")).select(lit(0.0).as("__b"))
+    var bF = labels.agg(count(lit(1)).as("__z")).select(lit(0.0).as("__b"))
     for (_ <- 1 to iters) {
       val (wN, bN) = step(x, labels, nF, w, bF, lr, gradBuckets)
       w = CheckpointScratch.ckpt(wN)
       bF = CheckpointScratch.ckpt(bN)
     }
     w.select(col("tok"), col("w"))
-      .union(bF.select(lit(null).cast("string").as("tok"),
+      .union(bF.select(lit(null).cast(tokType).as("tok"),
         col("__b").as("w")))
   }
 

@@ -90,4 +90,29 @@ class TrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no positives: precision divides by the /1 guard, not by zero
     assert(r(1.0) == ((0L, 0L, 3L, 2L, 0.0, 0.0)), r)
   }
+
+  test("linearFitOn with an explicit x-frame reproduces linearFit bit-for-bit") {
+    import spark.implicits._
+    // the same (did, tok, x) frame linearFit builds internally for `docs`
+    val x = Seq((0L, "a", 2.0 / 3.0), (0L, "b", 1.0 / 3.0), (1L, "b", 1.0))
+      .toDF("did", "tok", "x")
+    val labels = Seq((0L, 1.0), (1L, 0.0)).toDF("did", "y")
+    val viaOn = Train.linearFitOn(x, labels, iters = 2, lr = 0.5).collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(viaOn === modelMap(2))
+  }
+
+  test("linearFitOn over BIGINT feature keys (hashed dims): hand-worked step") {
+    import spark.implicits._
+    // one feature dim 7: d0 x=1 y=1, d1 x=1/2 y=0; n=2
+    // step1: err=-y ⇒ g(7) = (-1·1) + (0·1/2) = -1; w = 0 - 0.5·(-1/2) = 1/4
+    //        gb = -1 ⇒ b = 1/4
+    val x = Seq((0L, 7L, 1.0), (1L, 7L, 0.5)).toDF("did", "tok", "x")
+    val labels = Seq((0L, 1.0), (1L, 0.0)).toDF("did", "y")
+    val m = Train.linearFitOn(x, labels, iters = 1, lr = 0.5).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getDouble(1))
+      .toMap
+    assert(m(Some(7L)) == 0.25, m)
+    assert(m(None) == 0.25, m)
+  }
 }
