@@ -829,6 +829,32 @@ object SparkEntry {
     graft.ops.Sketches.kmvDistinctTokens(t(s, dir, "documents"), "source", k = 64)
       .orderBy(col("source"))
 
+  /** Per-source corpus fingerprint ([[graft.ops.Audit.frameFingerprint]]):
+    * count + XOR of canonical row hashes — the one-row-per-group
+    * reconciliation handle for comparing independent runs without
+    * re-shuffling data. */
+  private def qAuditFingerprint(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.frameFingerprint(t(s, dir, "documents"), "source",
+      Seq("doc_id", "text")).orderBy(col("source"))
+
+  /** Fingerprint RECONCILIATION between the corpus and a deterministic
+    * tamper of it (dropped rows, a text edit, a removed source, an added
+    * source) — every divergence class surfaces as one labeled row. */
+  private def qAuditReconcile(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val b = docs
+      .filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      .filter(col("source") =!= "src0")
+      .withColumn("text", when(col("doc_id") === 1L,
+        concat(col("text"), lit(" tampered"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") >= 1L && col("doc_id") < 5L)
+        .withColumn("source", lit("srcx")))
+    val fp = (d: DataFrame) =>
+      graft.ops.Audit.frameFingerprint(d, "source", Seq("doc_id", "text"))
+    graft.ops.Audit.reconcile(fp(docs), fp(b), "source")
+      .orderBy(col("source"))
+  }
+
   /** The hashing-trick model TRAINED in-engine: q_feature_hash's
     * fixed-width signed-TF vectors (normalized by token count) through
     * the SAME full-batch GD fold as q_train_linear
@@ -2215,6 +2241,8 @@ object SparkEntry {
     "q_hll_distinct"     -> qHllDistinct _,
     "q_feature_hash"     -> qFeatureHash _,
     "q_hash_train"       -> qHashTrain _,
+    "q_audit_fp"         -> qAuditFingerprint _,
+    "q_audit_reconcile"  -> qAuditReconcile _,
     "q_asof_join"        -> qAsofJoin _,
     "q_interval_join"    -> qIntervalJoin _,
   )
@@ -3277,6 +3305,41 @@ object SparkEntry {
     * constants, low-4-bit buckets (a power-of-two mask agrees between the
     * UBIGINT and signed-long domains), exact cell counts, min-over-rows
     * estimate, joined to exact truth. */
+  /** Canonical-row-hash CTE for the audit oracles: signed
+    * mix64∘fnv1a over 'doc_id|text' with the same NULL-as-'' form. */
+  private def auditHashCte(rel: String, name: String): String =
+    s"""$name AS (SELECT source, ${signedSql(mix64Sql(
+         "list_transform([CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '')], w -> " + fnvWordSql + ")[1]"))} AS h
+       |  FROM $rel)""".stripMargin
+
+  private def auditFpOracle: String =
+    s"""WITH ${margined(auditHashCte("documents", "af"))}
+       |SELECT source, count(*) AS n_rows, bit_xor(h) AS fp
+       |FROM af GROUP BY source ORDER BY source""".stripMargin
+
+  private def auditReconcileOracle: String =
+    s"""WITH b0 AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id = 1 THEN text || ' tampered' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 97 <> 0 AND source <> 'src0'
+       |  UNION ALL
+       |  SELECT doc_id, 'srcx' AS source, text FROM documents
+       |  WHERE doc_id >= 1 AND doc_id < 5),
+       |${margined(auditHashCte("documents", "ah"))},
+       |${margined(auditHashCte("b0", "bh"))},
+       |fa AS (SELECT source, count(*) AS n_left, bit_xor(h) AS fp_l
+       |  FROM ah GROUP BY source),
+       |fb AS (SELECT source, count(*) AS n_right, bit_xor(h) AS fp_r
+       |  FROM bh GROUP BY source)
+       |SELECT COALESCE(fa.source, fb.source) AS source, n_left, n_right,
+       |  CASE WHEN n_left IS NULL THEN 'right_only'
+       |       WHEN n_right IS NULL THEN 'left_only'
+       |       WHEN n_left <> n_right THEN 'count'
+       |       WHEN fp_l <> fp_r THEN 'content'
+       |       ELSE 'ok' END AS status
+       |FROM fa FULL OUTER JOIN fb ON fa.source = fb.source
+       |ORDER BY source""".stripMargin
+
   /** q_hll_distinct oracle: same mix64∘fnv1a token hash, bucket = low 8
     * bits (power-of-two mask agrees between UBIGINT and signed-long
     * domains), ρ = 57 − bitlen of the logically-shifted remainder (bin()
@@ -4729,6 +4792,8 @@ object SparkEntry {
     "q_cms_counts" -> cmsOracle,
     "q_hll_distinct" -> hllOracle,
     "q_hash_train" -> hashTrainOracle,
+    "q_audit_fp" -> auditFpOracle,
+    "q_audit_reconcile" -> auditReconcileOracle,
     // feature hashing: same mix64∘fnv1a hash; dim = low 10 bits (mask
     // agrees across signed/unsigned domains), sign = bit 62, weight =
     // exact signed term frequency
