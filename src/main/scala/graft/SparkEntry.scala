@@ -829,6 +829,18 @@ object SparkEntry {
     graft.ops.Sketches.kmvDistinctTokens(t(s, dir, "documents"), "source", k = 64)
       .orderBy(col("source"))
 
+  /** Text ANN with NO embedding model: hashed signed-TF vectors
+    * ([[graft.ops.Features.hashFeatures]], D = 64) ranked by
+    * integer-exact cosine ([[graft.ops.Features.cosineTopK]]) for a
+    * 10-doc query panel — the brute verify tier the LSH/IVF paths
+    * validate against. */
+  private def qHashAnn(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val feat = graft.ops.Features.hashFeatures(docs, dims = 64)
+    graft.ops.Features.cosineTopK(feat, docs.filter(col("doc_id") < 10L), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-source corpus fingerprint ([[graft.ops.Audit.frameFingerprint]]):
     * count + XOR of canonical row hashes — the one-row-per-group
     * reconciliation handle for comparing independent runs without
@@ -2241,6 +2253,7 @@ object SparkEntry {
     "q_hll_distinct"     -> qHllDistinct _,
     "q_feature_hash"     -> qFeatureHash _,
     "q_hash_train"       -> qHashTrain _,
+    "q_hash_ann"         -> qHashAnn _,
     "q_audit_fp"         -> qAuditFingerprint _,
     "q_audit_reconcile"  -> qAuditReconcile _,
     "q_asof_join"        -> qAsofJoin _,
@@ -3311,6 +3324,38 @@ object SparkEntry {
     s"""$name AS (SELECT source, ${signedSql(mix64Sql(
          "list_transform([CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '')], w -> " + fnvWordSql + ")[1]"))} AS h
        |  FROM $rel)""".stripMargin
+
+  /** Shared hashed-feature CTE (mask-parameterized): ends at
+    * hf(doc_id, d, wt) — q_feature_hash's bits at any power-of-two D. */
+  private def hashFeatureCte(mask: Int): String =
+    s"""hw AS (SELECT doc_id, list_filter(string_split(text, ' '),
+       |    x -> length(x) > 0) AS ws FROM documents),
+       |hh AS (SELECT doc_id, ${mix64Sql(fnvWordSql)} AS h
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM hw)),
+       |hf AS (SELECT doc_id, CAST(h & CAST($mask AS UBIGINT) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN ((h >> 62) & CAST(1 AS UBIGINT)) = 1
+       |      THEN 1 ELSE -1 END) AS BIGINT) AS wt
+       |  FROM hh GROUP BY 1, 2)""".stripMargin
+
+  /** q_hash_ann oracle: exact BIGINT dots and norms over the shared
+    * hashed features, one sqrt+division (both IEEE-exact), rank with
+    * the cid tiebreak on the UNROUNDED cosine. */
+  private def hashAnnOracle: String =
+    s"""WITH ${margined(hashFeatureCte(63))},
+       |n2 AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2 FROM hf GROUP BY 1),
+       |dt AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
+       |    CAST(sum(q.wt * c.wt) AS BIGINT) AS dot
+       |  FROM hf q JOIN hf c ON q.d = c.d AND c.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 10 GROUP BY 1, 2),
+       |sc AS (SELECT qid, cid,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
+       |  FROM dt JOIN n2 nq ON dt.qid = nq.doc_id JOIN n2 nc ON dt.cid = nc.doc_id),
+       |rk AS (SELECT qid, cid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |  FROM sc)
+       |SELECT qid AS query_id, cid AS neighbor_id, CAST(rnk AS BIGINT) AS rank,
+       |  round(cos, 4) AS cos
+       |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def auditFpOracle: String =
     s"""WITH ${margined(auditHashCte("documents", "af"))}
@@ -4792,6 +4837,7 @@ object SparkEntry {
     "q_cms_counts" -> cmsOracle,
     "q_hll_distinct" -> hllOracle,
     "q_hash_train" -> hashTrainOracle,
+    "q_hash_ann" -> hashAnnOracle,
     "q_audit_fp" -> auditFpOracle,
     "q_audit_reconcile" -> auditReconcileOracle,
     // feature hashing: same mix64∘fnv1a hash; dim = low 10 bits (mask

@@ -49,4 +49,49 @@ object Features {
     * feed a dot product can keep them harmlessly. */
   def nonZero(features: DataFrame): DataFrame =
     features.filter(col("weight") =!= 0L)
+
+  /** Brute-force cosine top-k over hashed-feature vectors — TEXT
+    * similarity search with no embedding model: documents become
+    * D-dimensional signed-TF vectors ([[hashFeatures]]) and similarity
+    * is their cosine. Everything before the final division is INTEGER:
+    * dot products and squared norms are exact BIGINT sums (order-free,
+    * so partition layout cannot perturb them), and the one float step is
+    * dot/√(n²·n²) — sqrt is IEEE-correctly-rounded, so any engine
+    * reproduces the ranking bit-for-bit (the [[Splits]] temperature
+    * precedent: sqrt as the only float op).
+    *
+    * This is the verify/baseline tier: candidates are every doc sharing
+    * a dimension with the query, which at D ≪ corpus is the whole
+    * corpus — O(|queries| · N). Correct for query panels (evaluation,
+    * spot-audit); the scale path for all-pairs search is the LSH/IVF
+    * machinery in [[Similarity]], which this op's exact ranking
+    * validates against.
+    *
+    * Output: (query_id, neighbor_id, rank, cos) — `k` rows per query,
+    * ties broken by neighbor id ascending on the EXACT cosine. */
+  def cosineTopK(feat: DataFrame, queryIds: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n2 = feat.groupBy(col("doc_id"))
+      .agg(sum(col("weight") * col("weight")).as("n2"))
+    val q = feat.join(queryIds.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("qid"), col("dim"), col("weight").as("qw"))
+    val dots = q.join(
+        feat.select(col("doc_id").as("cid"), col("dim"), col("weight").as("cw")),
+        Seq("dim"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("qw") * col("cw")).as("dot"))
+    val scored = dots
+      .join(n2.select(col("doc_id").as("qid"), col("n2").as("n2q")), Seq("qid"))
+      .join(n2.select(col("doc_id").as("cid"), col("n2").as("n2c")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (col("dot").cast("double") /
+          sqrt(col("n2q").cast("double") * col("n2c").cast("double"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank"), round(col("cos"), 4).as("cos"))
+  }
 }

@@ -63,6 +63,41 @@ class FeaturesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nz.filter(col("weight") === 0L).count() === 0L)
   }
 
+  test("cosineTopK: hand-checkable ranking, self excluded, k bound") {
+    import spark.implicits._
+    // doc 1 and 2 identical text → cos exactly 1.0 and rank 1 for each
+    // other; doc 3 disjoint vocabulary → cos from collisions only
+    val docs = Seq(
+      (1L, "red green blue"),
+      (2L, "red green blue"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val feat = Features.hashFeatures(docs, dims = 256)
+    val out = Features.cosineTopK(feat, docs, k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), (r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(out((1L, 1L)) === ((2L, 1.0)))
+    assert(out((2L, 1L)) === ((1L, 1.0)))
+    // no self pairs anywhere
+    assert(out.forall { case ((q, _), (n, _)) => q != n })
+    // k bound respected: at most 2 ranks per query
+    assert(out.keys.map(_._2).max <= 2L)
+  }
+
+  test("cosineTopK: exact-tie neighbors break by ascending id") {
+    import spark.implicits._
+    // docs 20 and 30 have identical text → identical cosine to query 1;
+    // the tie must resolve to the smaller id first
+    val docs = Seq(
+      (1L, "red green"),
+      (20L, "red green"),
+      (30L, "red green")).toDF("doc_id", "text")
+    val feat = Features.hashFeatures(docs, dims = 64)
+    val r = Features.cosineTopK(feat, docs.filter(col("doc_id") === 1L), k = 2)
+      .orderBy(col("rank")).collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(20L, 30L))
+    assert(r.forall(_.getDouble(3) === 1.0))
+  }
+
   test("non-power-of-two width rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
