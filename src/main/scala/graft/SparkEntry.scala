@@ -3343,10 +3343,11 @@ object SparkEntry {
   private def hashAnnOracle: String =
     s"""WITH ${margined(hashFeatureCte(63))},
        |n2 AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2 FROM hf GROUP BY 1),
+       |hq AS (SELECT doc_id, d, wt FROM hf WHERE doc_id < 10),
        |dt AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
        |    CAST(sum(q.wt * c.wt) AS BIGINT) AS dot
-       |  FROM hf q JOIN hf c ON q.d = c.d AND c.doc_id <> q.doc_id
-       |  WHERE q.doc_id < 10 GROUP BY 1, 2),
+       |  FROM hq q JOIN hf c ON q.d = c.d AND c.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
        |sc AS (SELECT qid, cid,
        |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
        |  FROM dt JOIN n2 nq ON dt.qid = nq.doc_id JOIN n2 nc ON dt.cid = nc.doc_id),

@@ -47,7 +47,10 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoin {
 
-  /** Backward as-of join with a required tolerance.
+  /** As-of join with a required tolerance — backward (default: LATEST
+    * right row at-or-before each left row) or forward (EARLIEST right
+    * row at-or-after, pandas `direction='forward'`: next-event
+    * attribution).
     *
     * Inputs expose `keyCol`, a timestamp `tsCol` and a numeric `idCol`
     * (the deterministic tiebreak; also the output row identity).
@@ -55,7 +58,8 @@ object TemporalJoin {
     *
     * Output: (keyCol, left_id, left_ts_us, right_id, right_ts_us,
     * lag_us, payload…) — right columns NULL where no right row of the
-    * same key lies within [left_ts − tol, left_ts].
+    * same key lies in the window; lag_us = |left_ts − right_ts| ≥ 0 in
+    * both directions.
     *
     * Timestamps must be non-negative epoch instants (`div` truncates
     * toward zero, which equals floor only on the non-negative domain —
@@ -63,8 +67,12 @@ object TemporalJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, idCol: String, toleranceMicros: Long,
-      rightPayload: Seq[String] = Nil): DataFrame = {
+      rightPayload: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
     require(toleranceMicros > 0, s"tolerance must be positive, got $toleranceMicros")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val fwd = direction == "forward"
     val tol = toleranceMicros
     // cast: parquet TIMESTAMP_NTZ → session-zone instant (the verify
     // and bench sessions pin spark.sql.session.timeZone=UTC, the same
@@ -73,20 +81,31 @@ object TemporalJoin {
         unix_micros(col(tsCol).cast("timestamp")).as("left_ts_us"))
       .withColumn("__bin", expr(s"left_ts_us div $tol"))
     val payload = rightPayload.map(col)
+    // backward: a right row in bin b can serve lefts in bins {b, b+1};
+    // forward (window on the other side): lefts in bins {b−1, b}
+    val rb = expr(s"right_ts_us div $tol")
     val r = right.select(col(keyCol) +: col(idCol).cast("long").as("right_id") +:
         unix_micros(col(tsCol).cast("timestamp")).as("right_ts_us") +: payload: _*)
-      .withColumn("__bin",
-        explode(array(expr(s"right_ts_us div $tol"), expr(s"right_ts_us div $tol") + 1)))
+      .withColumn("__bin", explode(array(rb, if (fwd) rb - 1 else rb + 1)))
     val cand = l.join(r, Seq(keyCol, "__bin"))
-      .filter(col("right_ts_us") <= col("left_ts_us") &&
-        col("left_ts_us") - col("right_ts_us") <= tol)
+      .filter(
+        if (fwd)
+          col("right_ts_us") >= col("left_ts_us") &&
+            col("right_ts_us") - col("left_ts_us") <= tol
+        else
+          col("right_ts_us") <= col("left_ts_us") &&
+            col("left_ts_us") - col("right_ts_us") <= tol)
+    // argmax latest (backward) / argmin earliest (forward); (ts, id) is
+    // unique per right row, so the payload fields never decide the pick
+    val pick = struct(col("right_ts_us") +: col("right_id") +: payload: _*)
     val best = cand.groupBy(col("left_id")).agg(
-      max(struct(col("right_ts_us") +: col("right_id") +: payload: _*)).as("__m"))
+      (if (fwd) min(pick) else max(pick)).as("__m"))
     l.drop("__bin").join(best, Seq("left_id"), "left")
       .select(Seq(col(keyCol), col("left_id"), col("left_ts_us"),
         col("__m.right_id").as("right_id"),
         col("__m.right_ts_us").as("right_ts_us"),
-        (col("left_ts_us") - col("__m.right_ts_us")).as("lag_us")) ++
+        (if (fwd) col("__m.right_ts_us") - col("left_ts_us")
+         else col("left_ts_us") - col("__m.right_ts_us")).as("lag_us")) ++
         rightPayload.map(p => col(s"__m.$p").as(p)): _*)
   }
 

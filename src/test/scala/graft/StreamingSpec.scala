@@ -142,6 +142,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == 120, s"expected the first two closed windows to hold 120 docs, got $total")
   }
 
+  test("stream-stream temporal join: cross-batch pairing, window bounds, late-drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = graft.streaming.StreamTemporalJoin.pairsWithin(
+      purchases.toDS().toDF("user_id", "pts", "pid"), "pts",
+      clicks.toDS().toDF("user_id", "cts", "cid"), "cts",
+      "user_id", toleranceSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("sj_mem")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 clicks at 0s and 100s; purchase at 50s pairs with
+      // the 0s click only (100s is after the purchase)
+      clicks.addData((1L, ts(0), 900L), (1L, ts(100), 901L))
+      purchases.addData((1L, ts(50), 800L))
+      q.processAllAvailable()
+      // batch 2: the purchase at 120s arrives AFTER its matching clicks'
+      // batch — stream-stream state must still hold the 100s click
+      // (in-window) but not pair the 0s click (120-0 > 60)
+      purchases.addData((1L, ts(120), 801L))
+      q.processAllAvailable()
+      // cross-key isolation: user 2's purchase sees no user-1 clicks
+      purchases.addData((2L, ts(110), 802L))
+      q.processAllAvailable()
+      val got = spark.table("sj_mem")
+        .select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((800L, 900L), (801L, 901L)), got.toString)
+
+      // late-drop: push both watermarks far ahead (the user-9 rows pair
+      // with each other — that lands before `before` is read), then
+      // inject an old click + purchase that WOULD pair — both below
+      // watermark, so no new output may appear
+      clicks.addData((9L, ts(100000), 990L))
+      purchases.addData((9L, ts(100000), 890L))
+      q.processAllAvailable()
+      q.processAllAvailable() // one extra trigger so the watermark commits
+      val before = spark.table("sj_mem").count()
+      clicks.addData((3L, ts(10), 903L))
+      purchases.addData((3L, ts(20), 803L))
+      q.processAllAvailable()
+      val after = spark.table("sj_mem").count()
+      assert(after == before,
+        s"late rows below watermark must be dropped: $before -> $after")
+      assert(!spark.table("sj_mem").select("pid").as[Long].collect().contains(803L))
+    } finally q.stop()
+  }
+
   test("KMV sketch aggregates incrementally across micro-batches (complete mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

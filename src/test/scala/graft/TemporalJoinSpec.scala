@@ -64,6 +64,34 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(0)).toSeq === Seq(13L))
   }
 
+  test("asofJoin forward: earliest at-or-after within tolerance, tie → smallest id") {
+    val left = evFrame(Seq(
+      (1L, 7L, 1000L),  // candidates at 1000 (equal, in) and 1050 → earliest 1000
+      (2L, 7L, 980L),   // candidates 1000, 1050, 1080 → earliest 1000 (lag 20)
+      (3L, 7L, 1081L),  // nothing in [1081, 1181] except... 1150 → match
+      (4L, 7L, 1251L),  // nothing at-or-after within 100 → NULL
+      (5L, 8L, 1000L))) // no right rows for user 8 → NULL
+    val right = evFrame(Seq(
+      (11L, 7L, 1000L),
+      (12L, 7L, 1050L),
+      (13L, 7L, 1050L),
+      (14L, 7L, 1080L),
+      (15L, 7L, 1150L)))
+    val out = TemporalJoin.asofJoin(left, right, "user_id", "ts", "event_id",
+      toleranceMicros = 100L, direction = "forward")
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+    assert(out === Set(
+      (1L, 11L, 0L), (2L, 11L, 20L), (3L, 15L, 69L),
+      (4L, -1L, -1L), (5L, -1L, -1L)))
+    // forward tie at equal right ts picks the SMALLEST id (min-struct)
+    val tie = TemporalJoin.asofJoin(evFrame(Seq((1L, 7L, 1040L))), right,
+      "user_id", "ts", "event_id", 100L, direction = "forward")
+      .collect().head
+    assert(tie.getLong(3) === 12L)
+  }
+
   test("asofJoin: exactly one output row per left row (no candidate dup)") {
     // 50 right rows all within tolerance of each left row — argmax must
     // collapse them to one output row per left id
