@@ -841,6 +841,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Dedup-aware train/val/test split (the GPT-3 appendix-C discipline,
+    * one step past q_leakage_scrub): the split KEY is the near-dup
+    * CLUSTER label from the shared jaccard pair graph, so near-duplicate
+    * documents can never straddle splits — [[graft.ops.Splits.hashSplit]]
+    * applied at cluster granularity (idCol = cluster_id). */
+  private def qClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clusters = graft.ops.Dedup.dedupClusters(docs, jaccardPairsShared(s, dir))
+    graft.ops.Splits.hashSplit(clusters, idCol = "cluster_id", salt = "csplit")
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus fingerprint ([[graft.ops.Audit.frameFingerprint]]):
     * count + XOR of canonical row hashes — the one-row-per-group
     * reconciliation handle for comparing independent runs without
@@ -2254,6 +2267,7 @@ object SparkEntry {
     "q_feature_hash"     -> qFeatureHash _,
     "q_hash_train"       -> qHashTrain _,
     "q_hash_ann"         -> qHashAnn _,
+    "q_cluster_split"    -> qClusterSplit _,
     "q_audit_fp"         -> qAuditFingerprint _,
     "q_audit_reconcile"  -> qAuditReconcile _,
     "q_asof_join"        -> qAsofJoin _,
@@ -2784,8 +2798,8 @@ object SparkEntry {
   /** splitmix64-finalized salted fnv1a of 'salt:doc_id' as a UBIGINT
     * expression (mirrors Splits.hashCol: graft_mix64(graft_fnv1a64(...))
     * over the same ASCII string). */
-  private def saltedHashSql(salt: String): String =
-    mix64Sql(s"list_transform(['$salt:' || CAST(doc_id AS VARCHAR)], w -> $fnvWordSql)[1]")
+  private def saltedHashSql(salt: String, idExpr: String = "doc_id"): String =
+    mix64Sql(s"list_transform(['$salt:' || CAST($idExpr AS VARCHAR)], w -> $fnvWordSql)[1]")
 
   /** UBIGINT → the same SIGNED 64-bit value Spark's long carries (the
     * q_fingerprint two's-complement reinterpretation, as a helper). */
@@ -3357,6 +3371,28 @@ object SparkEntry {
        |SELECT qid AS query_id, cid AS neighbor_id, CAST(rnk AS BIGINT) AS rank,
        |  round(cos, 4) AS cos
        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q_cluster_split oracle: the q_dedup_clusters components chain +
+    * the q_train_split salted-threshold CASE applied to cluster_id. */
+  private def clusterSplitOracle: String = {
+    val ts = graft.ops.Splits.splitThresholds(Seq(0.8, 0.1, 0.1))
+    s"""WITH RECURSIVE
+       |${margined(jaccardEdgeCtes("documents"))},
+       |edges AS (SELECT ia AS s, ib AS t FROM e UNION ALL SELECT ib, ia FROM e),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT eg.t, r.lbl FROM reach r JOIN edges eg ON eg.s = r.id
+       |  WHERE r.lbl < eg.t),
+       |c AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |h AS (SELECT doc_id, cluster_id,
+       |  ${saltedHashSql("csplit", "cluster_id")} AS hu FROM c)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN hu < CAST('${ts(0)}' AS UBIGINT) THEN 'train'
+       |       WHEN hu < CAST('${ts(1)}' AS UBIGINT) THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
 
   private def auditFpOracle: String =
     s"""WITH ${margined(auditHashCte("documents", "af"))}
@@ -4839,6 +4875,7 @@ object SparkEntry {
     "q_hll_distinct" -> hllOracle,
     "q_hash_train" -> hashTrainOracle,
     "q_hash_ann" -> hashAnnOracle,
+    "q_cluster_split" -> clusterSplitOracle,
     "q_audit_fp" -> auditFpOracle,
     "q_audit_reconcile" -> auditReconcileOracle,
     // feature hashing: same mix64∘fnv1a hash; dim = low 10 bits (mask
@@ -5283,6 +5320,19 @@ object SparkEntry {
     "q_cluster_reps!quality" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS q
         |FROM documents""".stripMargin,
+    // q_cluster_split reuses q_dedup_clusters!docs/!edges for its
+    // union-find; the !out fragment applies the salted-threshold CASE to
+    // the Python-computed labels registered as temp relation pyclu.
+    "q_cluster_split!out" -> {
+      val ts = graft.ops.Splits.splitThresholds(Seq(0.8, 0.1, 0.1))
+      s"""WITH h AS (SELECT doc_id, cluster_id,
+         |  ${saltedHashSql("csplit", "cluster_id")} AS hu FROM pyclu)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN hu < CAST('${ts(0)}' AS UBIGINT) THEN 'train'
+         |       WHEN hu < CAST('${ts(1)}' AS UBIGINT) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
     "q_pack_bins!prep" ->
       s"""WITH ${margined(packPrepCte("documents"))}
          |SELECT source, doc_id, ntok, shard FROM t0""".stripMargin,

@@ -1836,6 +1836,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 0L, 0L, -0.1, false)))
   }
 
+  test("cluster-granular split: near-dup cluster members never straddle splits") {
+    import spark.implicits._
+    // 3 clusters of near-dups (shared long text + tiny suffix) + isolated docs
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = (0L until 30L).map { i =>
+      val text = if (i < 12) base + s"v${i % 4}"   // 12 docs over shared text
+      else s"unique doc $i with its own words ${i * 7} ${i * 13}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minhashLsh(docs, threshold = 0.5)
+    val clusters = graft.ops.Dedup.dedupClusters(docs, pairs)
+    val split = graft.ops.Splits.hashSplit(clusters, idCol = "cluster_id", salt = "csplit")
+      .select($"doc_id", $"cluster_id", $"split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.length == 30)
+    // the leakage property: one split per cluster label
+    val perCluster = split.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).toSet }
+    assert(perCluster.values.forall(_.size == 1), perCluster.toString)
+    // the shared-text docs really did cluster together (non-trivial case)
+    val bigCluster = split.filter(_._1 < 12).map(_._2).toSet
+    assert(bigCluster.size == 1, s"expected one cluster for the near-dups: $bigCluster")
+  }
+
   test("semDedup: one survivor per near-dup group, distant members kept") {
     import spark.implicits._
     // 3 clusters of 4; add a near-identical echo of ids 0 and 1

@@ -77,6 +77,12 @@ def _pyfold_expected(name, frags):
                          "rep_id": [best[c][1] for c in cl],
                          "rep_quality": [-best[c][0] for c in cl],
                          "n_members": [members[c] for c in cl]})
+    if name == "q_cluster_split":
+        ids = [r[0] for r in rows("q_dedup_clusters!docs")]
+        lbl = _union_find_minlabel(ids, rows("q_dedup_clusters!edges"))
+        con.register("pyclu", pa.table({"doc_id": ids,
+                                        "cluster_id": [lbl[i] for i in ids]}))
+        return con.sql(frags["q_cluster_split!out"]).arrow()
     if name in ("q_pack_bins", "q_pack_stats"):
         packed = _pack_fold(rows("q_pack_bins!prep"))
         if name == "q_pack_bins":
@@ -125,7 +131,7 @@ if pyfold_on:
     if not os.path.exists(pf):
         print("[ERR  ] --pyfold requested but pyfold_sql.json missing"); sys.exit(1)
     pyfold_frags = json.load(open(pf))
-PYFOLD_QUERIES = {"q_dedup_clusters", "q_cluster_reps", "q_pack_bins",
+PYFOLD_QUERIES = {"q_dedup_clusters", "q_cluster_reps", "q_cluster_split", "q_pack_bins",
                   "q_pack_stats", "q_curation_funnel"}
 
 def canon(cols, rows):
