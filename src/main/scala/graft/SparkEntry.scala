@@ -487,6 +487,16 @@ object SparkEntry {
     graft.sources.Warc.readPages(s, warcFixture(s, dir) + "/*.warc.gz")
       .select(col("url"), col("text"), col("lang"))
 
+  /** The DataSource V2 WARC read path on the driver surface:
+    * `format("warc")` over the same WET fixture, selecting only
+    * (url, n_bytes) so COLUMN PRUNING reaches the reader (payload bytes
+    * never enter rows) — with an EXACT oracle: n_bytes is the UTF-8
+    * byte length of the source text (DuckDB strlen). */
+  private def qWarcDsv2(s: SparkSession, dir: String): DataFrame =
+    s.read.format("warc").load(warcFixture(s, dir))
+      .select(col("url"), col("n_bytes"))
+      .orderBy(col("url"))
+
   /** Record-level WARC scan surface: one row per well-formed record with
     * container-level facts (type, payload size) — the stats a crawl
     * triage pass reads before committing to full extraction. */
@@ -2205,6 +2215,7 @@ object SparkEntry {
     "q_frontier_funnel"  -> qFrontierFunnel _,
     "q_warc_roundtrip"   -> qWarcRoundtrip _,
     "x_warc"          -> xWarc _,
+    "q_warc_dsv2"     -> qWarcDsv2 _,
     "x_extract_text"  -> xExtractText _,
     "x_validate"      -> xValidate _,
     "x_exports"       -> xExports _,
@@ -4582,6 +4593,10 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_warc_dsv2" ->
+      """SELECT 'http://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY url""".stripMargin,
     "q_warc_roundtrip" ->
       """SELECT 'http://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
         |  COALESCE(text, '') AS text, COALESCE(lang, 'und') AS lang
