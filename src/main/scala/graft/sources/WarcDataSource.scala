@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -100,7 +100,7 @@ private[sources] class WarcTable(properties: Map[String, String])
     new WarcScanBuilder(path)
 }
 
-private[sources] class WarcScanBuilder(path: String)
+private[graft] class WarcScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = WarcDataSource.Schema
@@ -112,12 +112,30 @@ private[sources] class WarcScanBuilder(path: String)
 }
 
 private[sources] class WarcScan(path: String, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"warc path=$path, columns=${required.fieldNames.mkString(",")}"
+
+  /** Size estimate for the planner (AQE/join sizing): compressed
+    * on-disk bytes × a 4× Common-Crawl inflate factor when payload is
+    * read, or a flat per-record metadata estimate when pruned — rough
+    * by nature, but it keeps a pruned metadata scan from being treated
+    * as a multi-GB relation. Driver-side FILE METADATA only. */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = WarcDataSource.listFiles(path)
+      .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val carriesPayload = required.fieldNames.contains("payload")
+    val size = if (carriesPayload) bytes * 4 else math.max(bytes / 64, 1L)
+    new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(size)
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     WarcDataSource.listFiles(path).map(f => WarcFilePartition(f): InputPartition)

@@ -70,6 +70,20 @@ class WarcDsv2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("warc").load(d.toString).count() === 0L)
   }
 
+  test("reported statistics shrink when payload is pruned") {
+    def sizeOf(cols: Seq[String]): Long = {
+      val b = new graft.sources.WarcScanBuilder(dir.toString)
+      b.pruneColumns(org.apache.spark.sql.types.StructType(
+        graft.sources.WarcDataSource.Schema.filter(f => cols.contains(f.name))))
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().sizeInBytes().getAsLong
+    }
+    val full = sizeOf(Seq("url", "payload"))
+    val pruned = sizeOf(Seq("url", "n_bytes"))
+    assert(pruned < full, s"pruned=$pruned full=$full")
+    assert(full > 0 && pruned > 0)
+  }
+
   test("count() without touching payload returns the record count") {
     val c = spark.read.format("warc").load(dir.toString).count()
     assert(c === 12L)
