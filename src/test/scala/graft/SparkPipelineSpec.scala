@@ -65,6 +65,23 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     shuffled.foreach { case (url, text) => assert(text == mapSide(url), url) }
   }
 
+  test("writeTextsObserved: one-pass observe metrics equal recomputed aggregates") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-obs").toString + "/texts"
+    val extracted = ExtractJob.extractTexts(spark, PagesTable.pagesDF(spark, 60))
+    val m = ExtractJob.writeTextsObserved(extracted, out)
+    val ref = extracted.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.when(
+        $"usedFallback", 1L).otherwise(0L)),
+      org.apache.spark.sql.functions.sum($"bytesIn")).head()
+    assert(m("doc_count") == ref.getLong(0))
+    assert(m("fallback_count") == ref.getLong(1))
+    assert(m("bytes_in") == ref.getLong(2))
+    // and the write itself is complete: parquet rows = frame rows
+    assert(spark.read.parquet(out).count() == ref.getLong(0))
+  }
+
   test("provenance carries section labels forward (W1)") {
     import spark.implicits._
     val pages = PagesTable.pagesDF(spark, 60)
