@@ -94,7 +94,7 @@ private[sources] class WarcTable(properties: Map[String, String])
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path)
@@ -140,6 +140,13 @@ private[sources] class WarcScan(path: String, required: StructType)
   override def planInputPartitions(): Array[InputPartition] =
     WarcDataSource.listFiles(path).map(f => WarcFilePartition(f): InputPartition)
       .toArray
+
+  /** Streaming read path (`spark.readStream.format("warc")`): the
+    * growing-directory micro-batch source — column pruning applies to
+    * the stream exactly as to the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, required.fieldNames)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(

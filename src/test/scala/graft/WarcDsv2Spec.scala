@@ -88,4 +88,30 @@ class WarcDsv2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val c = spark.read.format("warc").load(dir.toString).count()
     assert(c === 12L)
   }
+
+  test("readStream.format(\"warc\"): new files per batch, exactly once, checkpoint resume") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("graft-warc-stream")
+    val base = Files.createTempDirectory("graft-warc-stream-out")
+    val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    Files.write(d.resolve("a.warc.gz"), Warc.writeWarcGz((0 until 4).map(rec)))
+    def run(): Unit = {
+      val q = spark.readStream.format("warc").load(d.toString)
+        .select(col("url"), col("rec_idx"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 4L)
+    // second file lands; a fresh run from the SAME checkpoint appends
+    // ONLY the new file's records (file-granular exactly-once resume)
+    Files.write(d.resolve("b.warc.gz"), Warc.writeWarcGz((4 until 9).map(rec)))
+    run()
+    val got = spark.read.parquet(out).collect().map(_.getString(0))
+    assert(got.length === 9 && got.toSet ===
+      (0 until 9).map(i => s"https://h${i % 3}.example.com/p$i").toSet,
+      got.mkString(","))
+  }
 }
