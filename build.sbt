@@ -25,8 +25,18 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
-  "-XX:+UseParallelGC", // batch-throughput GC: fewer barriers than G1 for this allocation profile
-  "-Xms4g",
+  // GC selectable for A/B measurement (SPARK_GRAFT_GC=parallel|g1).
+  // r9 measurement: ParallelGC's adaptive young gen under the 32-thread
+  // query bench hit 130-156 s of summed GC inside single cluster-family
+  // queries (BenchExtra listener, gc_s column) — the same pathology the
+  // r3 extraction children fixed by moving to G1 with a fixed heap
+  // (Bench.spawnPhase comment). G1 + fixed heap is now the default here
+  // too; OPTIMIZATION_r09.md has the A/B numbers.
+  sys.env.getOrElse("SPARK_GRAFT_GC", "g1") match {
+    case "parallel" => "-XX:+UseParallelGC"
+    case _          => "-XX:+UseG1GC"
+  },
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -182,9 +182,9 @@ object SparkEntry {
   private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
     pairsMemo.compute((System.identityHashCode(s), dir), (_, cur) =>
       if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
-      else graft.ops.Dedup
+      else graft.ops.CheckpointScratch.smartCoalesce(graft.ops.Dedup
         .jaccardAdaptivePairs(t(s, dir, "documents"), "source", threshold = 0.8)
-        .localCheckpoint(true))
+        .localCheckpoint(true)))
 
   /** Full dedup chain (exact → MinHash/LSH pairs → connected components →
     * representatives) over a corpus with planted exact + near duplicates.

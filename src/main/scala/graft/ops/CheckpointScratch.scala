@@ -23,19 +23,69 @@ object CheckpointScratch {
   private val q = new java.util.concurrent.ConcurrentLinkedQueue[
     java.lang.ref.WeakReference[Dataset[_]]]()
 
-  /** Eagerly checkpoint and register for the next [[unpersistAll]]. */
-  def ckpt(df: DataFrame): DataFrame = register(df.localCheckpoint(true))
+  /** Eagerly checkpoint, register for the next [[unpersistAll]], and trim
+    * the partition count to the frame's MATERIALIZED size (guide §2:
+    * derive partitioning from input size, never a constant). A scratch
+    * frame inherits the session's shuffle-partition count from whatever
+    * exchange fed it, so on small inputs every downstream job over it
+    * runs dozens of near-empty tasks — the r9 listener measured the
+    * cluster-family queries at ~900 tasks/query, ~90% of them reads of
+    * KB-sized checkpoint blocks. After the eager materialization the
+    * exact block sizes are known, so the coalesce is free (narrow, no
+    * data movement) and self-deactivates at scale: a frame bigger than
+    * partitions × advisoryPartitionSizeInBytes keeps its partitioning. */
+  def ckpt(df: DataFrame): DataFrame = {
+    // constraint propagation OFF for the checkpoint materialization only:
+    // LogicalRDD.rewriteStatsAndConstraints walks the origin plan's
+    // constraint set, and on self-referential union plans (label
+    // propagation's `labels ∪ (edges ⋈ labels)`) Spark 4.1's Union
+    // constraint rewrite throws `key not found: id#...`. Constraints are
+    // optimizer hints, not semantics — and a scratch frame's consumers
+    // re-derive their own over the LogicalRDD anyway. Restored in
+    // `finally`, so downstream planning is untouched.
+    val conf = df.sparkSession.sessionState.conf
+    val key = org.apache.spark.sql.internal.SQLConf.CONSTRAINT_PROPAGATION_ENABLED
+    val old = conf.getConf(key)
+    if (old) conf.setConf(key, false)
+    try smartCoalesce(register(df.localCheckpoint(true)))
+    finally if (old) conf.setConf(key, true)
+  }
 
   def register[T](ds: Dataset[T]): Dataset[T] = {
     q.add(new java.lang.ref.WeakReference[Dataset[_]](ds))
     ds
   }
 
+  /** Trim a just-materialized localCheckpoint's partition count to
+    * ceil(bytes / advisoryPartitionSizeInBytes) (the same knob AQE sizes
+    * shuffle reads with). No-op for non-RDD plans, ≤ 2 partitions, or
+    * frames already at/below the target. */
+  def smartCoalesce(cp: DataFrame): DataFrame =
+    try cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val n = lr.rdd.getNumPartitions
+        if (n <= 2) cp
+        else {
+          val sc = cp.sparkSession.sparkContext
+          val bytes = sc.getRDDStorageInfo.find(_.id == lr.rdd.id)
+            .map(i => i.memSize + i.diskSize).getOrElse(Long.MaxValue)
+          val advisory = math.max(
+            cp.sparkSession.sessionState.conf.getConf(
+              org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES),
+            1L)
+          val want = math.min(math.max(1L, (bytes + advisory - 1L) / advisory), n.toLong)
+          if (want < n) cp.coalesce(want.toInt) else cp
+        }
+      case _ => cp
+    } catch { case _: Throwable => cp }
+
   /** Drop one checkpoint-backed frame's blocks now (best-effort; a
     * stopped context or non-RDD plan is skipped silently). ONE definition
-    * — SparkEntry's memo path uses the same helper. */
+    * — SparkEntry's memo path uses the same helper. Walks the whole
+    * analyzed tree so a [[smartCoalesce]]-wrapped checkpoint (Repartition
+    * over LogicalRDD) is found too. */
   def drop(ds: Dataset[_]): Unit =
-    try ds.queryExecution.analyzed match {
+    try ds.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()

@@ -516,9 +516,14 @@ object Dedup {
 
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+    // eager coalesced checkpoint, not persist(): a CacheManager-cached
+    // plan is compiled without AQE output coalescing (canChangeCachedPlan-
+    // OutputPartitioning defaults false), so every loop iteration re-read
+    // the edge set as shuffle-partition-count near-empty tasks (r9
+    // listener: ~900 tasks/query across the cluster family)
+    val edges = CheckpointScratch.ckpt(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // Only edge ENDPOINTS can ever change label; isolated docs (at corpus
     // scale, nearly all of them) never enter the iteration and rejoin at
     // the end with cluster_id = own id.
@@ -548,11 +553,15 @@ object Dedup {
     var done = nEndpoints == 0 // no edges at all
     while (!done && iter < maxIter) {
       // one min-propagation hop along edges...
+      // fresh aliases on BOTH columns: an un-aliased `lbl` keeps labels'
+      // expression id, and unioning a frame with its own join re-uses that
+      // id in two children — Spark's Union constraint rewrite then fails
+      // ("key not found: id#...") when the union is localCheckpointed
       val viaEdges = edges.join(side(labels), edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val hop = labels.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .persist()
+        .select(col("dst").as("id"), col("lbl").as("lbl"))
+      val hop = CheckpointScratch.ckpt(
+        labels.unionByName(viaEdges)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
       // ...then one pointer jump (lbl := lbl's own lbl): a label is always
       // a reachable endpoint id, so chasing it doubles the effective hop —
       // convergence in O(log component) rounds instead of O(diameter)
@@ -562,7 +571,7 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
         .transform(CheckpointScratch.ckpt)
-      hop.unpersist()
+      CheckpointScratch.drop(hop)
       // labels decrease monotonically, so the (exact, decimal) label sum is
       // a strict change witness — one aggregate per round, no diff join
       val s = labelSum(next)
@@ -575,7 +584,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    edges.unpersist()
+    CheckpointScratch.drop(edges)
     lastClusterRounds.set(iter)
     require(done, s"dedupClusters did not converge in $maxIter rounds")
     docs.select(col(idCol).as("id")).distinct()

@@ -197,17 +197,25 @@ object Similarity {
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, dim: Int,
       bits: Int = 6, probe1: Boolean = true): DataFrame = {
     reg(embeddings)
+    // guide §8 discipline (the minhashLsh shape): the bucket join decides
+    // WHICH pairs to verify, so only (bucket, id) crosses its shuffle —
+    // carrying the dim×4-byte vectors through the ×(bits+1) probe explode
+    // shuffled ~90% of this op's bytes (177 MB at sf0.1, r9 listener) for
+    // payloads the verify could re-attach once per surviving candidate.
     val e = embeddings.select(col("vec_id").as("id"), col("embedding").as("v"))
-      .withColumn("bucket0", lshBucket(col("v"), dim, bits))
+    val keyed = e.withColumn("bucket0", lshBucket(col("v"), dim, bits))
+      .select(col("id"), col("bucket0"))
     val probes =
       if (!probe1) array(col("bucket0"))
       else array((col("bucket0") +: (0 until bits).map(b =>
         col("bucket0").bitwiseXOR(lit(1L << b)))): _*)
-    val a = e.withColumn("bucket", explode(probes))
-      .select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("bucket0").as("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    val a = keyed.withColumn("bucket", explode(probes))
+      .select(col("bucket"), col("id").as("id_a"))
+    val b = keyed.select(col("bucket0").as("bucket"), col("id").as("id_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -342,11 +350,14 @@ object Similarity {
     // in one task; a mega-cell stays a hash join + narrow filter
     val earlier = col("cos_a") > col("cos_b") ||
       (col("cos_a") === col("cos_b") && col("id_a") < col("id_b"))
+    // guide §8: the (cell[, bucket]) join only DECIDES candidate pairs —
+    // it carries (id, cos) and never the dim×4-byte vectors, which
+    // re-attach per surviving candidate from the checkpointed `assigned`
     val removed = (if (bucketBits == 0) {
       val a = assigned.select(col("cell"), col("cos").as("cos_a"),
-        col("vec_id").as("id_a"), col("v").as("va"))
+        col("vec_id").as("id_a"))
       val b = assigned.select(col("cell"), col("cos").as("cos_b"),
-        col("vec_id").as("id_b"), col("v").as("vb"))
+        col("vec_id").as("id_b"))
       a.join(b, Seq("cell"))
     } else {
       // Hamming-1 multi-probe on the a-side only: a pair at bucket
@@ -357,12 +368,14 @@ object Similarity {
       val probes = array((col("bucket0") +: (0 until bucketBits).map(j =>
         col("bucket0").bitwiseXOR(lit(1L << j)))): _*)
       val a = keyed.select(col("cell"), explode(probes).as("bucket"),
-        col("cos").as("cos_a"), col("vec_id").as("id_a"), col("v").as("va"))
+        col("cos").as("cos_a"), col("vec_id").as("id_a"))
       val b = keyed.select(col("cell"), col("bucket0").as("bucket"),
-        col("cos").as("cos_b"), col("vec_id").as("id_b"), col("v").as("vb"))
+        col("cos").as("cos_b"), col("vec_id").as("id_b"))
       a.join(b, Seq("cell", "bucket"))
     })
       .filter(earlier)
+      .join(assigned.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(assigned.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .filter(round(cosine(col("va"), col("vb")), 4) >= eps)
       .select(col("id_b").as("vec_id")).distinct()
     assigned.join(removed.withColumn("rm", lit(true)), Seq("vec_id"), "left")

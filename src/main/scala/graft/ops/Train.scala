@@ -36,15 +36,36 @@ import org.apache.spark.sql.functions._
   * should be exact dyadic rationals so update arithmetic stays
   * platform-independent.
   *
-  * Shape at 100 TB: the (doc, tok, x) frame is built once and
-  * checkpointed; each iteration is one equi-join of that frame against
-  * the token-keyed weight frame (vocab-scale, NEVER broadcast — the
-  * [[Classifier]] model-as-a-table discipline), one per-doc fold, one
-  * per-token two-level fold, and one-row scalar broadcasts for n and
-  * the bias. Per-iteration checkpoints keep plans flat; driver state is
-  * zero (even the bias lives in a one-row frame).
+  * Shape at 100 TB: the (doc, tok, x) frame is built in ONE NARROW pass
+  * — bag-of-words counts are per-document-local, so the per-doc count
+  * map and token total come from a single projection with no shuffle
+  * (the r9 rework: the earlier explode → groupBy(did, tok) → join(nd)
+  * form paid a corpus-scale shuffle plus a doc-keyed join for numbers a
+  * map task already had) — and checkpointed once. Each iteration is one
+  * equi-join of that frame against the token-keyed weight frame
+  * (vocab-scale, NEVER broadcast — the [[Classifier]] model-as-a-table
+  * discipline), one per-doc fold, one per-token two-level fold. The doc
+  * count n and the running bias are driver SCALARS (one exact long and
+  * one double — the bounded-collect class of the k-means centroids):
+  * carrying them as one-row broadcast frames cost two broadcast builds
+  * per iteration and a one-row checkpoint, pure scheduler overhead at
+  * any scale. Per-iteration checkpoints keep plans flat.
   */
 object Train {
+
+  /** Per-doc (token → count) bag — one narrow pass, the map a combining
+    * shuffle would build anyway, computed where the doc already is. */
+  private val tokenBag = udf((text: String) => {
+    val m = new scala.collection.mutable.HashMap[String, Long]()
+    val words = (if (text == null) "" else text).split("\\s+")
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) m.update(w, m.getOrElse(w, 0L) + 1L)
+      i += 1
+    }
+    m.toMap
+  })
 
   /** Train `iters` full-batch GD steps. `docs` must carry idCol, textCol
     * and a numeric `labelCol` (the regression target; use exact values
@@ -60,15 +81,16 @@ object Train {
       docs.select(col(idCol).cast("long").as("did"),
         col(labelCol).cast("double").as("y"),
         col(textCol).as("__text")))
-    val tk = base.select(col("did"),
-        explode(filter(split(coalesce(col("__text"), lit("")), "\\s+"),
-          w => length(w) > 0)).as("tok"))
-      .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("c"))
-    val nd = tk.groupBy(col("did")).agg(sum(col("c")).as("nt"))
-    val x = CheckpointScratch.ckpt(
-      tk.join(nd, Seq("did"))
-        .select(col("did"), col("tok"),
-          (col("c").cast("double") / col("nt").cast("double")).as("x")))
+    // x = count(tok)/n_tokens per doc: both operands of the one IEEE
+    // division come from the same narrow projection (the token total is
+    // the sum of the bag's counts — computed by the engine's own split
+    // so the tokenizer definition is shared with the fold contract)
+    val x = base.select(col("did"),
+        size(filter(split(coalesce(col("__text"), lit("")), "\\s+"),
+          w => length(w) > 0)).cast("long").as("nt"),
+        explode(tokenBag(col("__text"))).as(Seq("tok", "c")))
+      .select(col("did"), col("tok"),
+        (col("c").cast("double") / col("nt").cast("double")).as("x"))
     val labels = base.select(col("did"), col("y"))
     linearFitOn(x, labels, iters, lr, gradBuckets)
   }
@@ -89,34 +111,37 @@ object Train {
     val x = CheckpointScratch.ckpt(x0.select(col("did"), col("tok"), col("x")))
     val labels = CheckpointScratch.ckpt(
       labels0.select(col("did"), col("y").cast("double").as("y")))
-    val nF = labels.agg(count(lit(1)).as("__n")) // one-row scalar: doc count
+    // doc count: ONE exact long to the driver (bounded scalar state —
+    // the k-means-centroid precedent); folded back as a literal instead
+    // of a one-row broadcast frame rebuilt twice per iteration
+    val n = labels.count()
     val tokType = x.schema("tok").dataType
 
     var w = CheckpointScratch.ckpt(
       x.select(col("tok")).distinct().select(col("tok"), lit(0.0).as("w")))
-    // one-row scalar frame holding the bias (agg ⇒ exactly one row even
-    // on an empty corpus)
-    var bF = labels.agg(count(lit(1)).as("__z")).select(lit(0.0).as("__b"))
+    var b = 0.0
     for (_ <- 1 to iters) {
-      val (wN, bN) = step(x, labels, nF, w, bF, lr, gradBuckets)
+      val (wN, bN) = step(x, labels, n, w, b, lr, gradBuckets)
       w = CheckpointScratch.ckpt(wN)
-      bF = CheckpointScratch.ckpt(bN)
+      b = bN
     }
     w.select(col("tok"), col("w"))
-      .union(bF.select(lit(null).cast(tokType).as("tok"),
-        col("__b").as("w")))
+      .union(labels.sparkSession.range(1)
+        .select(lit(null).cast(tokType).as("tok"), lit(b).as("w")))
   }
 
   /** One un-checkpointed GD update — exposed (like [[Graph.step]]) so
     * the plan gates can pin its shape: equi-joins on did/tok keys, keyed
-    * two-level folds, scalar attaches as one-row broadcasts, no Window,
-    * no cartesian. Returns (new weight frame, new one-row bias frame).
-    * The error frame is checkpointed internally — it feeds BOTH
-    * gradients and would otherwise recompute the prediction fold. */
-  private[graft] def step(x: DataFrame, labels: DataFrame, nF: DataFrame,
-      w: DataFrame, bF: DataFrame, lr: Double,
-      gradBuckets: Int): (DataFrame, DataFrame) = {
-    val nD = col("__n").cast("double")
+    * two-level folds, scalars as literals, no Window, no cartesian.
+    * Returns (new weight frame, new bias). The error frame is
+    * checkpointed internally — it feeds BOTH gradients and would
+    * otherwise recompute the prediction fold; the bias gradient is a
+    * one-row collect off that materialized frame (same fold tree, same
+    * IEEE order — bit-identical to the former one-row-frame plumbing). */
+  private[graft] def step(x: DataFrame, labels: DataFrame, n: Long,
+      w: DataFrame, b: Double, lr: Double,
+      gradBuckets: Int): (DataFrame, Double) = {
+    val nD = n.toDouble
     // pred(d) = b + fold_{tok asc}(w·x) ; docs with no tokens get b
     val wx = x.join(w, Seq("tok"))
       .select(col("did"), col("tok"), (col("w") * col("x")).as("wx"))
@@ -124,9 +149,8 @@ object Train {
       .agg(Graph.orderedFold(col("tok"), col("wx")).as("ps"))
     val err = CheckpointScratch.ckpt(
       labels.join(predSum, Seq("did"), "left")
-        .crossJoin(broadcast(bF))
         .select(col("did"),
-          (col("__b") + coalesce(col("ps"), lit(0.0)) - col("y")).as("e")))
+          (lit(b) + coalesce(col("ps"), lit(0.0)) - col("y")).as("e")))
     // per-token gradient: two-level (doc-bucket → doc) ordered fold
     val ex = x.join(err, Seq("did"))
       .select(col("tok"), col("did"), (col("e") * col("x")).as("ex"))
@@ -134,13 +158,12 @@ object Train {
         gradBuckets)
       .groupBy(col("tok"))
       .agg(Graph.orderedFold(col("__bk"), col("__s")).as("g"))
-    val wN = w.join(grad, Seq("tok"), "left").crossJoin(broadcast(nF))
+    val wN = w.join(grad, Seq("tok"), "left")
       .select(col("tok"),
-        (col("w") - lit(lr) * (coalesce(col("g"), lit(0.0)) / nD)).as("w"))
-    val gbF = Graph.foldLevel1(err, Nil, col("did"), col("e"), gradBuckets)
+        (col("w") - lit(lr) * (coalesce(col("g"), lit(0.0)) / lit(nD))).as("w"))
+    val gb = Graph.foldLevel1(err, Nil, col("did"), col("e"), gradBuckets)
       .agg(Graph.orderedFold(col("__bk"), col("__s")).as("gb"))
-    val bN = bF.crossJoin(broadcast(gbF)).crossJoin(broadcast(nF))
-      .select((col("__b") - lit(lr) * (col("gb") / nD)).as("__b"))
-    (wN, bN)
+      .head().getDouble(0)
+    (wN, b - lr * (gb / nD))
   }
 }

@@ -418,7 +418,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p.take(2000))
   }
 
-  test("GD training step: keyed gradient folds + one-row scalar attaches, no window/cartesian") {
+  test("GD training step: keyed gradient folds, scalar literals, no window/cartesian/nested-loop") {
     import org.apache.spark.sql.functions._
     // range-backed feature/label frames (LocalRelation would fold away)
     val x = spark.range(300).select((col("id") % 50).as("did"),
@@ -426,20 +426,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       (lit(1.0) / (col("id") % 5 + 1).cast("double")).as("x"))
     val labels = spark.range(50).select(col("id").as("did"),
       (col("id") % 2).cast("double").as("y"))
-    val nF = labels.agg(count(lit(1)).as("__n"))
     val w = x.select(col("tok")).distinct().select(col("tok"), lit(0.0).as("w"))
-    val bF = labels.agg(count(lit(1)).as("__z")).select(lit(0.0).as("__b"))
-    val (wN, bN) = graft.ops.Train.step(x, labels, nF, w, bF, 0.5, 16)
+    val (wN, _) = graft.ops.Train.step(x, labels, 50L, w, 0.0, 0.5, 16)
     val pw = plan(wN, "simple")
     // per-token gradients ride hash equi-joins + keyed aggregates; the
-    // only nested loop is the one-row doc-count attach
+    // doc count and bias are literals now (r9), so NO nested loop at all
     assert(!pw.contains("Window") && !pw.contains("CartesianProduct"), pw.take(2500))
-    assert(pw.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, pw.take(2500))
-    assert(pw.contains("IdentityBroadcastMode"), pw.take(2000))
-    val pb = plan(bN, "simple")
-    // bias update: two one-row scalar attaches on a one-row frame
-    assert(!pb.contains("Window") && !pb.contains("CartesianProduct"), pb.take(2500))
-    assert(pb.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2, pb.take(2500))
+    assert(!pw.contains("BroadcastNestedLoopJoin"), pw.take(2500))
   }
 
   test("ranked search: probe filter below the index shuffle, one scalar attach, top-k never a global sort") {
