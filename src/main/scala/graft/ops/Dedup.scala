@@ -559,9 +559,14 @@ object Dedup {
       // ("key not found: id#...") when the union is localCheckpointed
       val viaEdges = edges.join(side(labels), edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl").as("lbl"))
-      val hop = CheckpointScratch.ckpt(
+      // hop stays LAZY: its two uses in the pointer jump are identical
+      // subtrees, so the next-frame checkpoint computes the union-agg
+      // shuffle once and AQE's exchange reuse serves the second side —
+      // an eager hop checkpoint here was one extra job per round for a
+      // frame that dies the moment `next` materializes
+      val hop =
         labels.unionByName(viaEdges)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
       // ...then one pointer jump (lbl := lbl's own lbl): a label is always
       // a reachable endpoint id, so chasing it doubles the effective hop —
       // convergence in O(log component) rounds instead of O(diameter)
@@ -571,7 +576,6 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
         .transform(CheckpointScratch.ckpt)
-      CheckpointScratch.drop(hop)
       // labels decrease monotonically, so the (exact, decimal) label sum is
       // a strict change witness — one aggregate per round, no diff join
       val s = labelSum(next)

@@ -207,16 +207,18 @@ object Graph {
         .union(e.select(col("dst").as("node"))).distinct())
     val outdeg = CheckpointScratch.ckpt(
       e.groupBy(col("src")).agg(count(lit(1)).as("od")))
-    // one-row scalars: lazy one-row frames over checkpointed bases
-    val nF = nodes.agg(count(lit(1)).as("__n"))
-    val nD = col("__n").cast("double")
+    // node count: ONE exact long to the driver (bounded scalar — the
+    // k-means-centroid precedent), folded back as a literal. The former
+    // one-row nF frame was crossJoin-broadcast twice per iteration plus
+    // once at init — five broadcast builds of a single long per 4-iter
+    // run, pure scheduler overhead at any scale.
+    val n = nodes.count()
     val d = damping
 
     var pr = CheckpointScratch.ckpt(
-      nodes.crossJoin(broadcast(nF))
-        .select(col("node"), (lit(1.0) / nD).as("pr")))
+      nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("pr")))
     for (_ <- 1 to iters)
-      pr = CheckpointScratch.ckpt(step(e, nodes, outdeg, nF, pr, d, dmBuckets))
+      pr = CheckpointScratch.ckpt(step(e, nodes, outdeg, n, pr, d, dmBuckets))
     pr
   }
 
@@ -224,8 +226,8 @@ object Graph {
     * ckpt hides from `explain`, exposed so the plan gates can pin its
     * shape (equi-joins + keyed folds only; one-row scalar broadcasts). */
   private[graft] def step(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
-      nF: DataFrame, pr: DataFrame, d: Double, dmBuckets: Int): DataFrame = {
-    val nD = col("__n").cast("double")
+      n: Long, pr: DataFrame, d: Double, dmBuckets: Int): DataFrame = {
+    val nD = lit(n.toDouble)
     val contribs = e
       .join(pr.withColumnRenamed("node", "src"), Seq("src"))
       .join(outdeg, Seq("src"))
@@ -240,7 +242,7 @@ object Graph {
     val dmF = foldLevel1(dangling, Nil, col("node"), col("pr"), dmBuckets)
       .agg(orderedFold(col("__bk"), col("__s")).as("dm"))
     nodes.join(inSum.withColumnRenamed("dst", "node"), Seq("node"), "left")
-      .crossJoin(broadcast(dmF)).crossJoin(broadcast(nF))
+      .crossJoin(broadcast(dmF))
       .select(col("node"),
         ((lit(1.0) - lit(d)) / nD +
           lit(d) * (coalesce(col("insum"), lit(0.0)) + col("dm") / nD))

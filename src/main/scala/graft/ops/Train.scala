@@ -120,8 +120,12 @@ object Train {
     var w = CheckpointScratch.ckpt(
       x.select(col("tok")).distinct().select(col("tok"), lit(0.0).as("w")))
     var b = 0.0
-    for (_ <- 1 to iters) {
-      val (wN, bN) = step(x, labels, n, w, b, lr, gradBuckets)
+    for (it <- 1 to iters) {
+      // iteration 1 runs with w ≡ 0, b = 0: every per-doc prediction fold
+      // is a left fold of exact 0.0 terms (= 0.0), so pred(d) = b for all
+      // docs — `wIsZero` lets step skip the wx join + per-doc fold while
+      // producing the bit-identical error frame
+      val (wN, bN) = step(x, labels, n, w, b, lr, gradBuckets, wIsZero = it == 1)
       w = CheckpointScratch.ckpt(wN)
       b = bN
     }
@@ -140,17 +144,27 @@ object Train {
     * IEEE order — bit-identical to the former one-row-frame plumbing). */
   private[graft] def step(x: DataFrame, labels: DataFrame, n: Long,
       w: DataFrame, b: Double, lr: Double,
-      gradBuckets: Int): (DataFrame, Double) = {
+      gradBuckets: Int, wIsZero: Boolean = false): (DataFrame, Double) = {
     val nD = n.toDouble
-    // pred(d) = b + fold_{tok asc}(w·x) ; docs with no tokens get b
-    val wx = x.join(w, Seq("tok"))
-      .select(col("did"), col("tok"), (col("w") * col("x")).as("wx"))
-    val predSum = wx.groupBy(col("did"))
-      .agg(Graph.orderedFold(col("tok"), col("wx")).as("ps"))
+    // pred(d) = b + fold_{tok asc}(w·x) ; docs with no tokens get b.
+    // When the caller KNOWS w ≡ 0 (the first GD iteration), the fold is a
+    // left fold of exact 0.0 terms — identically +0.0 for every doc (and
+    // coalesce(NULL, 0.0) for token-free docs), so pred = b + 0.0 = b
+    // with b = 0.0: the error frame below is bit-identical to the joined
+    // form, without the vocab join and per-doc fold.
     val err = CheckpointScratch.ckpt(
-      labels.join(predSum, Seq("did"), "left")
-        .select(col("did"),
-          (lit(b) + coalesce(col("ps"), lit(0.0)) - col("y")).as("e")))
+      if (wIsZero)
+        labels.select(col("did"),
+          (lit(b) + lit(0.0) - col("y")).as("e"))
+      else {
+        val wx = x.join(w, Seq("tok"))
+          .select(col("did"), col("tok"), (col("w") * col("x")).as("wx"))
+        val predSum = wx.groupBy(col("did"))
+          .agg(Graph.orderedFold(col("tok"), col("wx")).as("ps"))
+        labels.join(predSum, Seq("did"), "left")
+          .select(col("did"),
+            (lit(b) + coalesce(col("ps"), lit(0.0)) - col("y")).as("e"))
+      })
     // per-token gradient: two-level (doc-bucket → doc) ordered fold
     val ex = x.join(err, Seq("did"))
       .select(col("tok"), col("did"), (col("e") * col("x")).as("ex"))

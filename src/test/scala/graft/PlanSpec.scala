@@ -291,16 +291,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val nF = nodes.agg(count(lit(1)).as("__n"))
     // in pageRank the incoming rank frame is checkpointed, so only THIS
     // step's joins are in the plan — model that with a plain rank column
     val pr = nodes.select(col("node"), (lit(1.0) / lit(40.0)).as("pr"))
-    val p = plan(graft.ops.Graph.step(e, nodes, outdeg, nF, pr, 0.85, 16), "simple")
-    // never an all-pairs join: the only nested loops are the two
-    // one-row scalar attaches (this step's dm and n)
+    val p = plan(graft.ops.Graph.step(e, nodes, outdeg, 40L, pr, 0.85, 16), "simple")
+    // never an all-pairs join: the only nested loop is the one-row
+    // dangling-mass attach (n is a literal since r9)
     assert(!p.contains("CartesianProduct"), p.take(2000))
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj == 2, s"expected 2 one-row scalar attaches, got $bnlj:\n${p.take(2500)}")
+    assert(bnlj == 1, s"expected 1 one-row scalar attach, got $bnlj:\n${p.take(2500)}")
     assert(p.contains("IdentityBroadcastMode"), p.take(2000))
     // rank propagation joins are hash equi-joins on src/dst/node keys
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
