@@ -372,7 +372,8 @@ object SparkEntry {
     // a STOPPED context is rebuilt, never served (review r4).
     docsMemo.compute((System.identityHashCode(s), n), (_, cur) =>
       if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
-      else graft.spark.ExtractJob.extractDocs(s, pagesFixture(s, n)).localCheckpoint(true))
+      else graft.ops.CheckpointScratch.smartCoalesceDs(
+        graft.spark.ExtractJob.extractDocs(s, pagesFixture(s, n)).localCheckpoint(true)))
 
   /** Eagerly unpersist a localCheckpoint-backed frame's blocks: dropping
     * the reference alone leaves them to GC + ContextCleaner, whose
@@ -1486,9 +1487,15 @@ object SparkEntry {
       .select(col("doc_id"), col("pred_lang"))
     val q = graft.ops.TextAnalysis.qualityScore(d)
       .select(col("doc_id"), col("quality_score"))
+    // langId's per-language intersect profile is the most expensive
+    // narrow pass in this query, and quantileGate consumes its input
+    // THREE times (rank sort, rank join, group stats) — checkpoint the
+    // scored frame once so the scan-side work runs once (r9: 47 s of
+    // summed task CPU at sf0.1 collapsed to one pass)
+    val scored = scratchCkpt(lang.join(q, Seq("doc_id")))
     val gated = graft.ops.Selection.quantileGate(
-      lang.join(q, Seq("doc_id")), "pred_lang", num = 1L, den = 2L)
-    gated.join(q, Seq("doc_id"))
+      scored, "pred_lang", num = 1L, den = 2L)
+    gated.join(scored.select(col("doc_id"), col("quality_score")), Seq("doc_id"))
       .select(col("pred_lang"), col("kept"),
         (col("quality_score") * 4).cast("long").as("q4"))
       .groupBy(col("pred_lang"), col("kept"))

@@ -56,28 +56,36 @@ object CheckpointScratch {
     ds
   }
 
-  /** Trim a just-materialized localCheckpoint's partition count to
-    * ceil(bytes / advisoryPartitionSizeInBytes) (the same knob AQE sizes
-    * shuffle reads with). No-op for non-RDD plans, ≤ 2 partitions, or
-    * frames already at/below the target. */
-  def smartCoalesce(cp: DataFrame): DataFrame =
+  /** Typed variant of [[smartCoalesce]] — same size-derived trim,
+    * preserving the Dataset's element type (the sharedDocs memo path). */
+  def smartCoalesceDs[T](cp: Dataset[T]): Dataset[T] =
     try cp.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         val n = lr.rdd.getNumPartitions
         if (n <= 2) cp
         else {
-          val sc = cp.sparkSession.sparkContext
-          val bytes = sc.getRDDStorageInfo.find(_.id == lr.rdd.id)
-            .map(i => i.memSize + i.diskSize).getOrElse(Long.MaxValue)
-          val advisory = math.max(
-            cp.sparkSession.sessionState.conf.getConf(
-              org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES),
-            1L)
-          val want = math.min(math.max(1L, (bytes + advisory - 1L) / advisory), n.toLong)
-          if (want < n) cp.coalesce(want.toInt) else cp
+          val want = targetPartitions(cp.sparkSession, lr.rdd, n)
+          if (want < n) cp.coalesce(want) else cp
         }
       case _ => cp
     } catch { case _: Throwable => cp }
+
+  private def targetPartitions(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[_], n: Int): Int = {
+    val bytes = spark.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
+      .map(i => i.memSize + i.diskSize).getOrElse(Long.MaxValue)
+    val advisory = math.max(
+      spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES),
+      1L)
+    math.min(math.max(1L, (bytes + advisory - 1L) / advisory), n.toLong).toInt
+  }
+
+  /** Trim a just-materialized localCheckpoint's partition count to
+    * ceil(bytes / advisoryPartitionSizeInBytes) (the same knob AQE sizes
+    * shuffle reads with). No-op for non-RDD plans, ≤ 2 partitions, or
+    * frames already at/below the target. */
+  def smartCoalesce(cp: DataFrame): DataFrame = smartCoalesceDs(cp)
 
   /** Drop one checkpoint-backed frame's blocks now (best-effort; a
     * stopped context or non-RDD plan is skipped silently). ONE definition

@@ -153,8 +153,14 @@ object Selection {
       numPartitions: Int = 0): DataFrame = {
     require(den >= 1L && num >= 0L && num <= den,
       s"need 0 <= num/den <= 1, got $num/$den")
-    val keyed = docs.select(col(idCol).cast("long").as(idCol),
-      col(groupCol), col(scoreCol))
+    // checkpoint the projected input ONCE: it feeds the rank sort (plus
+    // repartitionByRange's sampling pass), the rank join, and the group
+    // stats — an expensive caller plan (langId profiles, quality scores)
+    // otherwise re-evaluates three times (r9: 11 s of summed task CPU on
+    // q_quantile_gate collapsed to one pass)
+    val keyed = CheckpointScratch.ckpt(
+      docs.select(col(idCol).cast("long").as(idCol),
+        col(groupCol), col(scoreCol)))
     val ranks = rankBy(keyed, Seq(col(groupCol), col(scoreCol)),
       Seq(true, false), idCol, numPartitions)
     val ranked = keyed.join(ranks, Seq(idCol))
