@@ -106,17 +106,19 @@ object BenchExtra {
 
       args.headOption match {
         case Some("explain") =>
-          val name = args(1)
-          val outDir = args(2)
-          val suffix = if (args.length > 3) args(3) else "plan"
-          SparkEntry.resetSharedState()
-          val df = SparkEntry.queries(name)(spark, sfDir)
-          val txt = df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-          val p = java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt")
-          java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
-          println(s"EXTRA_EXPLAIN $p")
+          val outDir = args(1)
+          val suffix = args(2)
+          args.drop(3).foreach { name =>
+            SparkEntry.resetSharedState()
+            val txt =
+              try SparkEntry.queries(name)(spark, sfDir).queryExecution
+                .explainString(org.apache.spark.sql.execution.FormattedMode)
+              catch { case e: Throwable => s"EXPLAIN FAILED: $e" }
+            val p = java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt")
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
+            println(s"EXTRA_EXPLAIN $p")
+          }
 
         case Some("run") =>
           val reps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt

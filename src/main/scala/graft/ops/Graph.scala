@@ -207,6 +207,10 @@ object Graph {
         .union(e.select(col("dst").as("node"))).distinct())
     val outdeg = CheckpointScratch.ckpt(
       e.groupBy(col("src")).agg(count(lit(1)).as("od")))
+    // loop-invariant hoist: every iteration joined edges against outdeg
+    // to divide contributions — attach od to the edge list ONCE so each
+    // step pays a single pr join instead of two
+    val eOd = CheckpointScratch.ckpt(e.join(outdeg, Seq("src")))
     // node count: ONE exact long to the driver (bounded scalar — the
     // k-means-centroid precedent), folded back as a literal. The former
     // one-row nF frame was crossJoin-broadcast twice per iteration plus
@@ -218,19 +222,20 @@ object Graph {
     var pr = CheckpointScratch.ckpt(
       nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("pr")))
     for (_ <- 1 to iters)
-      pr = CheckpointScratch.ckpt(step(e, nodes, outdeg, n, pr, d, dmBuckets))
+      pr = CheckpointScratch.ckpt(step(eOd, nodes, outdeg, n, pr, d, dmBuckets))
     pr
   }
 
   /** One un-checkpointed power-iteration update — the plan the per-round
     * ckpt hides from `explain`, exposed so the plan gates can pin its
     * shape (equi-joins + keyed folds only; one-row scalar broadcasts). */
-  private[graft] def step(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+  private[graft] def step(eOd: DataFrame, nodes: DataFrame, outdeg: DataFrame,
       n: Long, pr: DataFrame, d: Double, dmBuckets: Int): DataFrame = {
     val nD = lit(n.toDouble)
-    val contribs = e
+    // eOd = edges with the source's out-degree pre-attached (loop
+    // invariant — joined once in pageRank, not once per iteration)
+    val contribs = eOd
       .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-      .join(outdeg, Seq("src"))
       .select(col("dst"), col("src"),
         (col("pr") / col("od").cast("double")).as("c"))
     val inSum = foldLevel1(contribs, Seq(col("dst")), col("src"), col("c"),

@@ -252,7 +252,9 @@ object Sketches {
     * mix64∘fnv1a hash. Output: (groupCol, bucket, rho). */
   def hllRegisters(docs: DataFrame, groupCol: String, p: Int = 8,
       textCol: String = "text", shingle: Int = 1): DataFrame = {
-    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    // p ≤ 15: hllEstimate's BIGINT harmonic scaling sums up to m·2^48,
+    // which overflows Long at p = 16 when registers are sparse (ADVICE r8)
+    require(p >= 4 && p <= 15, s"p must be in [4,15], got $p")
     require(shingle >= 1, s"shingle must be >= 1, got $shingle")
     graft.functions.functions.register(docs.sparkSession)
     val m = 1L << p
@@ -304,6 +306,7 @@ object Sketches {
     * [[kmvDistinctTokens]], exact below k).
     * Output: (groupCol, n_buckets, sum_scaled, distinct_est). */
   def hllEstimate(registers: DataFrame, groupCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 15, s"p must be in [4,15], got $p") // 2^48·m < 2^63
     val m = 1L << p
     registers.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_buckets"),

@@ -75,11 +75,18 @@ object WarcDataSource {
         case Nil => if (fs.exists(p)) Seq(fs.getFileStatus(p)) else Nil
         case gs  => gs
       }
+    // directory walks keep only WARC-suffixed files — sidecars (_SUCCESS,
+    // .crc, fixture markers) otherwise became zero-row input partitions
+    // and fed the streaming offsets (ADVICE r8); an explicitly named
+    // single file is honored as-is (the caller's intent is unambiguous)
+    def isWarc(n: String): Boolean =
+      n.endsWith(".warc") || n.endsWith(".warc.gz") || n.endsWith(".wet.gz")
     val out = Seq.newBuilder[String]
-    def walk(st: FileStatus): Unit =
-      if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk)
-      else if (st.getLen > 0) out += st.getPath.toString
-    roots.foreach(walk)
+    def walk(st: FileStatus, explicit: Boolean): Unit =
+      if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk(_, explicit = false))
+      else if (st.getLen > 0 && (explicit || isWarc(st.getPath.getName)))
+        out += st.getPath.toString
+    roots.foreach(st => walk(st, explicit = st.isFile))
     out.result().sorted
   }
 }

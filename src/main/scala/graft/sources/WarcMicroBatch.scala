@@ -6,21 +6,52 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.util.SerializableConfiguration
 
 /** Offset for the WARC micro-batch stream: the SET of files already
-  * delivered, as a sorted newline-joined list. Set semantics (not a
+  * delivered, as a sorted SINGLE-LINE JSON array. Set semantics (not a
   * sorted-prefix count) because crawl files land with arbitrary names —
   * a later-arriving file may sort before already-processed ones, and a
   * prefix offset would either re-deliver or skip it. Offsets are
   * file-COUNT-scale (one path string per file), the same order of
   * driver state Spark's own FileStreamSource keeps in its metadata
-  * log. */
-private[sources] case class WarcFilesOffset(files: Set[String]) extends Offset {
-  override def json(): String = files.toSeq.sorted.mkString("\n")
+  * log. The serialization MUST be one line: Spark's OffsetSeqLog is a
+  * line-based file (version line, metadata line, then one line per
+  * source offset) — the earlier newline-joined form corrupted the
+  * checkpoint for any offset holding ≥ 2 files, so a restart either
+  * failed on offset-count mismatch or resumed from a truncated file
+  * set (ADVICE r8, high). */
+private[graft] case class WarcFilesOffset(files: Set[String]) extends Offset {
+  override def json(): String =
+    files.toSeq.sorted
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
 }
 
-private[sources] object WarcFilesOffset {
-  def fromJson(j: String): WarcFilesOffset =
-    WarcFilesOffset(if (j == null || j.isEmpty) Set.empty
-    else j.split("\n").toSet)
+private[graft] object WarcFilesOffset {
+  def fromJson(j: String): WarcFilesOffset = {
+    if (j == null || j.isEmpty || j == "[]") return WarcFilesOffset(Set.empty)
+    if (j.startsWith("[")) {
+      // minimal JSON string-array parser (no external deps): walks the
+      // quoted elements honoring backslash escapes
+      val out = Set.newBuilder[String]
+      var i = 0
+      val sb = new StringBuilder
+      var inStr = false
+      while (i < j.length) {
+        val c = j.charAt(i)
+        if (!inStr) {
+          if (c == '"') { inStr = true; sb.clear() }
+          i += 1
+        } else if (c == '\\' && i + 1 < j.length) {
+          sb.append(j.charAt(i + 1)); i += 2
+        } else if (c == '"') {
+          out += sb.toString; inStr = false; i += 1
+        } else { sb.append(c); i += 1 }
+      }
+      WarcFilesOffset(out.result())
+    } else {
+      // legacy newline-joined form (pre-r9 checkpoints): still readable
+      WarcFilesOffset(j.split("\n").toSet)
+    }
+  }
 }
 
 /** Micro-batch stream over a growing directory of WARC files — the

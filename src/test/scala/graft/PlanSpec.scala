@@ -291,10 +291,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val eOd = e.join(outdeg, Seq("src")) // loop-invariant attach (r9)
     // in pageRank the incoming rank frame is checkpointed, so only THIS
     // step's joins are in the plan — model that with a plain rank column
     val pr = nodes.select(col("node"), (lit(1.0) / lit(40.0)).as("pr"))
-    val p = plan(graft.ops.Graph.step(e, nodes, outdeg, 40L, pr, 0.85, 16), "simple")
+    val p = plan(graft.ops.Graph.step(eOd, nodes, outdeg, 40L, pr, 0.85, 16), "simple")
     // never an all-pairs join: the only nested loop is the one-row
     // dangling-mass attach (n is a literal since r9)
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -113,5 +113,28 @@ class WarcDsv2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length === 9 && got.toSet ===
       (0 until 9).map(i => s"https://h${i % 3}.example.com/p$i").toSet,
       got.mkString(","))
+    // third batch: THIS restart deserializes a committed MULTI-file offset
+    // (a + b) from the line-based OffsetSeqLog — the newline-joined offset
+    // serialization corrupted exactly this step (ADVICE r8 high): the
+    // checkpoint line count no longer matched the source count on resume
+    Files.write(d.resolve("c.warc.gz"), Warc.writeWarcGz((9 until 11).map(rec)))
+    run()
+    val got3 = spark.read.parquet(out).collect().map(_.getString(0))
+    assert(got3.length === 11 && got3.toSet ===
+      (0 until 11).map(i => s"https://h${i % 3}.example.com/p$i").toSet,
+      got3.mkString(","))
+  }
+
+  test("WarcFilesOffset json is single-line and round-trips multi-file sets") {
+    val off = graft.sources.WarcFilesOffset(
+      Set("/x/a.warc.gz", "/x/b\"quoted\".warc.gz", "/y/c.wet.gz"))
+    val j = off.json()
+    assert(!j.contains("\n"), s"offset json must be one line: $j")
+    assert(graft.sources.WarcFilesOffset.fromJson(j) === off)
+    // legacy (pre-r9) newline-joined checkpoints still deserialize
+    assert(graft.sources.WarcFilesOffset.fromJson("/x/a\n/x/b") ===
+      graft.sources.WarcFilesOffset(Set("/x/a", "/x/b")))
+    assert(graft.sources.WarcFilesOffset.fromJson("") ===
+      graft.sources.WarcFilesOffset(Set.empty))
   }
 }
