@@ -47,7 +47,11 @@ object CheckpointScratch {
     val key = org.apache.spark.sql.internal.SQLConf.CONSTRAINT_PROPAGATION_ENABLED
     val old = conf.getConf(key)
     if (old) conf.setConf(key, false)
-    try smartCoalesce(register(df.localCheckpoint(true)))
+    // register the COALESCED wrapper (the frame callers actually retain):
+    // registering the raw checkpoint would leave only a weak ref to an
+    // object nothing else holds, so GC could clear it before the next
+    // unpersistAll — drop() tree-walks to the LogicalRDD either way
+    try register(smartCoalesce(df.localCheckpoint(true)))
     finally if (old) conf.setConf(key, true)
   }
 
