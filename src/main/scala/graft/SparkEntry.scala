@@ -1835,15 +1835,22 @@ object SparkEntry {
     * ladder against those SAME labels — per-threshold confusion counts
     * + precision/recall in ONE conditional-agg pass (no row
     * amplification). The compare runs on the 4-decimal ROUNDED score
-    * both engines verify identical in the distill chain. */
+    * both engines verify identical in the distill chain.
+    *
+    * The strict labels are computed ONCE (checkpointed): the trainer and
+    * the calibration join both need `y`, and an un-shared frame paid the
+    * full quality-rule pass (token/stopword/alpha analysis over every
+    * doc) twice per query (r9 listener: the second pass was most of the
+    * eval-vs-distill task-time gap). */
   private def qClassifierEval(s: SparkSession, dir: String): DataFrame = {
-    val model = graft.ops.Train.linearFit(evalLabeled(s, dir),
+    val labeled = scratchCkpt(evalLabeled(s, dir))
+    val model = graft.ops.Train.linearFit(labeled,
       labelCol = "y", iters = 2, lr = 0.5)
     val bias = model.filter(col("tok").isNull).head().getDouble(1)
     val scored = graft.ops.Classifier.linearScore(t(s, dir, "documents"),
         model.filter(col("tok").isNotNull), bias)
       .select(col("doc_id"), col("score"))
-      .join(evalLabeled(s, dir).select(col("doc_id"), col("y")), Seq("doc_id"))
+      .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
     graft.ops.Eval.confusionSweep(scored, "score", "y", EvalThresholds)
       .orderBy(col("threshold"))
   }
