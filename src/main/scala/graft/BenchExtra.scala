@@ -81,14 +81,21 @@ object BenchExtra {
   }
 
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-extra-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B probes: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overlays session conf
+    // (measurement-only — the frozen Bench session is untouched)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { kvs =>
+      kvs.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
