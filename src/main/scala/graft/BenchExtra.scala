@@ -91,8 +91,8 @@ object BenchExtra {
     // A/B probes: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overlays session conf
     // (measurement-only — the frozen Bench session is untouched)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { kvs =>
-      kvs.split(";").filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      kvs.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b.config(k.trim, v.trim)
       }
     }
     val s = b.getOrCreate()

@@ -1841,7 +1841,12 @@ object SparkEntry {
     * the calibration join both need `y`, and an un-shared frame paid the
     * full quality-rule pass (token/stopword/alpha analysis over every
     * doc) twice per query (r9 listener: the second pass was most of the
-    * eval-vs-distill task-time gap). */
+    * eval-vs-distill task-time gap). Deliberate tradeoff: the trainer's
+    * internal checkpoint re-materializes (did, y, __text) from this one,
+    * so the corpus text is held in two (disk-spillable) checkpoint
+    * copies for the query's duration — the alternatives are recomputing
+    * the quality pass (the bug this fixes) or routing text through a
+    * doc_id join (a corpus-text shuffle at scale). */
   private def qClassifierEval(s: SparkSession, dir: String): DataFrame = {
     val labeled = scratchCkpt(evalLabeled(s, dir))
     val model = graft.ops.Train.linearFit(labeled,
