@@ -91,6 +91,82 @@ object CheckpointScratch {
     * frames already at/below the target. */
   def smartCoalesce(cp: DataFrame): DataFrame = smartCoalesceDs(cp)
 
+  /** Materialized byte size of a checkpoint-backed frame (the LogicalRDD's
+    * storage footprint, memory + disk), or -1 when unknown (non-RDD plan,
+    * stopped context, blocks not yet reported). Tree-walks like [[drop]]
+    * so a [[smartCoalesce]]-wrapped checkpoint is found too. */
+  def materializedBytes(ds: Dataset[_]): Long =
+    try {
+      var found = -1L
+      ds.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD if found < 0 =>
+          found = ds.sparkSession.sparkContext.getRDDStorageInfo
+            .find(_.id == lr.rdd.id).map(i => i.memSize + i.diskSize)
+            .getOrElse(-1L)
+        case _ => ()
+      }
+      found
+    } catch { case _: Throwable => -1L }
+
+  /** Run `body` under a STATIC plan scope for a fixed-shape iteration
+    * loop: AQE off, shuffle partitions derived from bytesHint with the
+    * SAME parallelism-first rule AQE's coalescer applies — enough
+    * partitions to keep every core busy as long as none falls below the
+    * coalescer's min partition size (default 1 MB), and never fewer than
+    * the advisory-sized count for big frames:
+    * p = clamp(max(ceil(bytes/advisory), min(defaultParallelism,
+    * ceil(bytes/minPartitionSize))), 1, session setting). A KB-scale
+    * frame collapses to one partition (the near-empty-task storm);
+    * a CPU-heavy MB-scale frame keeps multi-core spread (the first cut
+    * of this helper sized purely by the 64 MB advisory and serialized
+    * the GD gradient folds onto one task — measurably slower than AQE);
+    * a web-scale frame keeps full advisory-sized parallelism. Restores
+    * both confs in `finally`.
+    *
+    * Why (guide §2 "derive partitioning from input size" + §1 job
+    * accounting): under AQE every exchange materialization is its OWN
+    * Spark job, so a 4-iteration fold-tree loop schedules ~8-15 jobs per
+    * round whose plans are identical every round — pure driver latency
+    * (30-60 ms/job on an idle host, 100-300 ms under scheduler-latency
+    * pressure; the r9 listener put the pagerank tier at 57-63 jobs for
+    * < 1 s of task time). A loop body's shape is static and its inputs
+    * are checkpointed, so their MATERIALIZED sizes are exact: the
+    * partition count AQE would coalesce to is computed up front from
+    * bytesHint instead of re-derived per exchange per round, and the
+    * whole round materializes as ONE job. Self-scaling by construction:
+    * at web scale bytesHint/advisory keeps full parallelism (clamped at
+    * the session's configured count, never above it) — nothing here is
+    * tuned to local mode. Callers with an UNKNOWN size (bytesHint <= 0)
+    * run `body` unchanged — AQE stays on when there is nothing better
+    * to derive the layout from.
+    *
+    * Results are unaffected by construction: every float reduction in
+    * the loop operators is a keyed two-level ordered fold, partition-
+    * and strategy-independent (the repo's bit-exactness contract), and
+    * AQE never changes query semantics. */
+  def withStaticLoopPlan[T](spark: org.apache.spark.sql.SparkSession,
+      bytesHint: Long)(body: => T): T = {
+    if (bytesHint <= 0L) return body
+    val conf = spark.sessionState.conf
+    val aqeKey = org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED
+    val spKey = org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS
+    val oldAqe = conf.getConf(aqeKey)
+    val oldSp = conf.getConf(spKey)
+    val advisory = math.max(conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES), 1L)
+    val minPart = math.max(conf.getConf(org.apache.spark.sql.internal.SQLConf
+      .COALESCE_PARTITIONS_MIN_PARTITION_SIZE), 1L)
+    val par = math.max(spark.sparkContext.defaultParallelism, 1).toLong
+    val byAdvisory = (bytesHint + advisory - 1L) / advisory
+    val byParallelism = math.min(par, (bytesHint + minPart - 1L) / minPart)
+    val p = math.min(math.max(1L, math.max(byAdvisory, byParallelism)),
+      oldSp.toLong).toInt
+    conf.setConf(aqeKey, false)
+    conf.setConf(spKey, p)
+    try body
+    finally { conf.setConf(aqeKey, oldAqe); conf.setConf(spKey, oldSp) }
+  }
+
   /** Drop one checkpoint-backed frame's blocks now (best-effort; a
     * stopped context or non-RDD plan is skipped silently). ONE definition
     * — SparkEntry's memo path uses the same helper. Walks the whole

@@ -551,6 +551,13 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var done = nEndpoints == 0 // no edges at all
+    // static plan scope for the pointer-jump loop (see CheckpointScratch
+    // scaladoc): the per-round plan is identical and the edge set — the
+    // frame every round's shuffles are scaled by — is materialized, so
+    // the layout derives once from its exact bytes and each round runs as
+    // one ckpt job + one label-sum job instead of ~5-7 AQE stage jobs.
+    val loopBytes = CheckpointScratch.materializedBytes(edges)
+    CheckpointScratch.withStaticLoopPlan(pairs.sparkSession, loopBytes) {
     while (!done && iter < maxIter) {
       // one min-propagation hop along edges...
       // fresh aliases on BOTH columns: an un-aliased `lbl` keeps labels'
@@ -588,6 +595,7 @@ object Dedup {
       labels = next
       iter += 1
     }
+    } // withStaticLoopPlan
     CheckpointScratch.drop(edges)
     lastClusterRounds.set(iter)
     require(done, s"dedupClusters did not converge in $maxIter rounds")

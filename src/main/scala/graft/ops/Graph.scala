@@ -221,8 +221,18 @@ object Graph {
 
     var pr = CheckpointScratch.ckpt(
       nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("pr")))
-    for (_ <- 1 to iters)
-      pr = CheckpointScratch.ckpt(step(eOd, nodes, outdeg, n, pr, d, dmBuckets))
+    // static plan scope for the fixed-shape iteration loop: the per-round
+    // plan is identical every round and its inputs (eOd, pr) are already
+    // materialized, so the shuffle layout is derived ONCE from the
+    // edge-with-degree frame's exact byte size instead of AQE re-planning
+    // (and re-scheduling a job per exchange) every round — the loop body
+    // collapses to one job per iteration. Folds are keyed two-level trees,
+    // partition-independent by contract.
+    val loopBytes = CheckpointScratch.materializedBytes(eOd)
+    CheckpointScratch.withStaticLoopPlan(edges.sparkSession, loopBytes) {
+      for (_ <- 1 to iters)
+        pr = CheckpointScratch.ckpt(step(eOd, nodes, outdeg, n, pr, d, dmBuckets))
+    }
     pr
   }
 

@@ -120,6 +120,13 @@ object Train {
     var w = CheckpointScratch.ckpt(
       x.select(col("tok")).distinct().select(col("tok"), lit(0.0).as("w")))
     var b = 0.0
+    // NOT wrapped in CheckpointScratch.withStaticLoopPlan (unlike the
+    // pagerank/pointer-jump loops): the GD iteration carries real task
+    // CPU whose stage sizes differ ~10x between the wx join and the
+    // gradient folds, and AQE's per-exchange coalescing measurably beats
+    // any single static partition count here (r9 session-2 A/B: static
+    // p=1 serialized the folds, parallelism-first p was a wash — while
+    // the latency-bound loops won outright).
     for (it <- 1 to iters) {
       // iteration 1 runs with w ≡ 0, b = 0: every per-doc prediction fold
       // is a left fold of exact 0.0 terms (= 0.0), so pred(d) = b for all

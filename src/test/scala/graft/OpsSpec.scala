@@ -1880,4 +1880,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cellOf = out.map(r => r._1 -> r._2).toMap
     assert(cellOf(100L) == cellOf(0L) && cellOf(101L) == cellOf(1L))
   }
+  test("withStaticLoopPlan: restores confs, sizes partitions parallelism-first, unknown size is a no-op") {
+    import graft.ops.CheckpointScratch
+    val conf = spark.sessionState.conf
+    val aqe0 = conf.getConf(org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED)
+    val sp0 = conf.getConf(org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS)
+    // KB-scale frame: collapses to 1 shuffle partition, AQE off inside
+    CheckpointScratch.withStaticLoopPlan(spark, 50L * 1024L) {
+      assert(!conf.getConf(org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED))
+      assert(conf.getConf(org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS) == 1)
+      // the static count actually drives a shuffle planned in scope
+      val n = spark.range(100).groupBy((col("id") % 7).as("k")).count()
+        .rdd.getNumPartitions
+      assert(n == 1)
+    }
+    // MB-scale frame: parallelism-first spread (>= 2 partitions at 3 MB
+    // with the 1 MB default min size), capped at the session setting
+    CheckpointScratch.withStaticLoopPlan(spark, 3L * 1024L * 1024L) {
+      val p = conf.getConf(org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS)
+      assert(p >= 2 && p <= sp0)
+    }
+    // confs restored on the normal path
+    assert(conf.getConf(org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED) == aqe0)
+    assert(conf.getConf(org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS) == sp0)
+    // ... and on the exception path
+    intercept[RuntimeException] {
+      CheckpointScratch.withStaticLoopPlan(spark, 1024L) { throw new RuntimeException("boom") }
+    }
+    assert(conf.getConf(org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED) == aqe0)
+    assert(conf.getConf(org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS) == sp0)
+    // unknown size: scope is a pass-through, confs untouched inside
+    CheckpointScratch.withStaticLoopPlan(spark, -1L) {
+      assert(conf.getConf(org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED) == aqe0)
+      assert(conf.getConf(org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS) == sp0)
+    }
+  }
 }
